@@ -1,0 +1,65 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference's published constants
+(/root/reference/src/entity_resolution/entity_resolution.py:213 similarity
+threshold 80; entity_assignment.py:329 consolidation threshold 0.7;
+entity_resolution.py:710-720 weights 0.40/0.35/0.25) so the new engine's
+decision points land where the reference's do.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Reference parity constants ------------------------------------------------
+DEFAULT_SIMILARITY_THRESHOLD = 80  # entity_resolution.py:213 (0-100 scale)
+DEFAULT_CONSOLIDATION_THRESHOLD = 0.7  # entity_assignment.py:329 (0-1 scale)
+# entity_resolution.py:710-720: semantic 0.40 / type-compat 0.35 / overlap 0.25.
+# Mapped onto the row-matching engine as: content edit-ratio 0.40,
+# token-Jaccard 0.35, path Jaro-Winkler 0.25.
+WEIGHT_CONTENT_RATIO = 0.40
+WEIGHT_TOKEN_JACCARD = 0.35
+WEIGHT_PATH_JW = 0.25
+
+DEFAULT_VALIDATION_SAMPLE = 1000  # entity_resolution.py:570
+DEFAULT_VALIDATION_SEED = 42  # entity_resolution.py:674-681
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """Seeded MinHash-LSH parameters.
+
+    b=16 bands x r=8 rows = 128 hashes; s-curve threshold
+    (1/b)^(1/r) ~= 0.707 Jaccard — tuned so whitespace/comment variants
+    (Jaccard >~ 0.8) land in >=1 shared band with probability > 0.999.
+    """
+
+    num_hashes: int = 128
+    bands: int = 16
+    shingle_k: int = 5  # character-shingle width
+    seed: int = 42
+    mersenne_prime: int = (1 << 61) - 1
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_hashes % self.bands == 0
+        return self.num_hashes // self.bands
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    similarity_threshold: int = DEFAULT_SIMILARITY_THRESHOLD
+    consolidation_threshold: float = DEFAULT_CONSOLIDATION_THRESHOLD
+    w_content: float = WEIGHT_CONTENT_RATIO
+    w_jaccard: float = WEIGHT_TOKEN_JACCARD
+    w_path: float = WEIGHT_PATH_JW
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    # candidate generation
+    max_block_size: int = 2000  # census cap before salted tiling kicks in
+    max_salt_groups: int = 64  # ceiling on triangular-tile width per hot block
+    block_key_drop_limit: int = 100_000  # stop-key removal; drops logged, never silent
+    # clustering
+    cc_max_iterations: int = 50
+    # checkpointing / resume
+    checkpoint_dir: str | None = None

@@ -1,0 +1,259 @@
+"""Driver-contract batch 1: SQL-expressible operators from SURVEY.md §2.
+
+Every Spark query aliases computed columns identically to its DuckDB oracle
+(the driver hash-compares values after sorting columns by name). Aggregate
+sums are rounded where IEEE summation order could differ between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..queries import _t, query
+
+
+# --- P1: threshold filter (entity_resolution.py:343-344) -------------------
+@query(
+    "p1_threshold_filter",
+    "SELECT event_id, value FROM events WHERE value >= 95.0",
+)
+def p1_threshold_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") >= 95.0)
+        .select("event_id", "value")
+    )
+
+
+# --- A2: group-by frequency count (entity_assignment.py:111-127) -----------
+@query(
+    "a2_group_count",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang",
+)
+def a2_group_count(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+# --- A3/A4: distinct + null counts (entity_resolution.py:474-477) ----------
+@query(
+    "a3_a4_distinct_null_counts",
+    """
+    SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_texts
+    FROM documents
+    """,
+)
+def a3_a4_distinct_null_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+    )
+
+
+# --- O1/O2: global sort + top-k with deterministic tiebreak ----------------
+@query(
+    "o2_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o2_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- J2: outer equi-join (entity_assignment.py:434-486) --------------------
+@query(
+    "j2_outer_join",
+    """
+    SELECT c_custkey, c_name, n_name
+    FROM customer FULL OUTER JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def j2_outer_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "full_outer").select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+# --- U1: vertical union with column alignment (entity_assignment.py:488-534)
+@query(
+    "u1_union_align",
+    """
+    SELECT c_name AS name, 'dataset_1' AS _dataset_source FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'dataset_2' AS _dataset_source FROM supplier
+    """,
+)
+def u1_union_align(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("dataset_1").alias("_dataset_source")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("dataset_2").alias("_dataset_source")
+    )
+    return c.unionByName(s)
+
+
+# --- A5: set-overlap Jaccard via joins (entity_resolution.py:514-527) ------
+@query(
+    "a5_jaccard_sets",
+    """
+    WITH a AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         b AS (SELECT DISTINCT s_nationkey AS k FROM supplier),
+         i AS (SELECT count(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)),
+         u AS (SELECT count(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b))
+    SELECT round(CAST(i.n AS DOUBLE) / u.n, 6) AS jaccard,
+           CAST(i.n AS BIGINT) AS n_intersection,
+           CAST(u.n AS BIGINT) AS n_union
+    FROM i, u
+    """,
+)
+def a5_jaccard_sets(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    inter = a.intersect(b).count()
+    union = a.union(b).distinct().count()
+    return spark.createDataFrame(
+        [(round(inter / union, 6), inter, union)],
+        "jaccard double, n_intersection long, n_union long",
+    )
+
+
+# --- A1/O2: mean of top-k, the consolidation decision aggregate ------------
+# (entity_assignment.py:399-412: avg of top matches / 100)
+@query(
+    "a1_topk_mean",
+    """
+    SELECT round(avg(o_totalprice) / 100.0, 6) AS avg_topk_normalized
+    FROM (SELECT o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    """,
+)
+def a1_topk_mean(spark, sf_dir):
+    top = (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+    return top.agg(F.round(F.avg("o_totalprice") / 100.0, 6).alias("avg_topk_normalized"))
+
+
+# --- P5: frequency-threshold filter (entity_assignment.py:129-135) ---------
+@query(
+    "p5_freq_filter",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part
+    GROUP BY p_brand HAVING count(*) >= 5
+    """,
+)
+def p5_freq_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+# --- A7: weighted score combination (entity_resolution.py:709-720) ---------
+@query(
+    "a7_weighted_score",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(0.4 * l_quantity + 0.35 * l_discount * 100 + 0.25 * l_tax * 100, 4)
+             AS weighted_score
+    FROM lineitem
+    """,
+)
+def a7_weighted_score(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            0.4 * F.col("l_quantity") + 0.35 * F.col("l_discount") * 100 + 0.25 * F.col("l_tax") * 100,
+            4,
+        ).alias("weighted_score"),
+    )
+
+
+# --- F15 + dedup: exact duplicate groups by content digest -----------------
+# (the engine's Stage 1b exact-collapse, BASELINE.json sha256 invariant)
+@query(
+    "dedup_exact_sha",
+    """
+    SELECT sha256(text) AS content_sha256, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_sha(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_sha256", F.sha2(F.col("text").cast("binary"), 256))
+        .groupBy("content_sha256")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+# --- F15: per-row sha256 invariant ----------------------------------------
+@query(
+    "f15_sha_invariant",
+    "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+)
+def f15_sha_invariant(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("content_sha256")
+    )
+
+
+# --- A1-A9 composite: TPC-H Q1-shaped aggregate ----------------------------
+@query(
+    "tpch_q1_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- whitespace token counting (text-analysis operator) --------------------
+@query(
+    "token_count_ws",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_ws(spark, sf_dir):
+    from ..functions.text import whitespace_token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", whitespace_token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )

@@ -1,0 +1,118 @@
+"""Seeded MinHash signatures + LSH band keys, numpy-vectorized.
+
+Replaces the reference's exhaustive O(n·m) cross-compare
+(/root/reference/src/entity_resolution/entity_resolution.py:326-344) as the
+candidate generator: documents sharing >= 1 LSH band key become candidate
+pairs (SURVEY.md §4.2 "blocking").
+
+Design notes for 100 TB scale:
+- shingle hashing is a polynomial rolling hash over raw UTF-8 bytes, fully
+  vectorized with numpy stride tricks — no Python per-shingle loop;
+- all modular arithmetic is in the 32-bit prime field p=4294967291 so every
+  intermediate product fits in uint64 (a,x < 2^32 -> a*x+b < 2^64), keeping
+  the whole kernel in native numpy;
+- the signature min() is a (num_hashes x num_shingles) broadcast reduced
+  along axis 1, chunked on the shingle axis to bound memory;
+- everything is seeded (MinHashConfig.seed): signatures are deterministic
+  across executors/runs, which resume/checkpoint requires (SURVEY.md §4.2).
+
+MLlib's MinHashLSH was rejected deliberately: its approxSimilarityJoin hides
+the band key, which the F1-at-shared-blocking-key metric needs exposed
+(SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import MinHashConfig
+
+P32 = np.uint64(4294967291)  # largest 32-bit prime; products of two residues fit uint64
+_HASH_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash_params(cfg: MinHashConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod P32."""
+    rng = np.random.RandomState(cfg.seed)
+    a = rng.randint(1, int(P32), size=cfg.num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, int(P32), size=cfg.num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 32-bit-field hashes of all k-char shingles (vectorized
+    polynomial rolling hash, base 257 mod P32). Empty text -> empty array;
+    text shorter than k -> one whole-text shingle."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    powers = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    base = np.uint64(257)
+    for i in range(k - 1, -1, -1):
+        powers[i] = acc
+        acc = (acc * base) % P32
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    # byte (<2^8) * power (<2^32) < 2^40; summed over k<=4096 terms < 2^52: safe
+    h = (windows * powers).sum(axis=1) % P32
+    return np.unique(h)
+
+
+def minhash_signature(text: str | None, cfg: MinHashConfig, params=None) -> np.ndarray:
+    """(num_hashes,) uint64 signature; empty/None text -> all-sentinel
+    signature (hashes only collide with other empty docs)."""
+    a, b = params if params is not None else hash_params(cfg)
+    sh = shingle_hashes(text or "", cfg.shingle_k)
+    if sh.size == 0:
+        return np.full(cfg.num_hashes, P32, dtype=np.uint64)  # out-of-field sentinel
+    sig = np.full(cfg.num_hashes, _HASH_MAX, dtype=np.uint64)
+    chunk = max(1, 8_000_000 // cfg.num_hashes)
+    for start in range(0, sh.size, chunk):
+        block = sh[start : start + chunk]
+        hv = (a[:, None] * block[None, :] + b[:, None]) % P32  # all < 2^64
+        sig = np.minimum(sig, hv.min(axis=1))
+    return sig
+
+
+def band_keys_from_signature(sig: np.ndarray, cfg: MinHashConfig) -> list[str]:
+    """LSH band keys 'mh:<band>:<16-hex FNV fold of the band's rows>'."""
+    r = cfg.rows_per_band
+    fnv = np.uint64(1099511628211)
+    keys = []
+    with np.errstate(over="ignore"):  # uint64 wraparound is the FNV spec
+        for band in range(cfg.bands):
+            digest = np.uint64(14695981039346656037)
+            for v in sig[band * r : (band + 1) * r]:
+                digest = (digest ^ v) * fnv
+            keys.append(f"mh:{band}:{int(digest):016x}")
+    return keys
+
+
+def batch_band_keys(texts: pd.Series, cfg: MinHashConfig) -> pd.Series:
+    """pandas batch: text -> list[str] of LSH band keys (for a pandas UDF
+    returning ArrayType(StringType))."""
+    params = hash_params(cfg)
+    out = []
+    for t in texts.to_numpy(dtype=object):
+        sig = minhash_signature(t, cfg, params)
+        out.append(band_keys_from_signature(sig, cfg))
+    return pd.Series(out)
+
+
+def batch_signatures(texts: pd.Series, cfg: MinHashConfig) -> pd.Series:
+    """pandas batch: text -> list[int] signature (ArrayType(LongType);
+    values < 2^32 so they fit signed int64)."""
+    params = hash_params(cfg)
+    out = []
+    for t in texts.to_numpy(dtype=object):
+        out.append([int(v) for v in minhash_signature(t, cfg, params)])
+    return pd.Series(out)
+
+
+def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """MinHash Jaccard estimate = fraction of agreeing signature slots."""
+    return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))

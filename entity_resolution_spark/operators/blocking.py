@@ -1,0 +1,102 @@
+"""Stage 1 — feature generation + blocking keys.
+
+Carries the reference's "describe then compare" semantics
+(/root/reference/src/entity_resolution/entity_resolution.py:117-210: one
+LLM description per column, then all-pairs compare) re-expressed as
+deterministic distributed feature extraction: every row gets a set of
+blocking keys; rows sharing a key become candidate pairs (SURVEY.md §2.11
+Stage 1). This turns the reference's O(n·m) cross product into a union of
+small equi-join blocks — the single most important semantic→physical
+redesign (SURVEY.md §2.3 J1).
+
+Key families (multi-pass blocking; recall = union over families):
+  sha:<sha256>                exact-content duplicates
+  path:<lang>:<norm basename> rename/move variants and the labeled-pair key
+  pfx:<hash of first 256 normalized chars>  truncation/extension variants
+  mh:<band>:<digest>          MinHash-LSH bands over normalized content
+
+Scale notes:
+- sha256 + path keys are pure JVM column expressions (whole-stage codegen);
+  only the MinHash bands need Python, and they run as one Arrow-batched
+  pandas UDF per row batch — no per-row Python (BASELINE.json:input_hint).
+- the features frame is computed once and reused by scoring (content is
+  projected only where needed; Catalyst prunes it from key-only plans).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..config import MinHashConfig, PipelineConfig
+from ..functions.text import norm_basename_col, norm_content_col
+
+PREFIX_CHARS = 256  # pfx-key window; truncation variants keep >=256 chars
+
+
+def make_band_udf(cfg: MinHashConfig):
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def band_keys(texts: pd.Series) -> pd.Series:
+        from ..functions.minhash import batch_band_keys
+
+        return batch_band_keys(texts, cfg)
+
+    return band_keys
+
+
+def with_features(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Add derived feature columns to a repo_files frame.
+
+    Columns added: content_sha256 (the per-row invariant,
+    BASELINE.json:input_hint), norm_content, norm_basename, basename,
+    content_tokens (distinct identifier tokens, sorted).
+    """
+    tokens = F.array_sort(
+        F.array_distinct(
+            F.expr(r"regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*', 0)")
+        )
+    )
+    return (
+        df.withColumn("content_sha256", F.sha2(F.col("content").cast("binary"), 256))
+        .withColumn("norm_content", norm_content_col(F.col("content")))
+        .withColumn("basename", F.element_at(F.split("path", "/"), -1))
+        .withColumn("norm_basename", norm_basename_col(F.col("path")))
+        .withColumn("content_tokens", tokens)
+    )
+
+
+def with_block_keys(feat: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Add ``block_keys: array<string>`` (all key families) to a features frame."""
+    cfg = cfg or PipelineConfig()
+    band_udf = make_band_udf(cfg.minhash)
+    sha_key = F.concat(F.lit("sha:"), F.col("content_sha256"))
+    path_key = F.concat_ws(":", F.lit("path"), F.col("lang"), F.col("norm_basename"))
+    pfx_key = F.concat(
+        F.lit("pfx:"),
+        F.sha2(F.substring(F.col("norm_content"), 1, PREFIX_CHARS).cast("binary"), 256),
+    )
+    return feat.withColumn(
+        "block_keys",
+        F.array_distinct(
+            F.concat(
+                F.array(sha_key, path_key, pfx_key),
+                band_udf(F.col("norm_content")),
+            )
+        ),
+    )
+
+
+def exploded_blocks(keyed: DataFrame) -> DataFrame:
+    """(block_key, file_id) long table — the blocking index. Partitioned by
+    block_key downstream; content is NOT carried (column pruning keeps the
+    shuffle narrow at 100 TB)."""
+    return keyed.select(F.explode("block_keys").alias("block_key"), "file_id")
+
+
+def block_census(blocks: DataFrame) -> DataFrame:
+    """Block-size census used for salting decisions and skew metrics
+    (SURVEY.md §4.2 'hot-key skew salting')."""
+    return blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))

@@ -1,0 +1,81 @@
+"""Connected-components unit graphs (FIXTURES.md §4) + union-find oracle."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.clustering import (
+    assign_clusters,
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df)
+    return {r.file_id: r.cluster_id for r in out.collect()}
+
+
+def test_chain(spark):
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_star(spark):
+    assert _cc(spark, [(0, i) for i in range(1, 6)]) == {i: 0 for i in range(6)}
+
+
+def test_two_triangles(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_self_loop_and_duplicates_ignored(spark):
+    got = _cc(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}  # self-loop contributes nothing
+
+
+def test_singletons_via_assign(spark):
+    ids = spark.createDataFrame([(i,) for i in range(6)], "file_id long")
+    comp = connected_components(spark.createDataFrame([(0, 1)], "src long, dst long"))
+    got = {r.file_id: r.cluster_id for r in assign_clusters(ids, comp).collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+class UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,seed", [(2000, 1500, 42), (2000, 4000, 7)])
+def test_random_graph_vs_union_find_oracle(spark, n_nodes, n_edges, seed):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    # oracle: min member per component
+    comp_min = {}
+    touched = {x for e in edges for x in e}
+    for x in touched:
+        r = uf.find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[uf.find(x)] for x in touched}
+    got = _cc(spark, edges)
+    assert got == expected

@@ -1,0 +1,64 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() in DuckDB over the same parquet, compare
+row-count + column names + order-insensitive values (exact equality)."""
+
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        name = os.path.basename(f)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (sdf.columns, odf.columns)
+    assert len(sdf) == len(odf)
+    a, b = _normalize(sdf), _normalize(odf)
+    for col in a.columns:
+        av, bv = a[col], b[col].astype(a[col].dtype, errors="ignore") if hasattr(b[col], "astype") else b[col]
+        if av.dtype.kind == "f":
+            assert (av.fillna(-1e308).to_numpy() == b[col].astype(float).fillna(-1e308).to_numpy()).all(), col
+        else:
+            assert av.fillna("<NULL>").astype(str).tolist() == b[col].fillna("<NULL>").astype(str).tolist(), col
+
+
+def test_every_query_has_callable():
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"cluster_id", "cluster_size", "min_file_id"}

@@ -1,0 +1,91 @@
+"""Kernel parity tests (SURVEY.md §5.2 item 1).
+
+fuzz_ratio must be bit-identical to fuzzywuzzy+python-Levenshtein semantics:
+ratio = round(100 * 2*LCS/(len1+len2)), empty -> 0 (SURVEY.md §1.3).
+Verified against a plain DP oracle plus known published fuzz.ratio values.
+"""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_resolution_spark.functions.similarity import (
+    fuzz_ratio,
+    indel_distance,
+    jaro_winkler,
+    lcs_length,
+    ratio_upper_bound,
+    token_jaccard,
+)
+
+
+def lcs_dp(a: str, b: str) -> int:
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0] * (len(b) + 1)
+        for j, cb in enumerate(b):
+            cur[j + 1] = prev[j] + 1 if ca == cb else max(prev[j + 1], cur[j])
+        prev = cur
+    return prev[len(b)]
+
+
+@given(st.text(alphabet="abcXYZ _\n", max_size=40), st.text(alphabet="abcXYZ _\n", max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_lcs_matches_dp_oracle(a, b):
+    assert lcs_length(a, b) == lcs_dp(a, b)
+
+
+def test_lcs_random_long():
+    rng = random.Random(42)
+    for _ in range(20):
+        a = "".join(rng.choice("abcdef(){}:\n ") for _ in range(rng.randrange(50, 400)))
+        b = "".join(rng.choice("abcdef(){}:\n ") for _ in range(rng.randrange(50, 400)))
+        assert lcs_length(a, b) == lcs_dp(a, b)
+
+
+def test_fuzz_ratio_known_values():
+    # published fuzzywuzzy examples
+    assert fuzz_ratio("this is a test", "this is a test!") == 97
+    assert fuzz_ratio("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear") == 91
+    assert fuzz_ratio("abc", "abc") == 100
+    assert fuzz_ratio("abc", "xyz") == 0
+
+
+def test_fuzz_ratio_empty_guards():
+    # fuzzywuzzy's check_empty_string / check_for_none -> 0
+    assert fuzz_ratio("", "") == 0
+    assert fuzz_ratio("a", "") == 0
+    assert fuzz_ratio(None, "a") == 0
+
+
+@given(st.text(alphabet="abQ ", max_size=25), st.text(alphabet="abQ ", max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_ratio_formula(a, b):
+    if not a or not b:
+        assert fuzz_ratio(a, b) == 0
+    else:
+        expected = int(round(200.0 * lcs_dp(a, b) / (len(a) + len(b))))
+        assert fuzz_ratio(a, b) == expected
+        assert fuzz_ratio(a, b) <= ratio_upper_bound(len(a), len(b)) + 0.51
+
+
+def test_indel_distance():
+    assert indel_distance("abc", "abd") == 2  # substitution costs 2
+    assert indel_distance("abc", "abc") == 0
+    assert indel_distance("abc", "ab") == 1
+
+
+def test_jaro_winkler_textbook():
+    assert round(jaro_winkler("MARTHA", "MARHTA"), 4) == 0.9611
+    assert round(jaro_winkler("DWAYNE", "DUANE"), 4) == 0.84
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("", "") == 1.0  # both empty: identical
+    assert jaro_winkler("a", "") == 0.0
+    assert jaro_winkler(None, "x") == 0.0
+
+
+def test_token_jaccard():
+    assert token_jaccard(["a", "b"], ["b", "c"]) == 1 / 3
+    assert token_jaccard([], []) == 0.0  # reference empty-overlap convention
+    assert token_jaccard(["a"], ["a", "a"]) == 1.0
