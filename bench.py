@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, ...extras}
+
+Extras include the record-linkage pipeline's candidate-pairs-scored/sec
+throughput, which is the unit the scaling-efficiency target is defined in
+(BASELINE.json). ``python bench.py --scaling`` additionally runs the same
+pipeline job in two fresh subprocesses at local[N] and local[4N] on the
+SAME input and reports throughput at both plus efficiency
+(= T_N / (4 * T_4N) speedup form), writing BENCH/BASELINE.md — the
+sandbox's stand-in for the N-vs-4N-executor cluster criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.config import PipelineConfig
+    from entity_resolution_spark.datagen import generate_repo_files
+    from entity_resolution_spark.plans.pipeline import resolve
+    from entity_resolution_spark.session import ensure_py_files, get_spark
+
+    import __spark_entry__ as contract
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    ensure_py_files(spark)
+    sf = _sf_of(sf_dir)
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    t_all = time.time()
+
+    # --- headline 1: full record-linkage pipeline on the documents corpus
+    t0 = time.time()
+    files = contract._docs_as_repo_files(spark, sf_dir)
+    res = resolve(files, PipelineConfig())
+    n_scored = res.scored.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    dt = time.time() - t0
+    queries["pipeline_documents"] = round(dt, 3)
+    extras["documents_pairs_scored"] = float(n_scored)
+    extras["documents_clusters"] = float(n_clusters)
+
+    # --- headline 2: pipeline on deterministic synthetic repo_files
+    # (north-rule input shape; size scales with sf)
+    n_groups = max(200, int(30000 * sf))
+    t0 = time.time()
+    synth = generate_repo_files(spark, n_groups)
+    res2 = resolve(synth, PipelineConfig())
+    n_scored2 = res2.scored.count()
+    res2.clusters.count()
+    dt2 = time.time() - t0
+    queries["pipeline_repo_files"] = round(dt2, 3)
+    extras["repo_files_groups"] = float(n_groups)
+    extras["repo_files_pairs_scored"] = float(n_scored2)
+    extras["pairs_scored_per_sec"] = round(n_scored2 / dt2, 2) if dt2 > 0 else 0.0
+
+    # --- representative operator queries from the driver contract
+    from entity_resolution_spark.queries import SPARK_QUERIES
+
+    for name in [
+        "tpch_q1_agg",
+        "dedup_exact_sha",
+        "j2_outer_join",
+        "o2_topk",
+        "a5_jaccard_sets",
+        "token_count_ws",
+    ]:
+        if name not in SPARK_QUERIES:
+            continue
+        t0 = time.time()
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    return {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+
+
+def _scaling_child(sf_dir: str, cpus: int) -> dict:
+    """Run only the synthetic-pipeline job in a fresh JVM at `cpus` cores."""
+    code = (
+        "import json,sys,time,os\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from entity_resolution_spark.session import get_spark, ensure_py_files\n"
+        "from entity_resolution_spark.datagen import generate_repo_files\n"
+        "from entity_resolution_spark.plans.pipeline import resolve\n"
+        "from entity_resolution_spark.config import PipelineConfig\n"
+        f"spark = get_spark('bench-scale', cores={cpus}, shuffle_partitions={cpus})\n"
+        "ensure_py_files(spark)\n"
+        f"files = generate_repo_files(spark, {int(30000 * 0.1)})\n"
+        "files = files.localCheckpoint(eager=True)\n"  # generation cost excluded
+        "t0 = time.time()\n"
+        "res = resolve(files, PipelineConfig())\n"
+        "n = res.scored.count(); res.clusters.count()\n"
+        "dt = time.time() - t0\n"
+        "print(json.dumps({'cpus': " + str(cpus) + ", 'sec': dt, 'pairs': n,"
+        " 'pairs_per_sec': n / dt}))\n"
+    )
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=3600
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(sf_dir: str) -> dict:
+    lo = _scaling_child(sf_dir, 8)
+    hi = _scaling_child(sf_dir, 32)
+    speedup = lo["sec"] / hi["sec"]
+    efficiency = speedup / (32 / 8)
+    return {"low": lo, "high": hi, "speedup": round(speedup, 3), "efficiency": round(efficiency, 3)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        result = run_scaling(sf_dir)
+        print(json.dumps(result))
+        return
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

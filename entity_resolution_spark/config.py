@@ -54,7 +54,13 @@ class PipelineConfig:
     w_content: float = WEIGHT_CONTENT_RATIO
     w_jaccard: float = WEIGHT_TOKEN_JACCARD
     w_path: float = WEIGHT_PATH_JW
-    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    # Pipeline LSH is precision-tilted (b=8, r=16 -> s-curve ~0.88): the
+    # path/pfx/sha key families already cover rename, truncation and exact
+    # variants, so MinHash only needs to catch heavy-overlap content — and a
+    # loose curve would drown scoring in cross-boilerplate candidates at
+    # corpus scale. Corpus-level dedup (operators/dedup.py) keeps the
+    # recall-tilted default (b=16, r=8 -> ~0.71).
+    minhash: MinHashConfig = field(default_factory=lambda: MinHashConfig(bands=8))
     # candidate generation
     max_block_size: int = 2000  # census cap before salted tiling kicks in
     max_salt_groups: int = 64  # ceiling on triangular-tile width per hot block

@@ -1,0 +1,242 @@
+"""Driver-contract batch 2: text-analysis + window + set ops (SURVEY.md §2.5,
+§2.7, §2.8 + training-data text operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..queries import _t, query
+
+
+# --- quality scoring (length/alpha/word-shape), JVM-side expression --------
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.4 * (CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                          ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                     ELSE length(string_split_regex(trim(text), '\\s+')) END) > 0
+                           AND CAST(length(text) AS DOUBLE)
+                               / (CASE WHEN trim(text) = '' THEN 1
+                                  ELSE length(string_split_regex(trim(text), '\\s+')) END)
+                               BETWEEN 3 AND 12
+                          THEN 1.0 ELSE 0.5 END),
+                 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    from ..functions.text import quality_score_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+
+
+# --- BPE-ish token counting ------------------------------------------------
+@query(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    from ..functions.text import bpe_token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count_col(F.col("text")).cast("long").alias("n_bpe_tokens"))
+
+
+# --- language-ID heuristic (no SQL oracle: argmax-over-marker-sets; driver
+# --- records the rows-only check) ------------------------------------------
+@query("lang_id_heuristic")
+def lang_id_heuristic(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+
+    @pandas_udf(T.StringType())
+    def lang_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.text import batch_detect_language
+
+        return batch_detect_language(texts)
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", lang_udf(F.col("text")).alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- W: per-group top-k via window (SURVEY.md §2.5) ------------------------
+@query(
+    "w1_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --- W2: running (cumulative) aggregate ------------------------------------
+@query(
+    "w2_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+    FROM lineitem WHERE l_suppkey <= 3
+    """,
+)
+def w2_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 3)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        )
+    )
+
+
+# --- U2: set except (SURVEY.md §2.7) ---------------------------------------
+@query(
+    "u2_set_except",
+    """
+    SELECT k FROM (SELECT DISTINCT c_nationkey AS k FROM customer)
+    EXCEPT
+    SELECT k FROM (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    """,
+)
+def u2_set_except(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    return a.exceptAll(b).distinct()
+
+
+# --- U3: distinct projection (ordered dedup analog) ------------------------
+@query(
+    "u3_distinct_pairs",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def u3_distinct_pairs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+# --- A8: semantic keyword bucketing (entity_assignment.py:180-222 analog) --
+@query(
+    "a8_semantic_buckets",
+    """
+    SELECT CASE
+             WHEN contains(lower(p_type), 'brushed') THEN 'brushed'
+             WHEN contains(lower(p_type), 'polished') THEN 'polished'
+             WHEN contains(lower(p_type), 'plated') THEN 'plated'
+             WHEN contains(lower(p_type), 'anodized') THEN 'anodized'
+             WHEN contains(lower(p_type), 'burnished') THEN 'burnished'
+             ELSE 'other'
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def a8_semantic_buckets(spark, sf_dir):
+    t = F.lower(F.col("p_type"))
+    bucket = (
+        F.when(t.contains("brushed"), "brushed")
+        .when(t.contains("polished"), "polished")
+        .when(t.contains("plated"), "plated")
+        .when(t.contains("anodized"), "anodized")
+        .when(t.contains("burnished"), "burnished")
+        .otherwise("other")
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- F10/F11: parse probes (enhanced-dtype lattice inputs) -----------------
+@query(
+    "f10_parse_probes",
+    """
+    SELECT CAST(sum(CASE WHEN TRY_CAST(props AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS non_numeric_props,
+           CAST(sum(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS numeric_event_types
+    FROM events
+    """,
+)
+def f10_parse_probes(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.sum(F.col("props").try_cast("double").isNull().cast("long")).alias("non_numeric_props"),
+        F.sum(F.col("event_type").try_cast("double").isNotNull().cast("long")).alias(
+            "numeric_event_types"
+        ),
+    )
+
+
+# --- P2: null-drop projection ----------------------------------------------
+@query(
+    "p2_null_drop",
+    "SELECT CAST(count(*) AS BIGINT) AS n_nonnull FROM events WHERE value IS NOT NULL",
+)
+def p2_null_drop(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .na.drop(subset=["value"])
+        .agg(F.count("*").alias("n_nonnull"))
+    )
+
+
+# --- O5: longest-element pick with deterministic tiebreak ------------------
+@query(
+    "o5_longest_per_lang",
+    """
+    SELECT lang, source AS longest_source FROM (
+      SELECT lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY length(source) DESC, source) AS rn
+      FROM (SELECT DISTINCT lang, source FROM documents)) WHERE rn = 1
+    """,
+)
+def o5_longest_per_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+    w = Window.partitionBy("lang").orderBy(F.desc(F.length("source")), F.asc("source"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("longest_source"))
+    )

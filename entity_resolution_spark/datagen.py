@@ -115,7 +115,9 @@ def _base_content(rng: np.random.RandomState, basename: str, salt: int) -> str:
     n_lines = 14 + int(rng.randint(24))
     body = []
     for i in range(n_lines):
-        stmt = _STMTS[rng.randint(len(_STMTS))].format(c=int(rng.randint(100)))
+        # wide constant space keeps cross-group shingle overlap realistic
+        # (unrelated real files don't share 50%+ of their 5-grams)
+        stmt = _STMTS[rng.randint(len(_STMTS))].format(c=int(rng.randint(100000)))
         body.append("    " + stmt)
     lines = [
         f'"""{desc}"""',

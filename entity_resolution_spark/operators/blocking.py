@@ -35,6 +35,7 @@ from ..config import MinHashConfig, PipelineConfig
 from ..functions.text import norm_basename_col, norm_content_col
 
 PREFIX_CHARS = 256  # pfx-key window; truncation variants keep >=256 chars
+LEN_BAND = 64  # path-key length-band width (chars of normalized content)
 
 
 def make_band_udf(cfg: MinHashConfig):
@@ -65,6 +66,12 @@ def with_features(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame
         .withColumn("basename", F.element_at(F.split("path", "/"), -1))
         .withColumn("norm_basename", norm_basename_col(F.col("path")))
         .withColumn("content_tokens", tokens)
+        # int64 token hashes: what the scorer's Jaccard actually consumes —
+        # ~8 bytes/token through Arrow instead of the token strings
+        .withColumn(
+            "token_hashes",
+            F.array_sort(F.transform("content_tokens", lambda t: F.xxhash64(t))),
+        )
     )
 
 
@@ -73,17 +80,40 @@ def with_block_keys(feat: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     cfg = cfg or PipelineConfig()
     band_udf = make_band_udf(cfg.minhash)
     sha_key = F.concat(F.lit("sha:"), F.col("content_sha256"))
-    path_key = F.concat_ws(":", F.lit("path"), F.col("lang"), F.col("norm_basename"))
-    pfx_key = F.concat(
-        F.lit("pfx:"),
-        F.sha2(F.substring(F.col("norm_content"), 1, PREFIX_CHARS).cast("binary"), 256),
+    # degenerate-key guards: an empty normalized basename (digit-only file
+    # names) or empty content would put the whole corpus into one block —
+    # emit NULL instead and compact it away (the members still block through
+    # their other key families)
+    # path keys are refined with a content-length band (width LEN_BAND):
+    # rename/move variants have near-identical normalized lengths, so each
+    # row emits its band and band+1 (adjacent lengths always share a key)
+    # while unrelated same-basename files spread across bands. This keeps
+    # ubiquitous basenames ('utils', 'index') from forming quadratic blocks;
+    # truncation/extension variants are caught by the pfx/mh families.
+    band = F.floor(F.length("norm_content") / F.lit(LEN_BAND))
+    path_base = F.concat_ws(":", F.lit("path"), F.col("lang"), F.col("norm_basename"))
+    path_key = F.when(
+        F.col("norm_basename") != "", F.concat_ws(":", path_base, band.cast("string"))
+    )
+    path_key2 = F.when(
+        F.col("norm_basename") != "",
+        F.concat_ws(":", path_base, (band + 1).cast("string")),
+    )
+    pfx_key = F.when(
+        F.length("norm_content") > 0,
+        F.concat(
+            F.lit("pfx:"),
+            F.sha2(F.substring(F.col("norm_content"), 1, PREFIX_CHARS).cast("binary"), 256),
+        ),
+    )
+    mh_keys = F.when(F.length("norm_content") > 0, band_udf(F.col("norm_content"))).otherwise(
+        F.array().cast("array<string>")
     )
     return feat.withColumn(
         "block_keys",
         F.array_distinct(
-            F.concat(
-                F.array(sha_key, path_key, pfx_key),
-                band_udf(F.col("norm_content")),
+            F.array_compact(
+                F.concat(F.array(sha_key, path_key, path_key2, pfx_key), mh_keys)
             )
         ),
     )

@@ -1,0 +1,279 @@
+"""Training-data deduplication operators over a document corpus.
+
+Five near/exact-dup families, each returned as a DataFrame so pipelines can
+chain them (task brief: first-class components alongside the SURVEY.md §2
+inventory). All are deterministic (seeded) and shuffle-conscious:
+
+  exact        hash-groupBy on sha256(content) — one shuffle, O(n)
+  minhash_lsh  shingle -> seeded minhash -> band keys -> band self-join
+  simhash      64-bit simhash -> 4x16-bit chunk keys (Hamming<=3 recall)
+  ngram        word n-gram inverted index join with document-frequency
+               stop-gram pruning, exact Jaccard via intersection counts
+  embedding    cosine near-dup via random-hyperplane LSH buckets (see
+               similarity_search for the generic ANN path)
+
+Column convention: input is (doc_id, text) unless noted; outputs carry
+left_id < right_id pairs or cluster assignments.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..config import MinHashConfig
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_sha256, n_copies, canonical_doc_id, doc_ids) per duplicate
+    group with > 1 member. One shuffle on the digest."""
+    return (
+        docs.withColumn("content_sha256", F.sha2(F.col(text_col).cast("binary"), 256))
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_doc_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash-LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    cfg: MinHashConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """(left_id, right_id, est_jaccard) for pairs sharing >= 1 LSH band,
+    verified with the full signature (est_jaccard >= min_jaccard).
+
+    Scale shape: explode band keys -> self-join per band (the blocked join;
+    band cardinality bounds block size) -> pair dedup -> signature check.
+    Signatures travel with the pair join; at 128 hashes that is 1 KB/row —
+    acceptable, and it avoids a second join back to the corpus.
+    """
+    cfg = cfg or MinHashConfig()
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.minhash import batch_signatures
+
+        return batch_signatures(texts, cfg)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def bands_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.minhash import batch_band_keys
+
+        return batch_band_keys(texts, cfg)
+
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        sig_udf(F.col(text_col)).alias("sig"),
+        bands_udf(F.col(text_col)).alias("bands"),
+    )
+    exploded = sigs.select("id", "sig", F.explode("bands").alias("band_key"))
+    a = exploded.select(F.col("band_key"), F.col("id").alias("left_id"), F.col("sig").alias("l_sig"))
+    b = exploded.select(F.col("band_key"), F.col("id").alias("right_id"), F.col("sig").alias("r_sig"))
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "l_sig", "r_sig")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("l_sig", "r_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("l_sig")
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("left_id", "right_id", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(left_id, right_id, hamming) for pairs within Hamming distance
+    max_hamming, found via 16-bit chunk blocking (pigeonhole: distance
+    <= bands-1 guarantees a shared chunk)."""
+
+    @pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.text import batch_simhash64
+
+        return batch_simhash64(texts)
+
+    hashed = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    width = 64 // bands
+    # chunk i = bits [i*width, (i+1)*width): unsigned shift right then mask
+    # the low bits — avoids building >int64 mask literals
+    chunks = [
+        F.concat_ws(
+            ":",
+            F.lit(str(i)),
+            F.shiftrightunsigned(F.col("sh"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("string"),
+        )
+        for i in range(bands)
+    ]
+    exploded = hashed.select("id", "sh", F.explode(F.array(*chunks)).alias("chunk"))
+    a = exploded.select("chunk", F.col("id").alias("left_id"), F.col("sh").alias("l_sh"))
+    b = exploded.select("chunk", F.col("id").alias("right_id"), F.col("sh").alias("r_sh"))
+    pairs = (
+        a.join(b, "chunk")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "l_sh", "r_sh")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    ham = F.bit_count(F.col("l_sh").bitwiseXOR(F.col("r_sh")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Word n-gram Jaccard pairs (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard >= min_jaccard via inverted index:
+    explode distinct n-grams, drop grams with document frequency >
+    max_doc_freq (stop-gram pruning, logged size-aware), join postings,
+    count shared grams per pair, Jaccard from per-doc gram counts.
+
+    Fully JVM-side (no Python) — tokenize/n-gram with builtin functions.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # n-grams via transform over indices; distinct per doc
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+        )
+    )
+    d = d.select("id", grams.alias("grams")).withColumn("n_grams", F.size("grams"))
+    postings = d.select("id", "n_grams", F.explode("grams").alias("gram"))
+    df_w = Window.partitionBy("gram")
+    postings = postings.withColumn("doc_freq", F.count("*").over(df_w)).filter(
+        F.col("doc_freq") <= max_doc_freq
+    )
+    a = postings.select(
+        F.col("gram"), F.col("id").alias("left_id"), F.col("n_grams").alias("l_n")
+    )
+    b = postings.select(
+        F.col("gram"), F.col("id").alias("right_id"), F.col("n_grams").alias("r_n")
+    )
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id", "l_n", "r_n")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("l_n") + F.col("r_n") - F.col("n_shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding cosine near-dup (random-hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(left_id, right_id, cosine) for near-duplicate embeddings.
+
+    Blocking: n_tables independent sign-hash sketches of n_planes random
+    hyperplanes each (seeded); vectors sharing a sketch in any table become
+    candidates; exact cosine verifies. At high min_cosine the collision
+    probability per table is (1 - theta/pi)^n_planes — near-dups collide
+    with high probability, random pairs almost never.
+    """
+    import numpy as np
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return emb.sparkSession.createDataFrame(
+            [], "left_id long, right_id long, cosine double"
+        )
+    dim = dim_row["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim)).astype("float64")
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def sketch_udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            arr = np.asarray(v, dtype="float64")
+            keys = []
+            for t in range(n_tables):
+                bits = (planes[t] @ arr) >= 0
+                keys.append(f"t{t}:" + "".join("1" if b else "0" for b in bits))
+            out.append(keys)
+        return pd.Series(out)
+
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm.alias("nrm"),
+        sketch_udf(F.col(vec_col)).alias("sketches"),
+    ).filter(F.col("nrm") > 0)
+    exploded = base.select("id", "v", "nrm", F.explode("sketches").alias("sk"))
+    a = exploded.select("sk", F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
+    b = exploded.select("sk", F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("nrm").alias("rn"))
+    pairs = (
+        a.join(b, "sk")
+        .where(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    dot = F.aggregate(F.zip_with("lv", "rv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("ln") * F.col("rn"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("left_id", "right_id", "cosine")
+    )

@@ -51,12 +51,18 @@ def make_scorer_udf(cfg: PipelineConfig):
         l_base: pd.Series,
         r_base: pd.Series,
     ) -> pd.DataFrame:
-        from ..functions.similarity import (
-            fuzz_ratio,
-            jaro_winkler,
-            ratio_upper_bound,
-            token_jaccard,
-        )
+        import numpy as np
+
+        from ..functions.similarity import fuzz_ratio, jaro_winkler, ratio_upper_bound
+
+        def hash_jaccard(x, y) -> float:
+            # token_hashes are sorted distinct int64 arrays -> merge-style
+            # intersect beats building Python sets per pair
+            if x is None or y is None or (len(x) == 0 and len(y) == 0):
+                return 0.0
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = len(x) + len(y) - inter
+            return inter / union if union else 0.0
 
         n = len(l_norm)
         lev = [0] * n
@@ -70,7 +76,7 @@ def make_scorer_udf(cfg: PipelineConfig):
         lb = l_base.to_numpy(dtype=object)
         rb = r_base.to_numpy(dtype=object)
         for i in range(n):
-            j = token_jaccard(lt[i], rt[i])
+            j = hash_jaccard(lt[i], rt[i])
             w = jaro_winkler(lb[i], rb[i])
             a, b = ln[i] or "", rn[i] or ""
             # cheap upper bound: even with lev=ub the blend can miss the
@@ -105,19 +111,19 @@ def score_pairs(
     feat = features.select(
         "file_id",
         "norm_content",
-        "content_tokens",
+        "token_hashes",
         "basename",
     )
     left = feat.select(
         F.col("file_id").alias("left_id"),
         F.col("norm_content").alias("l_norm"),
-        F.col("content_tokens").alias("l_tokens"),
+        F.col("token_hashes").alias("l_tokens"),
         F.col("basename").alias("l_base"),
     )
     right = feat.select(
         F.col("file_id").alias("right_id"),
         F.col("norm_content").alias("r_norm"),
-        F.col("content_tokens").alias("r_tokens"),
+        F.col("token_hashes").alias("r_tokens"),
         F.col("basename").alias("r_base"),
     )
     scorer = make_scorer_udf(cfg)

@@ -1,0 +1,114 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column.
+
+Two paths (task brief):
+- brute_force_topk — exact cosine top-k, the correctness baseline. The dot
+  product is a JVM-side ``zip_with``/``aggregate`` expression (codegen'd,
+  no Python); top-k is TakeOrderedAndProject, not a global sort.
+- ivf_topk — the scale path: an IVF-style coarse quantizer. Centroids are
+  trained driver-side on a bounded seeded sample (k-means, a few numpy
+  iterations), broadcast implicitly via the closure, assignment is one
+  Arrow UDF pass; queries probe only ``n_probe`` nearest cells, so the
+  scan cost drops by ~n_cells/n_probe at equal recall on clustered data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def _cosine_expr(vec_col: str, q: list[float]):
+    qn = float(np.linalg.norm(q))
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(vec_col, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(nrm > 0, dot / (nrm * F.lit(qn))).otherwise(F.lit(-1.0))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine) sorted desc, deterministic
+    tiebreak on id."""
+    return (
+        emb.select(F.col(id_col), F.round(_cosine_expr(vec_col, query), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side k-means on a seeded bounded sample (control-plane cost,
+    like the reference's seeded validation sample)."""
+    total = emb.count()
+    frac = min(1.0, sample_size * 1.3 / max(total, 1))
+    sample = emb.select(vec_col).sample(False, frac, seed).limit(sample_size).collect()
+    X = np.array([r[0] for r in sample], dtype="float64")
+    if len(X) == 0:
+        raise ValueError("empty embedding table")
+    n_cells = min(n_cells, len(X))
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), n_cells, replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def assign_cells(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Add the IVF cell id; ONE Arrow pass, vectorized numpy inside."""
+    cent = centroids.copy()
+
+    @pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        X = np.array(list(vecs), dtype="float64")
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return emb.withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb_with_cells: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe cells nearest to the query; exact cosine within.
+    Partition pruning on `cell` makes this a fractional scan when the table
+    is written partitioned/bucketed by cell."""
+    q = np.asarray(query, dtype="float64")
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:n_probe]]
+    return (
+        emb_with_cells.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(_cosine_expr(vec_col, list(query)), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

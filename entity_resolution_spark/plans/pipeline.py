@@ -80,6 +80,10 @@ def resolve(
         return store.get_or_compute(spark, name, compute, partition_by)
 
     feat = _stage("features", lambda: with_features(files, cfg))
+    if store is None:
+        # no stage materialization -> cache the frames consumed by multiple
+        # downstream actions (scoring UDF must run once, not once per action)
+        feat = feat.persist()
     reps, exact_edges = exact_duplicate_edges(feat)
 
     keyed = with_block_keys(reps, cfg)
@@ -89,6 +93,15 @@ def resolve(
 
     pairs = _stage("pairs", lambda: candidate_pairs(blocks, cfg))
     scored = _stage("scored", lambda: score_pairs(pairs, reps, cfg))
+    if store is None:
+        # Materialize the expensive stages ONCE, in order, before the
+        # connected-components loop: its per-iteration checkpoints and the
+        # metrics pass would otherwise each re-derive blocking + scoring
+        # from cold caches (observed 5x wall-clock blowup). With a
+        # StageStore the parquet writes play this role.
+        pairs = pairs.persist()
+        scored = scored.persist()
+        scored.count()
 
     near_edges = matched_edges(scored, cfg)
     all_edges = near_edges.select(

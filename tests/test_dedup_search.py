@@ -1,0 +1,123 @@
+"""Dedup + similarity-search operator tests over driver testdata and
+deterministic synthetic corpora."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from entity_resolution_spark.operators.similarity_search import (
+    assign_cells,
+    brute_force_topk,
+    ivf_topk,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Synthetic doc corpus with planted exact/near dups."""
+    base = "the quick brown fox jumps over the lazy dog while the cat watches from the tall fence nearby"
+    alt = "entirely different material about distributed query planning and shuffle partitioning strategies in engines"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra trailing words here"),  # near dup of 0
+        (3, alt),
+        (4, alt.replace("engines", "systems")),  # near dup of 3
+        (5, "short unrelated text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    groups = exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_copies == 2 and g.canonical_doc_id == 0 and g.doc_ids == [0, 1]
+
+
+def test_minhash_lsh_pairs(corpus):
+    pairs = {(r.left_id, r.right_id): r.est_jaccard for r in minhash_lsh_pairs(corpus, min_jaccard=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup: identical signature
+    assert (0, 2) in pairs  # near dup caught by banding
+    assert (0, 3) not in pairs and (0, 5) not in pairs
+
+
+def test_simhash_pairs(corpus):
+    pairs = {(r.left_id, r.right_id): r.hamming for r in simhash_pairs(corpus).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {(r.left_id, r.right_id): r.jaccard for r in ngram_jaccard_pairs(corpus, min_jaccard=0.4).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_stop_gram_pruning(spark):
+    # a gram present in every doc is pruned when max_doc_freq < corpus size,
+    # so two docs sharing ONLY stop-grams produce no pair
+    docs = spark.createDataFrame(
+        [(i, "common common common common filler " + ("alpha beta" if i == 0 else "gamma delta " + str(i)))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.05, max_doc_freq=3).collect()
+    assert all(r.jaccard < 1.0 for r in pairs)
+
+
+def test_embedding_cosine_pairs(spark):
+    rng = np.random.RandomState(0)
+    v = rng.normal(size=8)
+    rows = [
+        (0, [float(x) for x in v], 0),
+        (1, [float(x) for x in v * 2.0], 0),  # same direction -> cosine 1
+        (2, [float(x) for x in v + rng.normal(scale=0.01, size=8)], 0),  # near
+        (3, [float(x) for x in rng.normal(size=8)], 1),  # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r.left_id, r.right_id): r.cosine for r in embedding_cosine_pairs(emb, min_cosine=0.98).collect()}
+    assert pairs.get((0, 1)) == pytest.approx(1.0, abs=1e-4)
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_brute_force_topk_real_embeddings(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.select("embedding").first()[0]
+    top = brute_force_topk(emb, list(q), k=5).collect()
+    assert len(top) == 5
+    assert top[0].cosine == pytest.approx(1.0, abs=1e-4)  # query vec is in the table
+    scores = [r.cosine for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_centroids(emb, n_cells=8, iters=5)
+    cells = assign_cells(emb, cent).persist()
+    q = emb.select("embedding").first()[0]
+    exact = [r.vec_id for r in brute_force_topk(emb, list(q), k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(cells, cent, list(q), k=10, n_probe=4).collect()]
+    # recall@10 with half the cells probed should be high on clustered data
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+    assert approx[0] == exact[0]  # the exact hit lives in the probed cell
+
+
+def test_centroid_determinism(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = train_centroids(emb, n_cells=4, iters=3)
+    c2 = train_centroids(emb, n_cells=4, iters=3)
+    assert np.allclose(c1, c2)
