@@ -107,8 +107,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def _scaling_child(sf_dir: str, cpus: int) -> dict:
-    """Run only the synthetic-pipeline job in a fresh JVM at `cpus` cores."""
+def _scaling_child(cpus: int, n_groups: int) -> dict:
+    """Run only the synthetic-pipeline job in a fresh JVM at `cpus` cores.
+
+    The corpus must be large enough that per-pair scoring dominates fixed
+    costs (driver rounds, worker startup) — at small N Amdahl's serial
+    fraction swamps the measurement and 4x cores shows no speedup.
+    """
     code = (
         "import json,sys,time,os\n"
         f"sys.path.insert(0, {REPO!r})\n"
@@ -118,7 +123,7 @@ def _scaling_child(sf_dir: str, cpus: int) -> dict:
         "from entity_resolution_spark.config import PipelineConfig\n"
         f"spark = get_spark('bench-scale', cores={cpus}, shuffle_partitions={cpus})\n"
         "ensure_py_files(spark)\n"
-        f"files = generate_repo_files(spark, {int(30000 * 0.1)})\n"
+        f"files = generate_repo_files(spark, {n_groups})\n"
         "files = files.localCheckpoint(eager=True)\n"  # generation cost excluded
         "t0 = time.time()\n"
         "res = resolve(files, PipelineConfig())\n"
@@ -136,11 +141,18 @@ def _scaling_child(sf_dir: str, cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    lo = _scaling_child(sf_dir, 8)
-    hi = _scaling_child(sf_dir, 32)
+    n_groups = int(os.environ.get("SPARK_GRAFT_SCALE_GROUPS", "12000"))
+    lo = _scaling_child(8, n_groups)
+    hi = _scaling_child(32, n_groups)
     speedup = lo["sec"] / hi["sec"]
     efficiency = speedup / (32 / 8)
-    return {"low": lo, "high": hi, "speedup": round(speedup, 3), "efficiency": round(efficiency, 3)}
+    return {
+        "n_groups": n_groups,
+        "low": lo,
+        "high": hi,
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+    }
 
 
 def main() -> None:

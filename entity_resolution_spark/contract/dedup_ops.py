@@ -1,0 +1,160 @@
+"""Driver-contract batch 3: dedup, similarity search, and pipeline entries.
+
+SQL-expressible ops get DuckDB oracles; MinHash/SimHash/clustering are
+genuinely non-SQL-expressible (seeded hash families, iterative fixpoints) —
+registered without oracles so the driver records the rows-only check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..queries import _t, query
+
+
+# --- exact n-gram Jaccard pairs, DuckDB-checkable --------------------------
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+          FROM t),
+    e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+    p AS (SELECT a.doc_id AS l, b.doc_id AS r, a.n_grams AS ln, b.n_grams AS rn,
+                 count(*) AS c
+          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT l AS left_id, r AS right_id, round(c * 1.0 / (ln + rn - c), 6) AS jaccard
+    FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # max_doc_freq large enough that stop-gram pruning is inert at oracle
+    # scale (the oracle has no pruning)
+    return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=1_000_000_000)
+
+
+# --- brute-force cosine top-k, DuckDB-checkable ----------------------------
+@query(
+    "sim_search_topk",
+    """
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+             AS cosine
+    FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_search_topk(spark, sf_dir):
+    from ..operators.similarity_search import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return brute_force_topk(emb, list(q), k=10)
+
+
+# --- J: semi / anti joins (engine's resume path uses left_anti) ------------
+@query(
+    "j_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j_anti_join",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+    """,
+)
+def j_anti_join(spark, sf_dir):
+    # nations without suppliers — non-empty at every sf (25 nations, few
+    # suppliers), so the check isn't vacuous
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left_anti").select(
+        "n_nationkey", "n_name"
+    )
+
+
+# --- non-SQL-expressible (rows-only checks) --------------------------------
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.6)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark, sf_dir):
+    from ..operators.dedup import embedding_cosine_pairs
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.9)
+
+
+@query("pipeline_clusters")
+def pipeline_clusters(spark, sf_dir):
+    """Full blocking->scoring->clustering pipeline on the documents corpus;
+    deterministic cluster summary (the flagship as a contract row)."""
+    import __spark_entry__ as entry_mod
+    from ..config import PipelineConfig
+    from ..plans.pipeline import resolve
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = entry_mod._docs_as_repo_files(spark, sf_dir)
+    res = resolve(files, PipelineConfig())
+    return (
+        res.clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"), F.min("file_id").alias("min_file_id"))
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
+@query("doc_fingerprints")
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al.) per document — seeded
+    rolling-hash family, rows-only check."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.text import batch_fingerprint
+
+        return batch_fingerprint(texts).apply(lambda xs: [int(x) for x in xs])
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fp_udf(F.col("text")).alias("fingerprints"))

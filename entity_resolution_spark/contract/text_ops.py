@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -57,7 +58,6 @@ def token_count_bpe(spark, sf_dir):
 # --- records the rows-only check) ------------------------------------------
 @query("lang_id_heuristic")
 def lang_id_heuristic(spark, sf_dir):
-    import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.pandas.functions import pandas_udf
 

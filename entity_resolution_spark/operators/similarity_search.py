@@ -24,10 +24,11 @@ from pyspark.sql.pandas.functions import pandas_udf
 def _cosine_expr(vec_col: str, q: list[float]):
     qn = float(np.linalg.norm(q))
     qlit = F.array(*[F.lit(float(x)) for x in q])
-    dot = F.aggregate(
-        F.zip_with(vec_col, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nrm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    # all math in double (float32 partial sums would drift vs any
+    # double-precision oracle in the 4th-6th decimal)
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return F.when(nrm > 0, dot / (nrm * F.lit(qn))).otherwise(F.lit(-1.0))
 
 

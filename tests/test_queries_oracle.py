@@ -57,6 +57,21 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_queries_run_and_are_deterministic(spark, name):
+    """Queries without a SQL oracle get the driver's weaker rows-only check;
+    here we additionally pin determinism (two runs, identical results)."""
+    sf = "/root/testdata/sf0.001"
+    df1 = QUERIES[name](spark, sf)
+    rows1 = sorted(map(str, df1.collect()))
+    rows2 = sorted(map(str, QUERIES[name](spark, sf).collect()))
+    assert rows1 == rows2
+    assert len(rows1) >= 0
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
