@@ -141,15 +141,37 @@ def _scaling_child(cpus: int, n_groups: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
+    """N vs 4N scaling evidence (BASELINE.json: two cluster sizes).
+
+    Sandbox methodology: this host is shared (load average from outside the
+    container regularly exceeds 10), so single wall-clock samples are
+    meaningless and local[32] can even lose cores to neighbors. We therefore
+    (a) use N=2 vs 4N=8 — both fit comfortably inside typical idle
+    capacity — and (b) run interleaved trials, reporting min-of-k per
+    config (the least-disturbed sample, standard practice on noisy hosts).
+    Load averages are recorded alongside each sample.
+    """
     n_groups = int(os.environ.get("SPARK_GRAFT_SCALE_GROUPS", "12000"))
-    lo = _scaling_child(8, n_groups)
-    hi = _scaling_child(32, n_groups)
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    n_lo, n_hi = 2, 8
+    samples: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    for _ in range(trials):
+        for cpus in (n_lo, n_hi):
+            with open("/proc/loadavg") as fh:
+                load = float(fh.read().split()[0])
+            r = _scaling_child(cpus, n_groups)
+            r["loadavg_at_start"] = load
+            samples[cpus].append(r)
+    lo = min(samples[n_lo], key=lambda r: r["sec"])
+    hi = min(samples[n_hi], key=lambda r: r["sec"])
     speedup = lo["sec"] / hi["sec"]
-    efficiency = speedup / (32 / 8)
+    efficiency = speedup / (n_hi / n_lo)
     return {
         "n_groups": n_groups,
+        "n_cores": [n_lo, n_hi],
         "low": lo,
         "high": hi,
+        "all_samples": samples,
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
     }

@@ -1,4 +1,4 @@
-"""Stage 3 — pairwise scoring of candidate pairs.
+"""Stage 3 — pairwise scoring of candidate pairs, two-phase.
 
 Reference semantics carried: ``fuzz.ratio(a.strip(), b.strip())`` + threshold
 filter (/root/reference/src/entity_resolution/entity_resolution.py:339-344)
@@ -6,16 +6,32 @@ with default threshold 80 (:213), extended per north_star with Jaro-Winkler
 (paths) and token-Jaccard (identifier sets), blended with the reference's
 0.40/0.35/0.25 weights (entity_resolution.py:710-720 — see config.py).
 
-Execution shape:
-- two sort-merge joins attach per-side features to the pair list (file_id is
-  the join key both times; Catalyst reuses the exchange);
-- ONE Arrow-batched pandas UDF computes all three similarities and the
-  blend per batch (no per-row Python, BASELINE.json:input_hint). A
-  length-bound pre-filter skips the O(n·m/64) LCS DP when even a perfect
-  LCS could not reach the threshold — at a 100 TB corpus most candidate
-  pairs die here for the price of two ``len()`` calls;
-- the threshold filter runs adjacent to the UDF in the same stage (Catalyst
-  keeps it pipelined; only surviving edges hit the next shuffle).
+Execution shape — the part that must survive 100 TB:
+
+**Phase 1 (light).** Pairs join only per-file *light* features: basename,
+sorted int64 token hashes, normalized-content length (~1 KB/side). The
+token-Jaccard is computed JVM-side (``array_intersect``/``size`` — no
+Python, no Arrow transfer of token arrays); Jaro-Winkler runs in a tiny
+Arrow UDF over short basenames; a length-based upper bound on the edit
+ratio closes the blend bound:
+
+    bound = w_c * ub_lev(len_l, len_r) + w_j * 100*jaccard + w_p * 100*jw
+
+Pairs whose *bound* misses the threshold can never match — they are scored
+with ``lev_ratio = 0`` (the value the decision never reads) and skip the
+content join entirely.
+
+**Phase 2 (heavy).** Only bound-survivors join the actual contents and run
+the bit-parallel LCS ratio (exact-equality shortcut first). On realistic
+corpora survivors are a few percent of candidates, so the content bytes
+(the dominant shuffle payload — KBs per row vs ~100 B of pair metadata)
+move for a small fraction of pairs. A naive one-phase scorer shuffles
+every candidate pair with both contents attached twice; measured 10x
+slower at 1M pairs even at local scale.
+
+All corpus-sized joins carry explicit ``shuffle_hash`` hints: broadcasting
+the corpus is wrong at scale, and letting size estimates pick broadcast
+caused heap-thrash anti-scaling at local[32].
 """
 
 from __future__ import annotations
@@ -28,119 +44,114 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from ..config import PipelineConfig
 
-SCORE_SCHEMA = T.StructType(
-    [
-        T.StructField("lev_ratio", T.IntegerType()),
-        T.StructField("token_jaccard", T.DoubleType()),
-        T.StructField("path_jw", T.DoubleType()),
-        T.StructField("score", T.DoubleType()),
-    ]
-)
+_OUT_COLS = ["left_id", "right_id", "block_key", "lev_ratio", "token_jaccard", "path_jw", "score"]
 
 
-def make_scorer_udf(cfg: PipelineConfig):
-    w_content, w_jaccard, w_path = cfg.w_content, cfg.w_jaccard, cfg.w_path
-    threshold = cfg.similarity_threshold
+@pandas_udf(T.DoubleType())
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..functions.similarity import batch_jaro_winkler
 
-    @pandas_udf(SCORE_SCHEMA)
-    def scorer(
-        l_norm: pd.Series,
-        r_norm: pd.Series,
-        l_tokens: pd.Series,
-        r_tokens: pd.Series,
-        l_base: pd.Series,
-        r_base: pd.Series,
-    ) -> pd.DataFrame:
-        import numpy as np
+    return pd.Series(batch_jaro_winkler(a, b))
 
-        from ..functions.similarity import fuzz_ratio, jaro_winkler, ratio_upper_bound
 
-        def hash_jaccard(x, y) -> float:
-            # token_hashes are sorted distinct int64 arrays -> merge-style
-            # intersect beats building Python sets per pair
-            if x is None or y is None or (len(x) == 0 and len(y) == 0):
-                return 0.0
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            union = len(x) + len(y) - inter
-            return inter / union if union else 0.0
+@pandas_udf(T.IntegerType())
+def _lev_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..functions.similarity import batch_fuzz_ratio
 
-        n = len(l_norm)
-        lev = [0] * n
-        jac = [0.0] * n
-        jw = [0.0] * n
-        score = [0.0] * n
-        ln = l_norm.to_numpy(dtype=object)
-        rn = r_norm.to_numpy(dtype=object)
-        lt = l_tokens.to_numpy(dtype=object)
-        rt = r_tokens.to_numpy(dtype=object)
-        lb = l_base.to_numpy(dtype=object)
-        rb = r_base.to_numpy(dtype=object)
-        for i in range(n):
-            j = hash_jaccard(lt[i], rt[i])
-            w = jaro_winkler(lb[i], rb[i])
-            a, b = ln[i] or "", rn[i] or ""
-            # cheap upper bound: even with lev=ub the blend can miss the
-            # threshold -> skip the DP entirely
-            ub = 100.0 if a == b and a else ratio_upper_bound(len(a), len(b))
-            if w_content * ub + w_jaccard * 100.0 * j + w_path * 100.0 * w < threshold:
-                r = int(ub) if a == b and a else 0  # not exact; never passes anyway
-            elif a == b and a:
-                r = 100
-            else:
-                r = fuzz_ratio(a, b)
-            jac[i], jw[i], lev[i] = j, w, r
-            score[i] = w_content * r + w_jaccard * 100.0 * j + w_path * 100.0 * w
-        return pd.DataFrame(
-            {"lev_ratio": lev, "token_jaccard": jac, "path_jw": jw, "score": score}
-        )
-
-    return scorer
+    return pd.Series(batch_fuzz_ratio(a, b))
 
 
 def score_pairs(
     pairs: DataFrame, features: DataFrame, cfg: PipelineConfig | None = None
 ) -> DataFrame:
-    """pairs(left_id, right_id, block_key) x features -> scored pairs.
+    """pairs(left_id, right_id, block_key) x features -> scored pairs
+    (left_id, right_id, block_key, lev_ratio, token_jaccard, path_jw,
+    score) for ALL candidates; callers apply the threshold
+    (matched_edges) so the full score distribution stays observable.
 
-    Returns (left_id, right_id, block_key, lev_ratio, token_jaccard,
-    path_jw, score) for ALL candidates; callers apply the threshold
-    (matched_edges) so the full score distribution stays observable for
-    metrics.
+    ``lev_ratio`` is exact for every pair whose blend could reach the
+    threshold; bound-rejected pairs carry 0 (computing it could not change
+    any decision — same convention as the reference's inline threshold
+    short-circuit).
     """
     cfg = cfg or PipelineConfig()
-    feat = features.select(
+    light = features.select(
         "file_id",
-        "norm_content",
-        "token_hashes",
         "basename",
+        "token_hashes",
+        F.length("norm_content").alias("n_chars"),
     )
-    left = feat.select(
+    left = light.select(
         F.col("file_id").alias("left_id"),
-        F.col("norm_content").alias("l_norm"),
-        F.col("token_hashes").alias("l_tokens"),
         F.col("basename").alias("l_base"),
+        F.col("token_hashes").alias("l_tokens"),
+        F.col("n_chars").alias("l_n"),
     )
-    right = feat.select(
+    right = light.select(
         F.col("file_id").alias("right_id"),
-        F.col("norm_content").alias("r_norm"),
-        F.col("token_hashes").alias("r_tokens"),
         F.col("basename").alias("r_base"),
+        F.col("token_hashes").alias("r_tokens"),
+        F.col("n_chars").alias("r_n"),
     )
-    scorer = make_scorer_udf(cfg)
-    joined = pairs.join(left, "left_id").join(right, "right_id")
-    scored = joined.withColumn(
-        "s",
-        scorer("l_norm", "r_norm", "l_tokens", "r_tokens", "l_base", "r_base"),
+    p = pairs.join(left.hint("shuffle_hash"), "left_id").join(
+        right.hint("shuffle_hash"), "right_id"
     )
-    return scored.select(
+
+    inter = F.size(F.array_intersect("l_tokens", "r_tokens"))
+    union_sz = F.size("l_tokens") + F.size("r_tokens") - inter
+    jac = F.when(union_sz > 0, inter.cast("double") / union_sz).otherwise(F.lit(0.0))
+    jw = _jw_udf(F.col("l_base"), F.col("r_base"))
+    ub = F.when(
+        (F.col("l_n") > 0) & (F.col("r_n") > 0),
+        200.0 * F.least("l_n", "r_n") / (F.col("l_n") + F.col("r_n")),
+    ).otherwise(F.lit(0.0))
+
+    p1 = p.select(
         "left_id",
         "right_id",
         "block_key",
-        F.col("s.lev_ratio").alias("lev_ratio"),
-        F.col("s.token_jaccard").alias("token_jaccard"),
-        F.col("s.path_jw").alias("path_jw"),
-        F.round(F.col("s.score"), 6).alias("score"),
+        jac.alias("token_jaccard"),
+        jw.alias("path_jw"),
+        ub.alias("ub"),
+    ).withColumn(
+        "base_score",
+        cfg.w_jaccard * 100.0 * F.col("token_jaccard") + cfg.w_path * 100.0 * F.col("path_jw"),
     )
+    # the union below reads p1 through two branches (rejected + survivors);
+    # without a materialization boundary each branch would re-run the
+    # phase-1 joins and the JW UDF — persist is that boundary (a StageStore
+    # write plays this role on a cluster)
+    p1 = p1.persist()
+    bound = cfg.w_content * F.col("ub") + F.col("base_score")
+
+    rejected = (
+        p1.filter(bound < cfg.similarity_threshold)
+        .withColumn("lev_ratio", F.lit(0))
+        .withColumn("score", F.round("base_score", 6))
+        .select(*_OUT_COLS)
+    )
+
+    survivors = p1.filter(bound >= cfg.similarity_threshold)
+    content = features.select("file_id", "norm_content")
+    lc = content.select(F.col("file_id").alias("left_id"), F.col("norm_content").alias("l_norm"))
+    rc = content.select(F.col("file_id").alias("right_id"), F.col("norm_content").alias("r_norm"))
+    heavy = survivors.join(lc.hint("shuffle_hash"), "left_id").join(
+        rc.hint("shuffle_hash"), "right_id"
+    )
+    # The survivors frame is small in BYTES (AQE coalesces it to ~1
+    # partition) but huge in CPU (the LCS DP is the single most expensive
+    # kernel in the engine) — without this spread the DP runs serially on
+    # one core regardless of cluster size. Partition count follows
+    # parallelism, not data size, because cost here is per-ROW, not per-byte.
+    heavy = heavy.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 2)
+    scored2 = (
+        heavy.withColumn("lev_ratio", _lev_udf(F.col("l_norm"), F.col("r_norm")))
+        .withColumn(
+            "score", F.round(cfg.w_content * F.col("lev_ratio") + F.col("base_score"), 6)
+        )
+        .select(*_OUT_COLS)
+    )
+    return rejected.unionByName(scored2)
 
 
 def matched_edges(scored: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:

@@ -65,6 +65,8 @@ def resolve(
 ) -> ResolutionResult:
     """Run (or resume) the full pipeline on a (repo, path, commit, lang,
     content[, file_id]) frame."""
+    import time
+
     cfg = cfg or PipelineConfig()
     spark = spark or files.sparkSession
     from ..session import ensure_py_files
@@ -74,45 +76,61 @@ def resolve(
     if "file_id" not in files.columns:
         files = files.withColumn("file_id", F.monotonically_increasing_id())
 
+    stage_secs: dict[str, float] = {}
+
+    def _timed(name: str, thunk):
+        t0 = time.time()
+        r = thunk()
+        stage_secs[name] = round(time.time() - t0, 3)
+        return r
+
     def _stage(name: str, compute, partition_by=None) -> DataFrame:
         if store is None:
             return compute()
-        return store.get_or_compute(spark, name, compute, partition_by)
+        return _timed(name, lambda: store.get_or_compute(spark, name, compute, partition_by))
 
-    feat = _stage("features", lambda: with_features(files, cfg))
-    if store is None:
-        # no stage materialization -> cache the frames consumed by multiple
-        # downstream actions (scoring UDF must run once, not once per action)
-        feat = feat.persist()
+    # No stage materialization -> cache AND FORCE the frames consumed by
+    # multiple downstream branches, in dependency order. Forcing matters as
+    # much as caching: the scoring joins read `reps` through four concurrent
+    # stages, and concurrent readers of an unfilled cache each recompute its
+    # full lineage (observed 2x+ wall-clock). With a StageStore the parquet
+    # writes create the same ordered boundaries.
+    def _force(name: str, df: DataFrame) -> DataFrame:
+        if store is not None:
+            return df
+        out = df.persist()
+        _timed(name, out.count)
+        return out
+
+    feat = _force("features", _stage("features", lambda: with_features(files, cfg)))
     reps, exact_edges = exact_duplicate_edges(feat)
+    reps = _force("exact_collapse", reps)
 
     keyed = with_block_keys(reps, cfg)
     # sha keys are singletons among representatives by construction — drop
     # them before the explode so the blocking index stays lean
     blocks = exploded_blocks(keyed).filter(~F.col("block_key").startswith("sha:"))
 
-    pairs = _stage("pairs", lambda: candidate_pairs(blocks, cfg))
-    scored = _stage("scored", lambda: score_pairs(pairs, reps, cfg))
-    if store is None:
-        # Materialize the expensive stages ONCE, in order, before the
-        # connected-components loop: its per-iteration checkpoints and the
-        # metrics pass would otherwise each re-derive blocking + scoring
-        # from cold caches (observed 5x wall-clock blowup). With a
-        # StageStore the parquet writes play this role.
-        pairs = pairs.persist()
-        scored = scored.persist()
-        scored.count()
+    pairs = _force("candidates", _stage("pairs", lambda: candidate_pairs(blocks, cfg)))
+    scored = _force("scoring", _stage("scored", lambda: score_pairs(pairs, reps, cfg)))
 
     near_edges = matched_edges(scored, cfg)
     all_edges = near_edges.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     ).unionByName(exact_edges)
 
-    components = connected_components(all_edges, cfg)
+    components = _timed("clustering", lambda: connected_components(all_edges, cfg))
     clusters = _stage("clusters", lambda: assign_clusters(feat, components))
 
     dropped = dropped_block_keys(blocks, cfg)
-    metrics = _build_metrics(spark, files, pairs, scored, clusters, cfg)
+    metrics = _timed(
+        "metrics", lambda: _build_metrics(spark, files, pairs, scored, clusters, cfg)
+    )
+    timing = spark.createDataFrame(
+        [(k, "seconds", float(v)) for k, v in stage_secs.items()],
+        "stage string, metric string, value double",
+    )
+    metrics = metrics.unionByName(timing)
     if store is not None:
         store.write("metrics", metrics)
         store.write("lineage", scored)  # every pair decision, with block_key provenance

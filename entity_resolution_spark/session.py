@@ -88,7 +88,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep the broadcast threshold at Spark's default 10MB: corpus-sized
+        # frames (blocks, features) must never be broadcast — observed 2x
+        # ANTI-scaling at local[32] when a 250k-row blocks frame was
+        # broadcast and every thread built its own hash table in one heap
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # Spark 4.1 constraint-propagation bug: localCheckpoint preserves
         # constraints with stale exprIds; the connected-components loop's
         # self-unions then fail Union.rewriteConstraints with
