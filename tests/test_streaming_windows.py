@@ -1,0 +1,77 @@
+"""Streaming windowed-agg tests: stream (AvailableNow) output must equal
+the same plan run in batch — Spark's unified-semantics contract."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.streaming.windows import (
+    sliding_match_rate,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_batch(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = windowed_event_counts(events, window="1 hour")
+    rows = out.collect()
+    assert rows
+    total = sum(r.n_events for r in rows)
+    assert total == events.count()
+    for r in rows:
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+
+
+def test_stream_equals_batch(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(events, window="1 hour").collect()
+    }
+    base = tempfile.mkdtemp()
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{SF}")  # directory contains only parquet of many tables
+        )
+        # restrict to the events file: re-point at a dir holding just events
+        inp = os.path.join(base, "in")
+        os.makedirs(inp)
+        events.write.parquet(inp, mode="overwrite")
+        stream = spark.readStream.schema(events.schema).parquet(inp)
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("select * from win_counts").collect()
+        }
+        assert got == batch
+    finally:
+        shutil.rmtree(base)
+
+
+def test_sliding_match_rate_batch(spark):
+    scored = spark.createDataFrame(
+        [("2026-01-01 00:01:00", 90.0), ("2026-01-01 00:02:00", 10.0),
+         ("2026-01-01 00:07:00", 85.0), ("2026-01-01 00:14:00", 50.0)],
+        "scored_at string, score double",
+    ).withColumn("scored_at", F.col("scored_at").cast("timestamp"))
+    out = sliding_match_rate(scored, threshold=80.0).collect()
+    assert out
+    # every event lands in exactly window_size/slide = 2 sliding windows
+    assert sum(r.n_scored for r in out) == 4 * 2
+    for r in out:
+        assert 0.0 <= r.match_rate <= 1.0
