@@ -81,6 +81,11 @@ def connected_components(
     """edges(left_id/right_id or src/dst) -> (file_id, cluster_id) for every
     node appearing in an edge. cluster_id = component-min file_id."""
     cfg = cfg or PipelineConfig()
+    # Defensive: sessions not built by session.get_spark (e.g. the external
+    # driver's) hit the Spark 4.1 Union.rewriteConstraints crash on the
+    # checkpointed self-unions below unless constraint propagation is off.
+    # Runtime-settable SQLConf, so set it here where the plan shape needs it.
+    edges.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
     cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(cfg.cc_max_iterations):

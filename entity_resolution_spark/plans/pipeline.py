@@ -124,7 +124,8 @@ def resolve(
 
     dropped = dropped_block_keys(blocks, cfg)
     metrics = _timed(
-        "metrics", lambda: _build_metrics(spark, files, pairs, scored, clusters, cfg)
+        "metrics",
+        lambda: _build_metrics(spark, files, pairs, scored, clusters, cfg, blocks=blocks),
     )
     timing = spark.createDataFrame(
         [(k, "seconds", float(v)) for k, v in stage_secs.items()],
@@ -138,7 +139,7 @@ def resolve(
     return ResolutionResult(feat, scored, clusters, metrics, dropped)
 
 
-def _build_metrics(spark, files, pairs, scored, clusters, cfg) -> DataFrame:
+def _build_metrics(spark, files, pairs, scored, clusters, cfg, blocks=None) -> DataFrame:
     """Stage-level metrics table. Computed in one pass per frame; at scale
     these are the dashboards that prove the skew handling worked."""
     n_files = files.count()
@@ -155,4 +156,23 @@ def _build_metrics(spark, files, pairs, scored, clusters, cfg) -> DataFrame:
         ("scoring", "matched_pairs", float(agg["m"])),
         ("clustering", "clusters", float(n_clusters)),
     ]
+    if blocks is not None:
+        # block-size distribution — the skew evidence (how close the
+        # largest block sits to the salting threshold and how many blocks
+        # crossed it). One aggregate pass over the census.
+        census = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+        b = census.agg(
+            F.count("*").alias("blocks"),
+            F.max("n").alias("max_block"),
+            F.expr("percentile_approx(n, 0.99)").alias("p99_block"),
+            F.sum((F.col("n") > cfg.max_block_size).cast("long")).alias("salted_blocks"),
+            F.sum((F.col("n") > cfg.block_key_drop_limit).cast("long")).alias("dropped_keys"),
+        ).collect()[0]
+        rows += [
+            ("blocking", "blocks", float(b["blocks"])),
+            ("blocking", "max_block_size", float(b["max_block"] or 0)),
+            ("blocking", "p99_block_size", float(b["p99_block"] or 0)),
+            ("blocking", "salted_blocks", float(b["salted_blocks"] or 0)),
+            ("blocking", "dropped_keys", float(b["dropped_keys"] or 0)),
+        ]
     return spark.createDataFrame(rows, "stage string, metric string, value double")
