@@ -65,6 +65,11 @@ class PipelineConfig:
     max_block_size: int = 2000  # census cap before salted tiling kicks in
     max_salt_groups: int = 64  # ceiling on triangular-tile width per hot block
     block_key_drop_limit: int = 100_000  # stop-key removal; drops logged, never silent
+    # per-hot-block candidate budget: blocks whose pair count would exceed
+    # this are deterministically hash-thinned to ~the budget (kept fraction
+    # logged, never silent — SURVEY.md §4.2). High default: a recall knob
+    # that should only fire on pathological corpora.
+    max_pairs_per_hot_block: int = 10_000_000
     # clustering
     cc_max_iterations: int = 50
     # checkpointing / resume

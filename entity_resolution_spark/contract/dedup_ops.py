@@ -158,3 +158,35 @@ def doc_fingerprints(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fp_udf(F.col("text")).alias("fingerprints"))
+
+
+# --- as-of (nearest-prior) join — custom operator Spark lacks natively -----
+@query(
+    "asof_join_events_orders",
+    """
+    WITH b AS (SELECT o_custkey AS k, o_orderdate AS bts, max(o_totalprice) AS last_price
+               FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, round(b.last_price, 2) AS last_price_asof
+    FROM events e ASOF LEFT JOIN b ON e.user_id = b.k AND e.ts >= b.bts
+    """,
+)
+def asof_join_events_orders(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    # dedupe build to unique (key, ts) so the as-of pick is well-defined on
+    # both engines
+    build = orders.groupBy(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("bts")
+    ).agg(F.max("o_totalprice").alias("last_price"))
+    out = asof_join(
+        events.select(F.col("user_id").alias("k"), "ts", "event_id"),
+        build,
+        on="k",
+        probe_ts="ts",
+        build_ts="bts",
+    )
+    return out.select(
+        "event_id", F.round("last_price_asof", 2).alias("last_price_asof")
+    )

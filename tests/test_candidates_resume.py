@@ -78,3 +78,24 @@ def test_partition_metrics_shape(spark):
     rows = m.collect()
     assert sum(r.rows for r in rows) == 100
     assert all(r.stage == "probe" for r in rows)
+
+
+def test_per_block_pair_budget_thins_and_logs(spark):
+    """A hot block over the pair budget gets deterministic 1-in-K thinning;
+    hot_block_sampling logs it; under-budget blocks are untouched."""
+    from entity_resolution_spark.operators.candidates import hot_block_sampling
+
+    rows = [("hot", i) for i in range(200)] + [("small", i) for i in range(500, 504)]
+    blocks = spark.createDataFrame(rows, "block_key string, file_id long")
+    cfg = PipelineConfig(max_block_size=50, max_pairs_per_hot_block=5000)
+    got = candidate_pairs(blocks, cfg)
+    n_hot = got.filter(F.col("block_key") == "hot").count()
+    # est 19900 pairs, K=4 -> about a quarter survive (hash-thinned)
+    assert 19900 // 4 * 0.5 < n_hot < 19900 // 4 * 1.7
+    assert got.filter(F.col("block_key") == "small").count() == 6  # untouched
+    log = hot_block_sampling(blocks, cfg).collect()
+    assert len(log) == 1
+    assert log[0].block_key == "hot" and log[0].kept_fraction == 0.25
+    # determinism: same thinning on re-run
+    again = candidate_pairs(blocks, cfg)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
