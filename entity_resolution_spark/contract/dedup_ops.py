@@ -190,3 +190,32 @@ def asof_join_events_orders(spark, sf_dir):
     return out.select(
         "event_id", F.round("last_price_asof", 2).alias("last_price_asof")
     )
+
+
+# --- binned range join (point-in-interval), theta->equi rewrite ------------
+@query(
+    "range_join_events_in_order_window",
+    """
+    SELECT e.event_id, o.o_orderkey
+    FROM events e JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts <= o.o_orderdate + INTERVAL '30 days'
+    """,
+)
+def range_join_events_in_order_window(spark, sf_dir):
+    from ..operators.ranges import binned_range_join
+
+    events = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "ts", "event_id"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+        "o_orderkey",
+    )
+    out = binned_range_join(
+        events, orders, on="k", point_ts="ts", start_col="w_start", end_col="w_end"
+    )
+    return out.select("event_id", "o_orderkey")
