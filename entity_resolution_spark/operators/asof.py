@@ -4,18 +4,23 @@
 with the same key whose timestamp is the latest one <= the probe's
 timestamp (the time-series point-in-time join).
 
-Spark-first implementation — NO per-row Python, no range-explode blowup:
-union the two tagged inputs, sort within each key partition by
-(ts, side-order), and carry the build side's attributes forward with
-``last(..., ignorenulls=True)`` over an unbounded-preceding window; then
-keep only probe rows. One shuffle on the key; cost O((n+m) log) per key
-partition, independent of time-range density — the naive
+Spark-first implementation — NO per-row Python, no range-explode blowup,
+and a SINGLE pass: union the two tagged inputs (probe rows carry their own
+columns, build rows carry theirs; the other side's slots are null), sort
+within each key partition by (ts, side), carry the build attributes
+forward with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+window, keep probe rows. One shuffle on the key; O((n+m) log) per key
+partition, independent of time density — the naive
 ``probe.join(build, key).where(b.ts <= p.ts)`` + max-window alternative is
-quadratic per key and dies on hot keys.
+quadratic per key and dies on hot keys. No row-identity column is needed
+(an earlier design joined back on ``monotonically_increasing_id``, whose
+values are only stable per physical plan execution — a correctness hazard
+under branch recomputation).
 
-Tie rule: a build row at exactly the probe timestamp matches (<=), build
-rows ordered before probe rows at equal ts. Among equal-ts build rows the
-one latest in ``tiebreak_col`` order wins (deterministic).
+Tie rules: a build row at exactly the probe timestamp matches (<=); among
+build rows with equal (key, ts) the last under ``__seq`` order (input
+order of the build frame's sort below) wins deterministically because the
+window orders by (ts, side, seq).
 """
 
 from __future__ import annotations
@@ -35,42 +40,40 @@ def asof_join(
 ) -> DataFrame:
     """Return probe rows + as-of matched build columns (null when no build
     row precedes the probe row)."""
-    build_cols = build_cols or [
-        c for c in build.columns if c not in (on, build_ts)
-    ]
+    build_cols = build_cols or [c for c in build.columns if c not in (on, build_ts)]
+    probe_cols = [c for c in probe.columns]
+
     b = build.select(
         F.col(on).alias("__key"),
         F.col(build_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__side"),  # build sorts before probe at equal ts
-        F.lit(None).cast("long").alias("__probe_id"),
+        # deterministic order among equal-(key, ts) build rows
+        F.xxhash64(*[F.col(c) for c in build.columns]).alias("__seq"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
         *[F.col(c).alias(f"__b_{c}") for c in build_cols],
     )
-    probe_tagged = probe.withColumn(
-        "__probe_id", F.monotonically_increasing_id()
-    )
-    p = probe_tagged.select(
+    p = probe.select(
         F.col(on).alias("__key"),
         F.col(probe_ts).cast("timestamp").alias("__ts"),
         F.lit(1).alias("__side"),
-        F.col("__probe_id"),
+        F.lit(0).cast("long").alias("__seq"),
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
         *[F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}") for c in build_cols],
     )
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = b.unionByName(p).select(
-        "__key",
-        "__ts",
         "__side",
-        "__probe_id",
+        *[F.col(f"__p_{c}") for c in probe_cols],
         *[
             F.last(f"__b_{c}", ignorenulls=True).over(w).alias(f"__b_{c}")
             for c in build_cols
         ],
     )
-    matched = carried.filter(F.col("__side") == 1).select(
-        "__probe_id", *[F.col(f"__b_{c}").alias(c + suffix) for c in build_cols]
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
+        *[F.col(f"__b_{c}").alias(c + suffix) for c in build_cols],
     )
-    return probe_tagged.join(matched, "__probe_id", "left").drop("__probe_id")
