@@ -9,7 +9,11 @@ and a SINGLE pass: union the two tagged inputs (probe rows carry their own
 columns, build rows carry theirs; the other side's slots are null), sort
 within each key partition by (ts, side), carry the build attributes
 forward with ``last(..., ignorenulls=True)`` over an unbounded-preceding
-window, keep probe rows. One shuffle on the key; O((n+m) log) per key
+window, keep probe rows. The carried value is ONE struct per build row —
+not per-column lasts — so a NULL in some build attribute stays NULL in the
+output instead of being back-filled from an older build row (per-column
+carry would silently stitch attributes of different build rows into a
+fabricated result). One shuffle on the key; O((n+m) log) per key
 partition, independent of time density — the naive
 ``probe.join(build, key).where(b.ts <= p.ts)`` + max-window alternative is
 quadratic per key and dies on hot keys. No row-identity column is needed
@@ -40,8 +44,14 @@ def asof_join(
 ) -> DataFrame:
     """Return probe rows + as-of matched build columns (null when no build
     row precedes the probe row)."""
+    from pyspark.sql import types as T
+
     build_cols = build_cols or [c for c in build.columns if c not in (on, build_ts)]
     probe_cols = [c for c in probe.columns]
+    # the build attributes travel as ONE struct: non-null for every build row
+    # (even when all its fields are null), so last(ignorenulls) picks the
+    # as-of matched ROW atomically and genuine field NULLs survive
+    b_struct_type = T.StructType([build.schema[c] for c in build_cols])
 
     b = build.select(
         F.col(on).alias("__key"),
@@ -50,7 +60,7 @@ def asof_join(
         # deterministic order among equal-(key, ts) build rows
         F.xxhash64(*[F.col(c) for c in build.columns]).alias("__seq"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
-        *[F.col(c).alias(f"__b_{c}") for c in build_cols],
+        F.struct(*[F.col(c).alias(c) for c in build_cols]).alias("__b"),
     )
     p = probe.select(
         F.col(on).alias("__key"),
@@ -58,7 +68,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(0).cast("long").alias("__seq"),
         *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
-        *[F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}") for c in build_cols],
+        F.lit(None).cast(b_struct_type).alias("__b"),
     )
     w = (
         Window.partitionBy("__key")
@@ -68,12 +78,9 @@ def asof_join(
     carried = b.unionByName(p).select(
         "__side",
         *[F.col(f"__p_{c}") for c in probe_cols],
-        *[
-            F.last(f"__b_{c}", ignorenulls=True).over(w).alias(f"__b_{c}")
-            for c in build_cols
-        ],
+        F.last("__b", ignorenulls=True).over(w).alias("__b"),
     )
     return carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
-        *[F.col(f"__b_{c}").alias(c + suffix) for c in build_cols],
+        *[F.col("__b")[c].alias(c + suffix) for c in build_cols],
     )

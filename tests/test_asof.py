@@ -35,6 +35,26 @@ def test_asof_no_key_match(spark):
     assert len(out) == 1 and out[0].v_asof is None
 
 
+def test_asof_null_build_attributes_not_backfilled(spark):
+    # The matched build row has NULLs in some attributes: those NULLs must
+    # survive — NOT be back-filled from an older build row (per-column
+    # carry-forward would fabricate a row mixing attributes of different
+    # build rows).
+    probe = spark.createDataFrame(
+        [(1, "2026-01-01 12:00:00", "e1")], "k long, ts string, tag string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    build = spark.createDataFrame(
+        [(1, "2026-01-01 09:00:00", 100.0, "old"),
+         (1, "2026-01-01 11:00:00", None, "new")],  # matched row, null price
+        "k long, bts string, price double, label string",
+    ).withColumn("bts", F.col("bts").cast("timestamp"))
+    out = asof_join(probe, build, on="k", probe_ts="ts", build_ts="bts").collect()
+    assert len(out) == 1
+    r = out[0]
+    # all attached attributes come from the SAME (matched) build row
+    assert r.label_asof == "new" and r.price_asof is None
+
+
 def test_asof_scales_without_range_explosion(spark):
     # 1 key, 5k builds, 5k probes: the union+window plan is O(n log n); a
     # naive theta-join would be 25M rows. Just assert correctness on a
