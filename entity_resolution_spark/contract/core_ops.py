@@ -120,13 +120,19 @@ def u1_union_align(spark, sf_dir):
     """,
 )
 def a5_jaccard_sets(spark, sf_dir):
-    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
-    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
-    inter = a.intersect(b).count()
-    union = a.union(b).distinct().count()
-    return spark.createDataFrame(
-        [(round(inter / union, 6), inter, union)],
-        "jaccard double, n_intersection long, n_union long",
+    # single plan: full-outer join of the two distinct sets, then one
+    # aggregate — |A∩B| = rows with both sides present, |A∪B| = all rows.
+    # (Round 1 ran two driver-side count() actions = two full scans.)
+    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("ka")).distinct()
+    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("kb")).distinct()
+    j = a.join(b, a.ka == b.kb, "full_outer")
+    return j.agg(
+        F.sum((F.col("ka").isNotNull() & F.col("kb").isNotNull()).cast("long")).alias("__i"),
+        F.count("*").alias("__u"),
+    ).select(
+        F.round(F.col("__i").cast("double") / F.col("__u"), 6).alias("jaccard"),
+        F.col("__i").alias("n_intersection"),
+        F.col("__u").alias("n_union"),
     )
 
 

@@ -26,6 +26,105 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from ..config import MinHashConfig
 
+# out-of-field sentinel value every empty doc's minhash slots carry
+# (functions/minhash.py: real slots are residues mod P32, so < P32)
+_MH_EMPTY_SENTINEL = 4294967291
+
+
+def _capped_block_pairs(
+    exploded: DataFrame,
+    payload_cols: list[str],
+    max_block_size: int = 2000,
+    max_salt_groups: int = 64,
+    drop_limit: int = 100_000,
+    max_pairs_per_block: int = 10_000_000,
+) -> DataFrame:
+    """Skew-safe self-join of an inverted index — the same census +
+    triangular-tile + per-block-budget machinery as the pipeline's
+    candidates.py, shared by every band-keyed dedup operator here.
+
+    ``exploded(bk, id, *payload_cols)`` -> ``(left_id, right_id, l_<p>,
+    r_<p>)`` with left_id < right_id; payload columns ride the join so no
+    join-back to the corpus is needed.
+
+    - blocks of size <= max_block_size: direct per-key self-join;
+    - hot blocks: members salted into g = ceil(size/max_block_size) groups
+      (capped at max_salt_groups) and joined per triangular tile, bounding
+      the largest join partition at ~2·size/g rows;
+    - blocks whose implied pair count exceeds max_pairs_per_block are
+      deterministically hash-thinned 1-in-K (recall knob, same convention
+      as candidates.py);
+    - blocks larger than drop_limit are stop-keys: removed entirely (at
+      corpus scale these are boilerplate/empty-content bands whose members
+      are still found through their other, more selective bands — and the
+      exact-sha path catches identical docs regardless).
+    """
+    w = Window.partitionBy("bk")
+    sized = exploded.withColumn("bs", F.count("*").over(w)).filter(
+        F.col("bs") <= drop_limit
+    )
+
+    small = sized.filter(
+        (F.col("bs") > 1) & (F.col("bs") <= max_block_size)
+    ).drop("bs")
+    a = small.select(
+        "bk",
+        F.col("id").alias("left_id"),
+        *[F.col(c).alias(f"l_{c}") for c in payload_cols],
+    )
+    b = small.hint("shuffle_hash").select(
+        "bk",
+        F.col("id").alias("right_id"),
+        *[F.col(c).alias(f"r_{c}") for c in payload_cols],
+    )
+    small_pairs = (
+        a.join(b, "bk").where(F.col("left_id") < F.col("right_id")).drop("bk")
+    )
+
+    hot = sized.filter(F.col("bs") > max_block_size)
+    g = F.least(
+        F.lit(max_salt_groups),
+        F.ceil(F.col("bs") / max_block_size).cast("int"),
+    )
+    est_pairs = (F.col("bs") * (F.col("bs") - 1) / 2).cast("long")
+    k = F.greatest(F.lit(1), F.ceil(est_pairs / max_pairs_per_block)).cast("long")
+    salted = hot.select(
+        "bk",
+        "id",
+        *payload_cols,
+        g.alias("g"),
+        F.pmod(F.xxhash64(F.col("id")), g).cast("int").alias("salt"),
+        k.alias("__k"),
+    )
+    tiled = (
+        salted.select(
+            "bk", "id", *payload_cols, "salt", "__k",
+            F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("t"),
+        )
+        .select(
+            "bk", "id", *payload_cols, "salt", "__k",
+            F.least("salt", "t").alias("ti"),
+            F.greatest("salt", "t").alias("tj"),
+        )
+        .dropDuplicates(["bk", "id", "ti", "tj"])
+    )
+    ta, tb = tiled.alias("a"), tiled.hint("shuffle_hash").alias("b")
+    hot_pairs = (
+        ta.join(tb, ["bk", "ti", "tj"])
+        .where(F.col("a.id") < F.col("b.id"))
+        # same-salt pairs co-occur in every tile touching their salt: keep
+        # them only in the diagonal tile so each pair is emitted once
+        .where((F.col("a.salt") != F.col("b.salt")) | (F.col("ti") == F.col("tj")))
+        .where(F.pmod(F.xxhash64(F.col("a.id"), F.col("b.id")), F.col("a.__k")) == 0)
+        .select(
+            F.col("a.id").alias("left_id"),
+            F.col("b.id").alias("right_id"),
+            *[F.col(f"a.{c}").alias(f"l_{c}") for c in payload_cols],
+            *[F.col(f"b.{c}").alias(f"r_{c}") for c in payload_cols],
+        )
+    )
+    return small_pairs.unionByName(hot_pairs)
+
 
 # ---------------------------------------------------------------------------
 # 1. Exact dedup (hash groupBy)
@@ -60,10 +159,15 @@ def minhash_lsh_pairs(
     """(left_id, right_id, est_jaccard) for pairs sharing >= 1 LSH band,
     verified with the full signature (est_jaccard >= min_jaccard).
 
-    Scale shape: explode band keys -> self-join per band (the blocked join;
-    band cardinality bounds block size) -> pair dedup -> signature check.
-    Signatures travel with the pair join; at 128 hashes that is 1 KB/row —
-    acceptable, and it avoids a second join back to the corpus.
+    Scale shape: explode band keys -> skew-capped self-join per band
+    (_capped_block_pairs: census + triangular salting + per-block budget +
+    stop-key removal — the same machinery as the pipeline's candidates
+    stage) -> pair dedup -> signature check. Empty documents all carry the
+    sentinel signature and would form ONE quadratic band block; they are
+    excluded here (they only ever match other empties, which the exact-sha
+    path already groups). Signatures travel with the pair join; at 128
+    hashes that is 1 KB/row — acceptable, and it avoids a second join back
+    to the corpus.
     """
     cfg = cfg or MinHashConfig()
 
@@ -79,19 +183,21 @@ def minhash_lsh_pairs(
 
         return batch_band_keys(texts, cfg)
 
+    # whitespace-normalize BEFORE shingling (same convention as the
+    # pipeline's feature stage): whitespace-only docs collapse to "" and
+    # take the sentinel-signature exclusion below instead of forming a
+    # giant exact-dup band block
+    from ..functions.text import norm_content_col
+
+    norm = norm_content_col(F.col(text_col))
     sigs = docs.select(
         F.col(id_col).alias("id"),
-        sig_udf(F.col(text_col)).alias("sig"),
-        bands_udf(F.col(text_col)).alias("bands"),
-    )
-    exploded = sigs.select("id", "sig", F.explode("bands").alias("band_key"))
-    a = exploded.select(F.col("band_key"), F.col("id").alias("left_id"), F.col("sig").alias("l_sig"))
-    b = exploded.select(F.col("band_key"), F.col("id").alias("right_id"), F.col("sig").alias("r_sig"))
-    pairs = (
-        a.join(b, "band_key")
-        .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "l_sig", "r_sig")
-        .dropDuplicates(["left_id", "right_id"])
+        sig_udf(norm).alias("sig"),
+        bands_udf(norm).alias("bands"),
+    ).filter(F.element_at("sig", 1) != F.lit(_MH_EMPTY_SENTINEL))
+    exploded = sigs.select("id", "sig", F.explode("bands").alias("bk"))
+    pairs = _capped_block_pairs(exploded, ["sig"]).dropDuplicates(
+        ["left_id", "right_id"]
     )
     est = F.aggregate(
         F.zip_with("l_sig", "r_sig", lambda x, y: (x == y).cast("int")),
@@ -118,7 +224,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """(left_id, right_id, hamming) for pairs within Hamming distance
     max_hamming, found via 16-bit chunk blocking (pigeonhole: distance
-    <= bands-1 guarantees a shared chunk)."""
+    <= bands-1 guarantees a shared chunk). The chunk self-join runs
+    through _capped_block_pairs (skew-capped, same as the pipeline).
+    Token-less documents all simhash to 0 and would form one quadratic
+    chunk block — excluded (exact-sha already groups identical docs)."""
 
     @pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
@@ -126,7 +235,9 @@ def simhash_pairs(
 
         return batch_simhash64(texts)
 
-    hashed = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    hashed = docs.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
+    ).filter(F.col("sh") != 0)
     width = 64 // bands
     # chunk i = bits [i*width, (i+1)*width): unsigned shift right then mask
     # the low bits — avoids building >int64 mask literals
@@ -140,14 +251,9 @@ def simhash_pairs(
         )
         for i in range(bands)
     ]
-    exploded = hashed.select("id", "sh", F.explode(F.array(*chunks)).alias("chunk"))
-    a = exploded.select("chunk", F.col("id").alias("left_id"), F.col("sh").alias("l_sh"))
-    b = exploded.select("chunk", F.col("id").alias("right_id"), F.col("sh").alias("r_sh"))
-    pairs = (
-        a.join(b, "chunk")
-        .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "l_sh", "r_sh")
-        .dropDuplicates(["left_id", "right_id"])
+    exploded = hashed.select("id", "sh", F.explode(F.array(*chunks)).alias("bk"))
+    pairs = _capped_block_pairs(exploded, ["sh"]).dropDuplicates(
+        ["left_id", "right_id"]
     )
     ham = F.bit_count(F.col("l_sh").bitwiseXOR(F.col("r_sh")))
     return (
@@ -262,16 +368,15 @@ def embedding_cosine_pairs(
         norm.alias("nrm"),
         sketch_udf(F.col(vec_col)).alias("sketches"),
     ).filter(F.col("nrm") > 0)
-    exploded = base.select("id", "v", "nrm", F.explode("sketches").alias("sk"))
-    a = exploded.select("sk", F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln"))
-    b = exploded.select("sk", F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("nrm").alias("rn"))
-    pairs = (
-        a.join(b, "sk")
-        .where(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
+    exploded = base.select("id", "v", "nrm", F.explode("sketches").alias("bk"))
+    # sketch buckets are skew-capped like every other band join here: a
+    # degenerate corpus (e.g. many identical or axis-aligned vectors) can
+    # put a large fraction of rows in one bucket
+    pairs = _capped_block_pairs(exploded, ["v", "nrm"]).dropDuplicates(
+        ["left_id", "right_id"]
     )
-    dot = F.aggregate(F.zip_with("lv", "rv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("ln") * F.col("rn"))
+    dot = F.aggregate(F.zip_with("l_v", "r_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("l_nrm") * F.col("r_nrm"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= min_cosine)

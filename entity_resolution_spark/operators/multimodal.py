@@ -83,20 +83,28 @@ def extract_features(media: DataFrame, fake: bool = True, batch_hint: int = 256)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                vec = decode_media(payload, r["kind"], fake=fake)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
-                        "n_bytes": len(payload),
-                        "features": vec.tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            # column-wise over the Arrow batch (no pandas iterrows): only
+            # the codec call itself is per-payload — that is inherent to
+            # decoding, and the batch shape is what a GPU decoder consumes
+            payloads = [bytes(p) for p in pdf["payload"].to_numpy(dtype=object)]
+            kinds = pdf["kind"].to_numpy(dtype=object)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kinds,
+                    "payload_sha256": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                    "n_bytes": np.fromiter(
+                        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                    ),
+                    "features": [
+                        decode_media(p, k, fake=fake).tolist()
+                        for p, k in zip(payloads, kinds)
+                    ],
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 

@@ -17,8 +17,10 @@ ratio closes the blend bound:
 
     bound = w_c * ub_lev(len_l, len_r) + w_j * 100*jaccard + w_p * 100*jw
 
-Pairs whose *bound* misses the threshold can never match — they are scored
-with ``lev_ratio = 0`` (the value the decision never reads) and skip the
+Pairs whose *bound* misses the threshold (minus the w_c*0.5 rounding slack
+— fuzz_ratio is banker's-rounded and can exceed the unrounded length bound
+by up to half a point) can never match — they are scored with
+``lev_ratio = 0`` (the value the decision never reads) and skip the
 content join entirely.
 
 **Phase 2 (heavy).** Only bound-survivors join the actual contents and run
@@ -119,19 +121,27 @@ def score_pairs(
     )
     # the union below reads p1 through two branches (rejected + survivors);
     # without a materialization boundary each branch would re-run the
-    # phase-1 joins and the JW UDF — persist is that boundary (a StageStore
-    # write plays this role on a cluster)
-    p1 = p1.persist()
+    # phase-1 joins and the JW UDF. localCheckpoint (not persist) is that
+    # boundary: eager, lineage-truncating, and its blocks are released by
+    # the ContextCleaner once the result frame goes out of scope — a bare
+    # persist() leaked executor cache across repeated score_pairs calls.
+    # (A StageStore write plays this role on a cluster.)
+    p1.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    p1 = p1.localCheckpoint(eager=True)
+    # lev_ratio is banker's-rounded to an int, so the true blend can exceed
+    # the unrounded length bound by up to w_content*0.5 — widen the gate by
+    # that slack so "bound misses threshold" really means "can never match"
     bound = cfg.w_content * F.col("ub") + F.col("base_score")
+    reject_below = cfg.similarity_threshold - cfg.w_content * 0.5
 
     rejected = (
-        p1.filter(bound < cfg.similarity_threshold)
+        p1.filter(bound < reject_below)
         .withColumn("lev_ratio", F.lit(0))
         .withColumn("score", F.round("base_score", 6))
         .select(*_OUT_COLS)
     )
 
-    survivors = p1.filter(bound >= cfg.similarity_threshold)
+    survivors = p1.filter(bound >= reject_below)
     content = features.select("file_id", "norm_content")
     lc = content.select(F.col("file_id").alias("left_id"), F.col("norm_content").alias("l_norm"))
     rc = content.select(F.col("file_id").alias("right_id"), F.col("norm_content").alias("r_norm"))

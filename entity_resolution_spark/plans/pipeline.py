@@ -74,7 +74,14 @@ def resolve(
     ensure_py_files(spark)  # pandas UDFs must import this package on workers
 
     if "file_id" not in files.columns:
-        files = files.withColumn("file_id", F.monotonically_increasing_id())
+        # deterministic fallback id: monotonically_increasing_id() is
+        # partition-dependent, which made cluster_id = min(file_id)
+        # nondeterministic across runs/parallelism. A content-address over
+        # the identity columns is stable under any partitioning (64-bit
+        # birthday collisions only matter past ~10^9 files; callers at that
+        # scale should assign their own ids).
+        id_cols = [c for c in ("repo", "path", "commit") if c in files.columns]
+        files = files.withColumn("file_id", F.xxhash64(*[F.col(c) for c in id_cols]))
 
     stage_secs: dict[str, float] = {}
 

@@ -104,4 +104,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Ship the package zip NOW, not lazily: PySpark snapshots the
+    # python-includes list when each UDF object is CREATED, so a UDF built
+    # before addPyFile never sees the zip and its worker dies with
+    # ModuleNotFoundError (observed via the cli path: generate_repo_files'
+    # mapInPandas was created before resolve() shipped the package).
+    ensure_py_files(spark)
     return spark

@@ -53,21 +53,25 @@ def _make_first_seen_fn(state_ttl_ms: int | None):
         emitted, n_dups = state.get if state.exists else (False, 0)
         out_rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("file_id")
-            for _, row in pdf.iterrows():
-                if not emitted:
-                    out_rows.append(
-                        {
-                            "content_sha256": sha,
-                            "file_id": int(row["file_id"]),
-                            "repo": row["repo"],
-                            "path": row["path"],
-                            "n_duplicates_so_far": int(n_dups),
-                        }
-                    )
-                    emitted = True
-                else:
-                    n_dups += 1
+            if len(pdf) == 0:
+                continue
+            # only the min-file_id row can be emitted; everything else in
+            # the batch is a duplicate — count, don't iterate rows
+            if not emitted:
+                first = pdf.loc[pdf["file_id"].idxmin()]
+                out_rows.append(
+                    {
+                        "content_sha256": sha,
+                        "file_id": int(first["file_id"]),
+                        "repo": first["repo"],
+                        "path": first["path"],
+                        "n_duplicates_so_far": int(n_dups),
+                    }
+                )
+                emitted = True
+                n_dups += len(pdf) - 1
+            else:
+                n_dups += len(pdf)
         state.update((emitted, n_dups))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

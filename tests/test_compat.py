@@ -84,13 +84,78 @@ def test_assignment_join_and_concat(dfs):
 
 
 def test_workflow_dag_shape_and_run(dfs):
-    # reference tests/test_workflow.py:199-224: 4 nodes, 3 edges
+    # reference tests/test_workflow.py:199-224: 4 dict-shaped nodes with
+    # the reference's exact names, 3 edges in the reference's exact order
     a, b = dfs
-    wf = ColumnMatchingWorkflow().create_column_matching_graph(a, b)
-    assert len(wf.nodes) == 4
-    assert len(wf.edges) == 3
-    assert ("describe_df1", "compare_columns") in wf.edges
+    wf = ColumnMatchingWorkflow()
+    graph = wf.create_column_matching_graph(a, b)
+    assert len(graph.nodes) == 4
+    names = [n["name"] for n in graph.nodes]
+    assert "Compare columns and find matches" in names[2]
+    assert "Consolidate datasets based on matches" in names[3]
+    for node in graph.nodes:
+        assert callable(node["function"])
+        assert set(node) == {"name", "function", "inputs", "output_key"}
+    assert graph.nodes[0]["inputs"]["columns"] == list(a.columns)
+    assert graph.edges == [
+        ("Describe columns in Dataset 1", "Compare columns and find matches"),
+        ("Describe columns in Dataset 2", "Compare columns and find matches"),
+        ("Compare columns and find matches", "Consolidate datasets based on matches"),
+    ]
+    # workflow object mirrors the graph (round-1 surface kept)
+    assert wf.nodes == graph.nodes and wf.edges == graph.edges
     out, method, meta = wf.run(threshold=40)
     assert method in ("join", "concatenate", "no_matches")
     assert out.count() >= 3
     assert LangGraphWorkflow is ColumnMatchingWorkflow  # drop-in alias
+
+
+def test_workflow_constructor_validation():
+    # reference workflow.py:109-116
+    with pytest.raises(ValueError):
+        ColumnMatchingWorkflow(column_finder=None)
+    with pytest.raises(TypeError):
+        ColumnMatchingWorkflow(column_finder="not a finder")
+    with pytest.raises(ValueError):
+        ColumnMatchingWorkflow(match_threshold=1.5)
+
+
+def test_describe_columns_reference_signature(dfs):
+    # reference entity_resolution.py:117 — describe_columns(df, columns)
+    a, _ = dfs
+    finder = SimilarColumnFinder()
+    subset = finder.describe_columns(a, ["cust_id", "name"])
+    assert set(subset) == {"cust_id", "name"}
+    with pytest.raises(TypeError):
+        finder.describe_columns(a, "cust_id")
+    with pytest.raises(ValueError):
+        finder.describe_columns(a, [])
+    with pytest.raises(ValueError):
+        finder.describe_columns(a, ["ghost_column"])
+
+
+def test_entity_assignment_reference_init(dfs):
+    # reference entity_assignment.py:329 — __init__(match_threshold=0.7, ...)
+    a, b = dfs
+    assert EntityAssignment().match_threshold == 0.7
+    with pytest.raises(TypeError):
+        EntityAssignment(match_threshold="high")
+    with pytest.raises(ValueError):
+        EntityAssignment(match_threshold=2.0)
+    with pytest.raises(TypeError):
+        EntityAssignment(semantic_consolidation="nope")
+    # instance default drives the decision when match_threshold=None
+    matches = [("cust_id", "customer_number", 95.0), ("name", "full_name", 90.0),
+               ("order_date", "transaction_date", 88.0)]
+    _, method_low, _ = EntityAssignment(match_threshold=0.5).consolidate_datasets_based_on_matches(a, b, matches)
+    _, method_high, _ = EntityAssignment(match_threshold=0.99).consolidate_datasets_based_on_matches(a, b, matches)
+    assert method_low == "join" and method_high == "concatenate"
+
+
+def test_semantic_consolidation_reference_default():
+    # reference entity_assignment.py:35 — min_frequency_threshold=0.1
+    assert SemanticConsolidation().min_frequency_threshold == 0.1
+    with pytest.raises(TypeError):
+        SemanticConsolidation(min_frequency_threshold="x")
+    with pytest.raises(ValueError):
+        SemanticConsolidation(min_frequency_threshold=-0.2)

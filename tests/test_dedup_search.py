@@ -93,6 +93,67 @@ def test_embedding_cosine_pairs(spark):
     assert (0, 3) not in pairs
 
 
+def test_empty_doc_flood_adds_no_minhash_pairs(spark, corpus):
+    """5k empty/whitespace docs all share the sentinel signature: without
+    the sentinel exclusion they'd form ONE quadratic band block (~12.5M
+    pairs). They must contribute zero candidate pairs."""
+    flood = spark.range(5000).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("")).otherwise(F.lit("  \n\t ")).alias("text"),
+    )
+    base_pairs = {(r.left_id, r.right_id) for r in minhash_lsh_pairs(corpus, min_jaccard=0.5).collect()}
+    flooded_pairs = {
+        (r.left_id, r.right_id)
+        for r in minhash_lsh_pairs(corpus.unionByName(flood), min_jaccard=0.5).collect()
+    }
+    assert flooded_pairs == base_pairs
+
+
+def test_empty_doc_flood_adds_no_simhash_pairs(spark, corpus):
+    flood = spark.range(5000).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("")).otherwise(F.lit(" .,;! ")).alias("text"),
+    )
+    base_pairs = {(r.left_id, r.right_id) for r in simhash_pairs(corpus).collect()}
+    flooded_pairs = {
+        (r.left_id, r.right_id)
+        for r in simhash_pairs(corpus.unionByName(flood)).collect()
+    }
+    assert flooded_pairs == base_pairs
+
+
+def test_capped_block_pairs_tiling_is_lossless(spark):
+    """The triangular tiling path (blocks > max_block_size) must emit every
+    unordered pair exactly once, with payloads attached from the right rows."""
+    from entity_resolution_spark.operators.dedup import _capped_block_pairs
+
+    n = 90
+    exploded = spark.range(n).select(
+        F.lit("hot").alias("bk"), F.col("id"), (F.col("id") * 10).alias("pay")
+    )
+    pairs = _capped_block_pairs(exploded, ["pay"], max_block_size=20).collect()
+    assert len(pairs) == n * (n - 1) // 2
+    seen = {(r.left_id, r.right_id) for r in pairs}
+    assert len(seen) == len(pairs)  # no duplicate emissions
+    for r in pairs[:50]:
+        assert r.l_pay == r.left_id * 10 and r.r_pay == r.right_id * 10
+
+
+def test_capped_block_pairs_budget_thins_and_drops(spark):
+    from entity_resolution_spark.operators.dedup import _capped_block_pairs
+
+    n = 80
+    exploded = spark.range(n).select(F.lit("hot").alias("bk"), F.col("id"))
+    # budget of 500 << C(80,2)=3160: hash-thinning keeps roughly 1/K
+    thinned = _capped_block_pairs(
+        exploded, [], max_block_size=20, max_pairs_per_block=500
+    ).count()
+    assert 0 < thinned < n * (n - 1) // 2
+    # stop-key removal: block above drop_limit vanishes entirely
+    dropped = _capped_block_pairs(exploded, [], max_block_size=20, drop_limit=50).count()
+    assert dropped == 0
+
+
 def test_brute_force_topk_real_embeddings(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.select("embedding").first()[0]

@@ -98,3 +98,19 @@ def test_cluster_determinism(spark, result):
     a = result.clusters.orderBy("file_id").collect()
     b = again.clusters.orderBy("file_id").collect()
     assert a == b
+
+
+def test_missing_file_id_fallback_is_deterministic(spark):
+    """A frame WITHOUT file_id gets a deterministic content-address id:
+    resolving twice under different partitioning must give identical
+    clusters (round-1 verdict: monotonically_increasing_id made
+    cluster_id = min(file_id) partition-dependent)."""
+    base = generate_repo_files(spark, 40).drop("file_id")
+    r1 = resolve(base.repartition(3), PipelineConfig())
+    r2 = resolve(base.repartition(17), PipelineConfig())
+    key = ["repo", "path", "commit"]
+    a = {tuple(r[k] for k in key): r.cluster_id
+         for r in r1.clusters.join(r1.features.select("file_id", *key), "file_id").collect()}
+    b = {tuple(r[k] for k in key): r.cluster_id
+         for r in r2.clusters.join(r2.features.select("file_id", *key), "file_id").collect()}
+    assert a == b and len(a) > 0
