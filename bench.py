@@ -50,6 +50,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     sf = _sf_of(sf_dir)
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
+    with open("/proc/loadavg") as fh:
+        extras["loadavg_at_start"] = float(fh.read().split()[0])
     t_all = time.time()
 
     # --- headline 1: full record-linkage pipeline on the documents corpus
@@ -96,6 +98,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         queries[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_all, 3)
+    with open("/proc/loadavg") as fh:
+        extras["loadavg_at_end"] = float(fh.read().split()[0])
     return {
         "metric": "bench_total_sec",
         "value": total,

@@ -115,11 +115,23 @@ def resolve(
 
     keyed = with_block_keys(reps, cfg)
     # sha keys are singletons among representatives by construction — drop
-    # them before the explode so the blocking index stays lean
-    blocks = exploded_blocks(keyed).filter(~F.col("block_key").startswith("sha:"))
+    # them before the explode so the blocking index stays lean.
+    # Persisted: the blocking index is read by candidate generation AND the
+    # block-census metrics/dropped-keys reports — without the cache each
+    # reader re-runs the MinHash band UDF over the whole corpus (measured
+    # as most of the metrics stage's cost). Fill happens inside the
+    # candidates stage; the frame is only (block_key, file_id).
+    blocks = exploded_blocks(keyed).filter(
+        ~F.col("block_key").startswith("sha:")
+    ).persist()
 
     pairs = _force("candidates", _stage("pairs", lambda: candidate_pairs(blocks, cfg)))
     scored = _force("scoring", _stage("scored", lambda: score_pairs(pairs, reps, cfg)))
+    # the scored union is materialized (persisted count or StageStore
+    # write) — phase-1's internal cache is no longer needed
+    from ..operators.scoring import release_phase1
+
+    release_phase1()
 
     near_edges = matched_edges(scored, cfg)
     all_edges = near_edges.select(
