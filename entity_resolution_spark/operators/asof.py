@@ -25,6 +25,19 @@ Tie rules: a build row at exactly the probe timestamp matches (<=); among
 build rows with equal (key, ts) the last under ``__seq`` order (input
 order of the build frame's sort below) wins deterministically because the
 window orders by (ts, side, seq).
+
+Hot keys: the default single window partitions by the bare key, so ONE
+key with a billion rows is one partition — a straggler at scale. Pass
+``chunk_seconds`` to switch to the segmented-scan plan: rows are bucketed
+by time chunk, the same carry-forward window runs per (key, chunk) —
+partition size bounded by chunk density, not key cardinality — and the
+cross-chunk carry is resolved on the tiny one-row-per-(key, chunk) frame
+(last build row of each earlier chunk, carried with a second window whose
+per-key row count is the number of chunks, not rows). The final value per
+probe row is coalesce(within-chunk carry, previous-chunk carry). Output
+is identical to the single-window plan (asserted in tests/test_asof.py)
+except for NULL-timestamp rows, which the chunked plan groups in a
+sentinel first chunk (same sort-first semantics).
 """
 
 from __future__ import annotations
@@ -41,9 +54,12 @@ def asof_join(
     build_ts: str,
     build_cols: list[str] | None = None,
     suffix: str = "_asof",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Return probe rows + as-of matched build columns (null when no build
-    row precedes the probe row)."""
+    row precedes the probe row). ``chunk_seconds`` enables the hot-key-safe
+    segmented plan (see module docstring); pick it so one key-chunk holds a
+    bounded number of rows (e.g. 86_400 for per-day chunks)."""
     from pyspark.sql import types as T
 
     build_cols = build_cols or [c for c in build.columns if c not in (on, build_ts)]
@@ -70,16 +86,59 @@ def asof_join(
         *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
         F.lit(None).cast(b_struct_type).alias("__b"),
     )
-    w = (
-        Window.partitionBy("__key")
-        .orderBy("__ts", "__side", "__seq")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = b.unionByName(p).select(
-        "__side",
-        *[F.col(f"__p_{c}") for c in probe_cols],
-        F.last("__b", ignorenulls=True).over(w).alias("__b"),
-    )
+    u = b.unionByName(p)
+
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy("__ts", "__side", "__seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.select(
+            "__side",
+            *[F.col(f"__p_{c}") for c in probe_cols],
+            F.last("__b", ignorenulls=True).over(w).alias("__b"),
+        )
+    else:
+        # segmented scan: null ts -> sentinel first chunk (null sorts first
+        # in the single-window plan; the sentinel preserves that, and keeps
+        # every join key non-null)
+        chunk = F.coalesce(
+            F.floor(F.col("__ts").cast("long") / chunk_seconds),
+            F.lit(-(1 << 62)),
+        )
+        uc = u.withColumn("__chunk", chunk)
+        w_local = (
+            Window.partitionBy("__key", "__chunk")
+            .orderBy("__ts", "__side", "__seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = uc.withColumn("__local", F.last("__b", ignorenulls=True).over(w_local))
+        # last build row of each chunk (one row per (key, chunk) with builds)
+        chunk_last = (
+            uc.filter(F.col("__side") == 0)
+            .groupBy("__key", "__chunk")
+            .agg(F.max_by("__b", F.struct("__ts", "__seq")).alias("__final"))
+        )
+        # carry across chunks on the tiny per-(key, chunk) frame; include
+        # probe-only chunks via the distinct chunk set
+        all_chunks = uc.select("__key", "__chunk").distinct()
+        w_carry = (
+            Window.partitionBy("__key")
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            all_chunks.join(chunk_last, ["__key", "__chunk"], "left")
+            .withColumn("__carry", F.last("__final", ignorenulls=True).over(w_carry))
+            .select("__key", "__chunk", "__carry")
+        )
+        carried = local.join(carry, ["__key", "__chunk"]).select(
+            "__side",
+            *[F.col(f"__p_{c}") for c in probe_cols],
+            F.coalesce("__local", "__carry").alias("__b"),
+        )
+
     return carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
         *[F.col("__b")[c].alias(c + suffix) for c in build_cols],

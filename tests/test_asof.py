@@ -55,6 +55,34 @@ def test_asof_null_build_attributes_not_backfilled(spark):
     assert r.label_asof == "new" and r.price_asof is None
 
 
+def test_asof_chunked_equals_single_window(spark):
+    """The hot-key-safe segmented plan must produce exactly the single
+    window plan's output, across chunk widths that split/straddle the
+    data, including keys with no builds, probes before any build, and
+    null build attributes."""
+    import random
+
+    rng = random.Random(7)
+    probe_rows, build_rows = [], []
+    for k in range(6):
+        for i in range(60):
+            probe_rows.append((k, f"2026-01-{rng.randint(1,27):02d} {rng.randint(0,23):02d}:{rng.randint(0,59):02d}:00", k * 1000 + i))
+        if k != 3:  # key 3: probes only
+            for i in range(25):
+                price = None if i % 5 == 0 else float(i)
+                build_rows.append((k, f"2026-01-{rng.randint(1,27):02d} {rng.randint(0,23):02d}:00:00", price, f"b{k}-{i}"))
+    probe = spark.createDataFrame(probe_rows, "k long, ts string, pid long").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    build = spark.createDataFrame(build_rows, "k long, bts string, price double, label string").withColumn(
+        "bts", F.col("bts").cast("timestamp"))
+    base = sorted(map(str, asof_join(probe, build, on="k", probe_ts="ts", build_ts="bts").collect()))
+    for chunk in (3600, 86_400, 7 * 86_400, 10**9):
+        got = sorted(map(str, asof_join(
+            probe, build, on="k", probe_ts="ts", build_ts="bts", chunk_seconds=chunk
+        ).collect()))
+        assert got == base, f"chunk_seconds={chunk}"
+
+
 def test_asof_scales_without_range_explosion(spark):
     # 1 key, 5k builds, 5k probes: the union+window plan is O(n log n); a
     # naive theta-join would be 25M rows. Just assert correctness on a
