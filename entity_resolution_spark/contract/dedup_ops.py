@@ -61,6 +61,33 @@ def sim_search_topk(spark, sf_dir):
     return brute_force_topk(emb, list(q), k=10)
 
 
+# --- IVF ANN with every cell probed == exact top-k -------------------------
+# The IVF machinery (driver k-means, Arrow cell assignment, probe-cell
+# pruning) is fully exercised, and with n_probe = n_cells its result is
+# EXACTLY brute force — which gives the operator a DuckDB oracle instead
+# of a rows-only check (partial-probe recall is covered in pytest).
+@query(
+    "sim_search_ivf_full_probe",
+    """
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+             AS cosine
+    FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_search_ivf_full_probe(spark, sf_dir):
+    from ..operators.similarity_search import assign_cells, ivf_topk, train_centroids
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cent = train_centroids(emb, n_cells=8, iters=5)
+    cells = assign_cells(emb, cent)
+    return ivf_topk(cells, cent, list(q), k=10, n_probe=len(cent))
+
+
 # --- J: semi / anti joins (engine's resume path uses left_anti) ------------
 @query(
     "j_semi_join",

@@ -54,9 +54,36 @@ def token_count_bpe(spark, sf_dir):
     return d.select("doc_id", bpe_token_count_col(F.col("text")).cast("long").alias("n_bpe_tokens"))
 
 
-# --- language-ID heuristic (no SQL oracle: argmax-over-marker-sets; driver
-# --- records the rows-only check) ------------------------------------------
-@query("lang_id_heuristic")
+# --- language-ID heuristic -------------------------------------------------
+# The argmax-over-marker-sets IS SQL-expressible: distinct word list,
+# per-language marker intersections, first-in-sorted-order argmax (exactly
+# functions/text.py:detect_language's strict-greater iteration over the
+# sorted language codes). Upgraded from rows-only to oracle-checked.
+@query(
+    "lang_id_heuristic",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w
+      FROM documents),
+    s AS (
+      SELECT lang,
+        len(list_intersect(w, ['der','die','das','und','ist','nicht','ein','mit','sich','auf'])) AS de,
+        len(list_intersect(w, ['the','and','of','to','in','is','that','for','with','was'])) AS en,
+        len(list_intersect(w, ['el','la','los','de','que','y','en','un','es','por'])) AS es,
+        len(list_intersect(w, ['le','la','les','et','est','pas','une','des','que','pour'])) AS fr
+      FROM t),
+    d AS (
+      SELECT lang, CASE
+        WHEN greatest(de, en, es, fr) = 0 THEN 'unknown'
+        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+        WHEN en >= es AND en >= fr THEN 'en'
+        WHEN es >= fr THEN 'es'
+        ELSE 'fr' END AS detected
+      FROM s)
+    SELECT lang, detected, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
+    """,
+)
 def lang_id_heuristic(spark, sf_dir):
     from pyspark.sql import types as T
     from pyspark.sql.pandas.functions import pandas_udf
