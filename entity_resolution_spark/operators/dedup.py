@@ -171,17 +171,26 @@ def minhash_lsh_pairs(
     """
     cfg = cfg or MinHashConfig()
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        from ..functions.minhash import batch_signatures
+    # ONE UDF computes the signature and folds its band keys (separate
+    # sig/band UDFs each recomputed the signature — 2x the dominant kernel)
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("sig", T.ArrayType(T.LongType())),
+                T.StructField("bands", T.ArrayType(T.StringType())),
+            ]
+        )
+    )
+    def sketch_udf(texts: pd.Series) -> pd.DataFrame:
+        from ..functions.minhash import band_keys_from_signature, hash_params, minhash_signature
 
-        return batch_signatures(texts, cfg)
-
-    @pandas_udf(T.ArrayType(T.StringType()))
-    def bands_udf(texts: pd.Series) -> pd.Series:
-        from ..functions.minhash import batch_band_keys
-
-        return batch_band_keys(texts, cfg)
+        params = hash_params(cfg)
+        sigs, bands = [], []
+        for t in texts.to_numpy(dtype=object):
+            s = minhash_signature(t, cfg, params)
+            sigs.append([int(v) for v in s])
+            bands.append(band_keys_from_signature(s, cfg))
+        return pd.DataFrame({"sig": sigs, "bands": bands})
 
     # whitespace-normalize BEFORE shingling (same convention as the
     # pipeline's feature stage): whitespace-only docs collapse to "" and
@@ -190,11 +199,18 @@ def minhash_lsh_pairs(
     from ..functions.text import norm_content_col
 
     norm = norm_content_col(F.col(text_col))
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        sig_udf(norm).alias("sig"),
-        bands_udf(norm).alias("bands"),
-    ).filter(F.element_at("sig", 1) != F.lit(_MH_EMPTY_SENTINEL))
+    sigs = (
+        docs.select(F.col(id_col).alias("id"), sketch_udf(norm).alias("sk"))
+        .select("id", F.col("sk.sig").alias("sig"), F.col("sk.bands").alias("bands"))
+        .filter(F.element_at("sig", 1) != F.lit(_MH_EMPTY_SENTINEL))
+        # materialize ONCE: the capped self-join reads this frame through
+        # several branches (census window, small/hot paths, both join
+        # sides) and each would re-run the sketch kernel — the single most
+        # expensive UDF here — without a boundary. Per-doc sketches are
+        # the cheap thing to store; pairs are the expensive thing to
+        # recompute. (A StageStore write plays this role on a cluster.)
+        .localCheckpoint(eager=True)
+    )
     exploded = sigs.select("id", "sig", F.explode("bands").alias("bk"))
     pairs = _capped_block_pairs(exploded, ["sig"]).dropDuplicates(
         ["left_id", "right_id"]
@@ -235,9 +251,13 @@ def simhash_pairs(
 
         return batch_simhash64(texts)
 
-    hashed = docs.select(
-        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
-    ).filter(F.col("sh") != 0)
+    hashed = (
+        docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+        .filter(F.col("sh") != 0)
+        # one row per doc, 16 bytes — materialize so the capped join's
+        # branches don't re-run the kernel (see minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
+    )
     width = 64 // bands
     # chunk i = bits [i*width, (i+1)*width): unsigned shift right then mask
     # the low bits — avoids building >int64 mask literals
@@ -291,7 +311,12 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
         )
     )
-    d = d.select("id", grams.alias("grams")).withColumn("n_grams", F.size("grams"))
+    # materialize the per-doc gram sets once: tokenize + n-gram build +
+    # array_distinct is the expensive lineage here and the inverted-index
+    # join below reads it through the doc-freq window and both join sides
+    d = d.select("id", grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    ).localCheckpoint(eager=True)
     postings = d.select("id", "n_grams", F.explode("grams").alias("gram"))
     df_w = Window.partitionBy("gram")
     postings = postings.withColumn("doc_freq", F.count("*").over(df_w)).filter(
@@ -362,12 +387,17 @@ def embedding_cosine_pairs(
         return pd.Series(out)
 
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm.alias("nrm"),
-        sketch_udf(F.col(vec_col)).alias("sketches"),
-    ).filter(F.col("nrm") > 0)
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm.alias("nrm"),
+            sketch_udf(F.col(vec_col)).alias("sketches"),
+        )
+        .filter(F.col("nrm") > 0)
+        # per-vector sketches materialized once (see minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
+    )
     exploded = base.select("id", "v", "nrm", F.explode("sketches").alias("bk"))
     # sketch buckets are skew-capped like every other band join here: a
     # degenerate corpus (e.g. many identical or axis-aligned vectors) can
