@@ -40,6 +40,9 @@ class MinHashConfig:
     shingle_k: int = 5  # character-shingle width
     seed: int = 42
     mersenne_prime: int = (1 << 61) - 1
+    # one-permutation kernel (Li/Owen/Zhang '12 + densification): O(shingles)
+    # instead of O(shingles x num_hashes); False = classic k-hash family
+    one_permutation: bool = True
 
     @property
     def rows_per_band(self) -> int:
