@@ -133,8 +133,9 @@ def _scaling_child(cpus: int, n_groups: int) -> dict:
         "res = resolve(files, PipelineConfig())\n"
         "n = res.scored.count(); res.clusters.count()\n"
         "dt = time.time() - t0\n"
+        "stages = {r.stage: r.value for r in res.metrics.filter(\"metric = 'seconds'\").collect()}\n"
         "print(json.dumps({'cpus': " + str(cpus) + ", 'sec': dt, 'pairs': n,"
-        " 'pairs_per_sec': n / dt}))\n"
+        " 'pairs_per_sec': n / dt, 'stages': stages}))\n"
     )
     env = dict(os.environ)
     out = subprocess.run(
@@ -142,6 +143,45 @@ def _scaling_child(cpus: int, n_groups: int) -> dict:
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def _burn(n: int) -> int:
+    """Pure compute-bound kernel (cache-resident, no I/O, no Spark)."""
+    import numpy as np
+
+    a = np.arange(8192, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for _ in range(n):
+            a = a * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+            a ^= a >> np.uint64(13)
+    return int(a[0])
+
+
+def host_parallel_ceiling(n_lo: int, n_hi: int, total_units: int = 320_000) -> dict:
+    """Control experiment: the HOST's own parallel-scaling ceiling.
+
+    Runs the same fixed amount of embarrassingly-parallel pure-CPU work
+    under multiprocessing at n_lo and n_hi workers — no Spark, no JVM, no
+    shuffle. On this sandbox's VM the hypervisor throttles multi-core
+    bursts (steal time rises with worker count), so even perfect parallel
+    code cannot reach n_hi/n_lo speedup; the measured control speedup is
+    the ceiling any engine number must be read against.
+    """
+    import multiprocessing as mp
+
+    def run(workers: int) -> float:
+        t0 = time.time()
+        with mp.Pool(workers) as pool:
+            pool.map(_burn, [total_units // workers] * workers)
+        return time.time() - t0
+
+    t_lo, t_hi = run(n_lo), run(n_hi)
+    return {
+        "t_lo": round(t_lo, 2),
+        "t_hi": round(t_hi, 2),
+        "speedup": round(t_lo / t_hi, 3),
+        "ceiling_efficiency": round(t_lo / t_hi / (n_hi / n_lo), 3),
+    }
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -170,6 +210,7 @@ def run_scaling(sf_dir: str) -> dict:
     hi = min(samples[n_hi], key=lambda r: r["sec"])
     speedup = lo["sec"] / hi["sec"]
     efficiency = speedup / (n_hi / n_lo)
+    control = host_parallel_ceiling(n_lo, n_hi)
     return {
         "n_groups": n_groups,
         "n_cores": [n_lo, n_hi],
@@ -178,6 +219,13 @@ def run_scaling(sf_dir: str) -> dict:
         "all_samples": samples,
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
+        # the host's own ceiling for the same core ratio (pure-CPU
+        # multiprocessing control, no Spark) and the engine's efficiency
+        # measured against what the host can actually deliver
+        "host_control": control,
+        "efficiency_vs_host": round(speedup / control["speedup"], 3)
+        if control["speedup"] > 0
+        else None,
     }
 
 

@@ -44,7 +44,7 @@ def __getattr__(name):  # lazy: avoid importing pyspark plan modules eagerly
 
         return resolve
     if name in ("SimilarColumnFinder", "SemanticConsolidation", "EntityAssignment",
-                "LangGraphWorkflow", "ColumnMatchingWorkflow"):
+                "LangGraphWorkflow", "ColumnMatchingWorkflow", "NodeGraph"):
         from . import compat
 
         return getattr(compat, name)

@@ -167,8 +167,12 @@ def score_pairs(
     # partition) but huge in CPU (the LCS DP is the single most expensive
     # kernel in the engine) — without this spread the DP runs serially on
     # one core regardless of cluster size. Partition count follows
-    # parallelism, not data size, because cost here is per-ROW, not per-byte.
-    heavy = heavy.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 2)
+    # parallelism, not data size, because cost here is per-ROW, not
+    # per-byte; 8x over-decomposition keeps tasks small because per-pair
+    # cost varies ~quadratically with content length — at 2x, one
+    # long-content partition was a straggler that cost ~40% wall-clock on
+    # the scaling bench (bimodal 104 s vs 170 s at 8 cores).
+    heavy = heavy.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 8)
     scored2 = (
         heavy.withColumn("lev_ratio", _lev_udf(F.col("l_norm"), F.col("r_norm")))
         .withColumn(
