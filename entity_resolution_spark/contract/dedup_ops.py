@@ -120,8 +120,42 @@ def j_anti_join(spark, sf_dir):
     )
 
 
-# --- non-SQL-expressible (rows-only checks) --------------------------------
-@query("dedup_minhash_lsh")
+# --- seeded-kernel operators, oracle-checked via exact SQL replicas --------
+# Round 1 gave these rows-only checks ("seeded hash families aren't
+# SQL-expressible") — they are: contract/sql_kernels.py replicates every
+# kernel bit-for-bit in DuckDB (UHUGEINT wraparound arithmetic, list
+# comprehensions), so the driver now hash-compares real values.
+from . import sql_kernels as _sql
+
+
+@query("minhash_signatures", _sql.minhash_signatures_sql())
+def minhash_signatures(spark, sf_dir):
+    """The seeded one-permutation MinHash signature itself, slot-exploded —
+    oracle-checks the core kernel (shingle rolling hash, splitmix64, bin
+    mins, circular densification, 63-bit mask) value-for-value."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ..config import MinHashConfig
+    from ..functions.text import norm_content_col
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    cfg = MinHashConfig()
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.minhash import batch_signatures
+
+        return batch_signatures(texts, cfg)
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(sig_udf(norm_content_col(F.col("text")))).alias("slot", "value")
+    ).select("doc_id", F.col("slot").cast("long").alias("slot"), "value")
+
+
+@query("dedup_minhash_lsh", _sql.minhash_lsh_pairs_sql(min_jaccard=0.6))
 def dedup_minhash_lsh(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
     from ..session import ensure_py_files
@@ -130,7 +164,30 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.6)
 
 
-@query("dedup_simhash")
+@query("simhash_values", _sql.simhash_values_sql())
+def simhash_values(spark, sf_dir):
+    """The 64-bit SimHash value per document — oracle-checks the token
+    hashing (24-byte LE packing + multiply-xor + splitmix64) and the
+    strict-majority bit vote exactly."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+
+    @pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.text import batch_simhash64
+
+        return batch_simhash64(texts)
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    )
+
+
+@query("dedup_simhash", _sql.simhash_pairs_sql(max_hamming=3))
 def dedup_simhash(spark, sf_dir):
     from ..operators.dedup import simhash_pairs
     from ..session import ensure_py_files
@@ -173,12 +230,12 @@ def pipeline_clusters(spark, sf_dir):
     )
 
 
-@query("doc_fingerprints")
+@query("doc_fingerprints", _sql.fingerprints_sql())
 def doc_fingerprints(spark, sf_dir):
-    """Winnowing fingerprints (Schleimer et al.) per document — seeded
-    rolling-hash family, rows-only check. Output is exploded to scalar rows
-    (doc_id, pos, fingerprint): the driver's canonicalizer sorts/hashes
-    cell values and cannot handle array cells (round-1 hard error)."""
+    """Winnowing fingerprints (Schleimer et al.) per document, exploded to
+    scalar rows (doc_id, pos, fingerprint) — array cells broke the driver
+    canonicalizer in round 1, and the rolling-hash kernel now has an exact
+    SQL replica (contract/sql_kernels.py) so the row is oracle-checked."""
     from pyspark.sql import types as T
     from pyspark.sql.pandas.functions import pandas_udf
 
