@@ -15,10 +15,9 @@ from ..queries import _t, query
 
 
 # --- exact n-gram Jaccard pairs, DuckDB-checkable --------------------------
-@query(
-    "dedup_ngram_jaccard",
-    """
-    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+# (shared by the cc_clusters_ngram oracle below)
+_NGRAM_PAIR_CTES = """
+    t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
                FROM documents),
     g AS (SELECT doc_id,
                  list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -29,6 +28,13 @@ from ..queries import _t, query
                  count(*) AS c
           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
     SELECT l AS left_id, r AS right_id, round(c * 1.0 / (ln + rn - c), 6) AS jaccard
     FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.5
     """,
@@ -196,7 +202,10 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@query("dedup_embedding_cosine")
+@query(
+    "dedup_embedding_cosine",
+    _sql.embedding_lsh_pairs_sql(min_cosine=0.4, n_planes=4, n_tables=8),
+)
 def dedup_embedding_cosine(spark, sf_dir):
     from ..operators.dedup import embedding_cosine_pairs
     from ..session import ensure_py_files
@@ -209,6 +218,44 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(
         _t(spark, sf_dir, "embeddings"), min_cosine=0.4, n_planes=4, n_tables=8
     )
+
+
+# --- connected components, oracle-checked via recursive CTE ----------------
+# The iterative large-star/small-star fixpoint (operators/clustering.py) is
+# the engine's core graph operator; over a SQL-expressible edge set its
+# RESULT is SQL-expressible even though the algorithm isn't: transitive
+# closure by WITH RECURSIVE, component label = min reachable doc_id.
+@query(
+    "cc_clusters_ngram",
+    f"""
+    WITH RECURSIVE
+    {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT l AS a, r AS b FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.5
+    ),
+    dir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM dir
+      UNION
+      SELECT r.a, d.b FROM reach r JOIN dir d ON r.b = d.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def cc_clusters_ngram(spark, sf_dir):
+    """connected_components over the exact n-gram Jaccard edge set —
+    every node in an edge labeled with its component-min doc_id."""
+    from ..operators.clustering import connected_components
+
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=1_000_000_000)
+    comp = connected_components(
+        edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    )
+    return comp.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
 @query("pipeline_clusters")

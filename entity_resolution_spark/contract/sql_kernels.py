@@ -239,6 +239,65 @@ FROM __cand WHERE bit_count(xor(ua, ub)) <= {max_hamming}
 """
 
 
+def embedding_lsh_pairs_sql(
+    min_cosine: float,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Full oracle for embedding_cosine_pairs: the seeded random
+    hyperplanes are materialized as SQL literals (repr round-trips float64
+    exactly), sign-sketch buckets are rebuilt per table, and candidates
+    sharing a bucket are verified with double-precision cosine. Sign
+    flips from summation-order differences (numpy BLAS vs sequential
+    list_sum) would need |dot| < ~1e-13 — never observed; the kernel
+    equivalence test pins it on the real corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim)).astype("float64")
+    rows = ",\n    ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    dot_terms = f"list_sum([pl.p[i] * e.v[i] FOR i IN range(1, {dim} + 1)])"
+    return f"""
+WITH __planes(tbl, plane_idx, p) AS (VALUES
+    {rows}
+),
+__e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum([x * x FOR x IN embedding::DOUBLE[]])) AS nrm
+  FROM embeddings
+),
+__bits AS (
+  SELECT e.vec_id, pl.tbl, pl.plane_idx,
+         CASE WHEN {dot_terms} >= 0 THEN '1' ELSE '0' END AS b
+  FROM __e e, __planes pl
+  WHERE e.nrm > 0
+),
+__keys AS (
+  SELECT vec_id, tbl, string_agg(b, '' ORDER BY plane_idx) AS bk
+  FROM __bits GROUP BY vec_id, tbl
+),
+__cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM __keys a JOIN __keys b ON a.tbl = b.tbl AND a.bk = b.bk
+  WHERE a.vec_id < b.vec_id
+),
+__scored AS (
+  SELECT c.left_id, c.right_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM __cand c
+  JOIN __e ea ON ea.vec_id = c.left_id
+  JOIN __e eb ON eb.vec_id = c.right_id
+)
+SELECT left_id, right_id, cosine FROM __scored WHERE cosine >= {min_cosine}
+"""
+
+
 def fingerprints_sql(k: int = 8, window: int = 16) -> str:
     """Oracle for winnowing fingerprints: (doc_id, pos, fingerprint) —
     positional k-gram rolling hashes, window-min, consecutive dedup.

@@ -386,11 +386,14 @@ def embedding_cosine_pairs(
             out.append(keys)
         return pd.Series(out)
 
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    # all math in double: float32 partial sums drift vs a double-precision
+    # oracle in the 4th-6th decimal (same convention as similarity_search)
+    vec_d = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda a, x: a + x * x))
     base = (
         emb.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
+            vec_d.alias("v"),
             norm.alias("nrm"),
             sketch_udf(F.col(vec_col)).alias("sketches"),
         )
