@@ -22,3 +22,35 @@ def windowed_event_counts_q(spark, sf_dir):
     from ..streaming.windows import windowed_event_counts
 
     return windowed_event_counts(_t(spark, sf_dir, "events"), window="1 hour")
+
+
+# --- gap-based sessionization (operators/sessions.py) ----------------------
+# The batch twin of the stateful streaming sessionizer; per-user sessions
+# split at >30-min inactivity gaps, summarized one row per session.
+@query(
+    "sessionize_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                        OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM o
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_seconds
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events_q(spark, sf_dir):
+    from ..operators.sessions import session_summary
+
+    return session_summary(_t(spark, sf_dir, "events"), gap_seconds=1800)

@@ -269,3 +269,72 @@ def o5_longest_per_lang(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("lang", F.col("source").alias("longest_source"))
     )
+
+
+# --- Gopher-style repetition stats (functions/text.py) ---------------------
+# Rae et al. 2021 repetition filters as pure column expressions; the SQL
+# oracle replicates every count with list comprehensions.
+@query(
+    "doc_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS nd,
+             [array_to_string(w[i:i+1], ' ') FOR i IN range(1, greatest(len(w) - 1, 0) + 1)] AS bg,
+             list_sum([length(x) FOR x IN w]) AS total_len
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, n,
+        round(CASE WHEN n > 0 THEN (n - nd) * 1.0 / n ELSE 0.0 END, 6) AS frac_dup_words,
+        round(CASE WHEN n > 0 THEN
+          list_max([len(list_filter(w, x -> x = ww)) FOR ww IN w]) * 1.0 / n
+          ELSE 0.0 END, 6) AS top_word_share,
+        round(CASE WHEN n >= 2 THEN
+          list_max([len(list_filter(bg, x -> x = bb)) FOR bb IN bg]) * 1.0 / (n - 1)
+          ELSE 0.0 END, 6) AS top_bigram_share,
+        round(CASE WHEN len(bg) > 0 THEN
+          (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg)
+          ELSE 0.0 END, 6) AS frac_dup_bigrams,
+        round(CASE WHEN n > 0 THEN total_len * 1.0 / n ELSE 0.0 END, 6) AS mean_word_len
+      FROM c
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words, frac_dup_words, top_word_share,
+           top_bigram_share, frac_dup_bigrams, mean_word_len,
+           (frac_dup_words <= 0.85 AND frac_dup_bigrams <= 0.18
+            AND mean_word_len >= 2 AND mean_word_len <= 12) AS passes_repetition_filter
+    FROM s
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    from ..functions.text import repetition_stats_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = repetition_stats_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+# --- PII redaction (functions/text.py) -------------------------------------
+# Email spans -> <EMAIL>, digits -> '#'; patterns restricted to syntax with
+# identical Java-regex/RE2 semantics so the oracle is byte-for-byte.
+@query(
+    "redact_customer_pii",
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(c_name,
+             '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g'), '[0-9]', '#', 'g')
+             AS name_redacted
+    FROM customer
+    """,
+)
+def redact_customer_pii(spark, sf_dir):
+    from ..functions.text import redact_pii_col
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        redact_pii_col(F.col("c_name")).alias("name_redacted"),
+    )

@@ -126,6 +126,71 @@ def quality_score_col(text: Column) -> Column:
     )
 
 
+def repetition_stats_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1) as
+    pure Column expressions — per-document constants, fully codegen'd, no
+    shuffle, no Python. The per-token count scans are O(words^2) within a
+    document: constant work per row (docs are bounded), the right trade
+    against an explode+groupBy+join-back that would shuffle the corpus
+    twice per statistic.
+
+    Returns columns keyed: n_words, frac_dup_words, top_word_share,
+    top_bigram_share, mean_word_len, passes_repetition_filter. All
+    fractions rounded to 6; the filter flag is computed FROM the rounded
+    values so any engine replicating the arithmetic agrees exactly.
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    counts = F.transform(words, lambda w: F.size(F.filter(words, lambda x: x == w)))
+    top_word = F.when(n > 0, F.array_max(counts) / n).otherwise(F.lit(0.0))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    bcounts = F.transform(bigrams, lambda b: F.size(F.filter(bigrams, lambda x: x == b)))
+    top_bigram = F.when(n >= 2, F.array_max(bcounts) / (n - 1)).otherwise(F.lit(0.0))
+    nb = F.size(bigrams)
+    nb_distinct = F.size(F.array_distinct(bigrams))
+    # duplicate-2-gram fraction (the actual Gopher repetition signal: a
+    # top-share test penalizes SHORT distinct docs, where every unique
+    # bigram already has share 1/(n-1))
+    dup_bigram = F.when(nb > 0, (nb - nb_distinct) / nb).otherwise(F.lit(0.0))
+    total_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_word = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+
+    frac_dup = F.round(F.when(n > 0, (n - n_distinct) / n).otherwise(F.lit(0.0)), 6)
+    top_word_r = F.round(top_word, 6)
+    top_bigram_r = F.round(top_bigram, 6)
+    dup_bigram_r = F.round(dup_bigram, 6)
+    mean_word_r = F.round(mean_word, 6)
+    return {
+        "n_words": n.cast("long"),
+        "frac_dup_words": frac_dup,
+        "top_word_share": top_word_r,
+        "top_bigram_share": top_bigram_r,
+        "frac_dup_bigrams": dup_bigram_r,
+        "mean_word_len": mean_word_r,
+        # Gopher-flavored acceptance: mostly-distinct words, low repeated-
+        # bigram mass, sane word lengths
+        "passes_repetition_filter": (
+            (frac_dup <= 0.85)
+            & (dup_bigram_r <= 0.18)
+            & (mean_word_r >= 2)
+            & (mean_word_r <= 12)
+        ),
+    }
+
+
+def redact_pii_col(c: Column) -> Column:
+    """Deterministic PII masking for free-text columns: email-shaped spans
+    collapse to <EMAIL>, then every remaining digit becomes '#'. Patterns
+    restricted to syntax with identical semantics in Java regex and RE2 so
+    an external SQL engine can replicate the result byte-for-byte."""
+    no_email = F.regexp_replace(c, r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+", "<EMAIL>")
+    return F.regexp_replace(no_email, r"[0-9]", "#")
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting (winnowed rolling hash)
 # ---------------------------------------------------------------------------

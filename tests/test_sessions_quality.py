@@ -1,0 +1,93 @@
+"""Unit semantics for the round-2 pipeline additions: gap sessionization,
+Gopher-style repetition stats, and PII redaction."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.text import redact_pii_col, repetition_stats_cols
+from entity_resolution_spark.operators.sessions import session_summary, sessionize
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 2h gap
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=10)),
+        (3, 1, t0 + dt.timedelta(hours=2, minutes=15)),
+        # user 2: one session, equal-timestamp tie broken by event_id
+        (4, 2, t0),
+        (5, 2, t0),
+        # user 2: exactly-at-gap boundary: 1800s diff is NOT a new session
+        (6, 2, t0 + dt.timedelta(seconds=1800)),
+        # but 1801s after that IS
+        (7, 2, t0 + dt.timedelta(seconds=3601)),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def test_sessionize_gap_semantics(spark):
+    out = {
+        r["event_id"]: (r["session_idx"], r["is_session_start"])
+        for r in sessionize(_events(spark)).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+    assert out[4] == (0, True)
+    assert out[5] == (0, False)
+    assert out[6] == (0, False)  # 1800s == gap is not > gap
+    assert out[7] == (1, True)
+
+
+def test_session_summary(spark):
+    rows = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_summary(_events(spark)).collect()
+    }
+    assert rows[(1, 0)]["n_events"] == 2
+    assert rows[(1, 0)]["duration_seconds"] == 600
+    assert rows[(2, 0)]["n_events"] == 3
+    assert rows[(2, 1)]["n_events"] == 1
+    assert rows[(2, 1)]["duration_seconds"] == 0
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # fully repeated
+            (2, "one two three four"),  # fully distinct
+            (3, "go go stop go go stop"),  # dominant bigram "go go"? no: "go go" twice of 5
+        ],
+        "doc_id long, text string",
+    )
+    cols = repetition_stats_cols(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    assert out[1]["n_words"] == 4
+    assert out[1]["frac_dup_words"] == 0.75
+    assert out[1]["top_word_share"] == 1.0
+    assert out[1]["top_bigram_share"] == 1.0
+    assert out[1]["frac_dup_bigrams"] == round(2 / 3, 6)
+    assert not out[1]["passes_repetition_filter"]  # dominant bigram
+    assert out[2]["frac_dup_words"] == 0.0
+    assert out[2]["top_word_share"] == 0.25
+    assert out[2]["mean_word_len"] == 3.75
+    assert out[2]["passes_repetition_filter"]
+    # doc 3: 6 words, bigrams = [go go, go stop, stop go, go go, go stop]
+    # top bigram count 2 of 5; 2 of 5 occurrences are repeats
+    assert out[3]["top_bigram_share"] == 0.4
+    assert out[3]["frac_dup_bigrams"] == 0.4
+    assert not out[3]["passes_repetition_filter"]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "call 555-0199 or mail jane.doe42@example.org now")],
+        "id long, s string",
+    )
+    got = df.select(redact_pii_col(F.col("s")).alias("r")).first()["r"]
+    assert got == "call ###-#### or mail <EMAIL> now"
