@@ -263,3 +263,75 @@ def token_count_ws(spark, sf_dir):
     return d.select(
         "doc_id", whitespace_token_count_col(F.col("text")).cast("long").alias("n_tokens")
     )
+
+
+# --- OLAP rollup (multi-level aggregation) ---------------------------------
+@query(
+    "rollup_lineitem_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --- pivot (wide aggregation with a fixed category list) -------------------
+@query(
+    "pivot_event_type_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # explicit category list: deterministic schema, no extra distinct scan
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# --- exact quantiles (sort-based, not approx) ------------------------------
+# Spark's percentile() and DuckDB's quantile_cont share the linear-
+# interpolation definition (index p*(n-1)); exact equality expected.
+@query(
+    "exact_quantiles_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_quantity, 0.95), 6) AS q95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_quantiles_lineitem(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    q = lambda p: F.round(F.percentile(F.col("l_quantity"), F.lit(p)), 6)
+    return l.groupBy("l_returnflag").agg(
+        q(0.25).alias("q25"), q(0.50).alias("q50"),
+        q(0.75).alias("q75"), q(0.95).alias("q95"),
+    )

@@ -54,3 +54,36 @@ def sessionize_events_q(spark, sf_dir):
     from ..operators.sessions import session_summary
 
     return session_summary(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+# --- native session windows (streaming/windows.py) -------------------------
+# Spark's session_window run in batch mode; boundary semantics probed and
+# pinned: merge while diff <= gap (exact microsecond arithmetic on both
+# sides via epoch_us), window end = last event + gap.
+@query(
+    "session_window_counts",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def session_window_counts_q(spark, sf_dir):
+    from ..streaming.windows import session_window_counts
+
+    return session_window_counts(_t(spark, sf_dir, "events"), gap="30 minutes")

@@ -79,3 +79,31 @@ def sliding_match_rate(
             F.round(F.col("n_matched") / F.col("n_scored"), 6).alias("match_rate"),
         )
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key session windows via Spark's NATIVE ``session_window`` —
+    sessions merge while consecutive events are within ``gap`` (an event at
+    exactly prev + gap still merges; window end = last event + gap). Same
+    code path runs streaming (state-store backed, watermark-bounded state)
+    and batch (where it equals the lag/cumsum plan in operators/sessions.py
+    up to the boundary convention — asserted against the DuckDB oracle)."""
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
