@@ -335,3 +335,26 @@ def exact_quantiles_lineitem(spark, sf_dir):
         q(0.25).alias("q25"), q(0.50).alias("q50"),
         q(0.75).alias("q75"), q(0.95).alias("q95"),
     )
+
+
+# --- semi-structured JSON parsing (schema'd from_json, not string hacks) ---
+@query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    j = e.withColumn("j", F.from_json("props", "k BIGINT"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("j.k").alias("sum_k"),
+        F.min("j.k").alias("min_k"),
+        F.max("j.k").alias("max_k"),
+    )

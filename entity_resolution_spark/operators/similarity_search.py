@@ -113,3 +113,28 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_ivf_index(
+    emb_with_cells: DataFrame, path: str, centroids: np.ndarray | None = None
+) -> None:
+    """Persist the cell assignment as a cell-partitioned parquet table —
+    the IVF 'index' at rest. Probing then scans only n_probe/n_cells of
+    the data: the cell filter becomes a PARTITION filter (directory-level
+    pruning), not a row filter, which is what makes IVF a fractional-scan
+    ANN at 100 TB. Centroids (tiny) ride along as one parquet file."""
+    emb_with_cells.write.partitionBy("cell").mode("overwrite").parquet(path)
+    if centroids is not None:
+        spark = emb_with_cells.sparkSession
+        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path.rstrip("/") + "__centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load (cell-partitioned embeddings, centroid matrix)."""
+    emb = spark.read.parquet(path)
+    cent_df = spark.read.parquet(path.rstrip("/") + "__centroids")
+    rows = sorted((r["cell"], r["centroid"]) for r in cent_df.collect())
+    return emb, np.array([c for _, c in rows], dtype="float64")

@@ -69,3 +69,69 @@ def test_candidate_self_join_not_sort_merge(spark):
     plan = _plan(candidate_pairs(blocks, cfg))
     assert "ShuffledHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_is_one_shuffle(spark):
+    """Gap sessionization: exactly one Exchange (on the key); both windows
+    and the boundary flag reuse the same partitioning."""
+    from entity_resolution_spark.operators.sessions import session_summary
+
+    import re
+
+    df = session_summary(spark.read.parquet(f"{SF}/events.parquet"))
+    plan = _plan(df)
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, plan[:2000]
+
+
+def test_repetition_stats_stay_whole_stage_codegen(spark):
+    """The Gopher stats are pure column expressions: no Python evaluation,
+    no shuffle, single codegen'd scan-project."""
+    from entity_resolution_spark.functions.text import repetition_stats_cols
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    cols = repetition_stats_cols(F.col("text"))
+    df = d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # higher-order lambda expressions (transform/filter) evaluate as a JVM
+    # Project outside WSCG — the gate is: single Project over the scan,
+    # nothing else in the plan
+    assert "(3) Project" in plan and "(4)" not in plan
+
+
+def test_session_window_plan_has_no_python(spark):
+    from entity_resolution_spark.streaming.windows import session_window_counts
+
+    df = session_window_counts(spark.read.parquet(f"{SF}/events.parquet"))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index is cell-partitioned; probing must push the
+    cell filter to PARTITION level (directory pruning), not row level."""
+    from entity_resolution_spark.operators.similarity_search import (
+        assign_cells,
+        ivf_topk,
+        read_ivf_index,
+        train_centroids,
+        write_ivf_index,
+    )
+    from entity_resolution_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_centroids(emb, n_cells=4, iters=3)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assign_cells(emb, cent), path, cent)
+    emb2, cent2 = read_ivf_index(spark, path)
+    assert cent2.shape == cent.shape
+    q = emb.select("embedding").first()[0]
+    df = ivf_topk(emb2, cent2, list(q), k=5, n_probe=1)
+    plan = _plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], plan[:1500]
+    # and the probe results are real
+    assert df.count() == 5
