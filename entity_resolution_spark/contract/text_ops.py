@@ -338,3 +338,41 @@ def redact_customer_pii(spark, sf_dir):
         "c_custkey",
         redact_pii_col(F.col("c_name")).alias("name_redacted"),
     )
+
+
+# --- F-family: Jaro-Winkler + Levenshtein oracle row -----------------------
+# The engine's JW kernel (functions/similarity.py, the scoring blend's
+# basename term) agrees exactly with DuckDB's jaro_winkler_similarity
+# (standard conventions: boost 0.7, prefix cap 4, scale 0.1); Levenshtein
+# is Spark's builtin vs DuckDB's (both unit-cost).
+@query(
+    "f_jw_levenshtein",
+    """
+    SELECT a.c_custkey AS k,
+           round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+    FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+    """,
+)
+def f_jw_levenshtein(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+
+    @pandas_udf(T.DoubleType())
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..functions.similarity import batch_jaro_winkler
+
+        return pd.Series(batch_jaro_winkler(a, b))
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("na"))
+    b = c.select((F.col("c_custkey") - 1).alias("k"), F.col("c_name").alias("nb"))
+    return a.join(b, "k").select(
+        "k",
+        F.round(jw_udf(F.col("na"), F.col("nb")), 6).alias("jw"),
+        F.levenshtein("na", "nb").alias("lev"),
+    )
