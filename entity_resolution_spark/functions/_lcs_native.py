@@ -1,0 +1,242 @@
+"""Optional C implementation of the bit-parallel LCS kernel.
+
+The indel-ratio (fuzz.ratio parity) DP in functions/similarity.py is the
+single most expensive kernel in the engine — the scoring stage is ~85% of
+pipeline CPU at scale and the per-pair Python big-int loop costs ~0.6 ms
+on 1-2k-char pairs. This module compiles the SAME Allison-Dix/Hyyro
+algorithm (uint64 words, carry/borrow propagation) to a shared library at
+first use and calls it through ctypes with ONE call per Arrow batch
+(concatenated UTF-32 codepoints + offsets), so per-pair overhead is a few
+dozen nanoseconds of pointer arithmetic.
+
+Design constraints honored:
+- zero new dependencies: compiled with the system cc via subprocess;
+  if no compiler/toolchain exists the import degrades to ``lib = None``
+  and callers keep the pure-Python path — results are bit-identical
+  either way (asserted in tests/test_similarity.py);
+- multi-process safe: every Python worker on an executor wants the .so;
+  the compile writes to a temp file and atomically renames into a
+  content-addressed path, so N racing workers produce one artifact;
+- deterministic: the C code is a straight transcription of the Python
+  kernel; no fast-math, no platform-dependent behavior (uint64 wraparound
+  is defined).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* Bit-parallel LCS length (Allison-Dix / Hyyro) over uint32 codepoints.
+   Bitset spans the SHORTER string (fewest words); iterate the longer.
+   v = (v + u) | (v - u) with u = v & pm[c], on W little-endian words. */
+
+static int lcs_one(const uint32_t *a, int64_t la,
+                   const uint32_t *b, int64_t lb,
+                   uint64_t *restrict v, uint64_t *restrict pm_words,
+                   uint32_t *restrict keys, int32_t *restrict slots,
+                   int64_t cap) {
+    if (la == 0 || lb == 0) return 0;
+    if (la > lb) { const uint32_t *t = a; a = b; b = t;
+                   int64_t tl = la; la = lb; lb = tl; }
+    int64_t W = (la + 63) >> 6;
+    /* open-addressing map codepoint -> pm row; cap is a power of two */
+    memset(slots, 0xff, (size_t)cap * sizeof(int32_t));
+    int32_t n_distinct = 0;
+    for (int64_t i = 0; i < la; i++) {
+        uint32_t c = a[i];
+        uint64_t h = (uint64_t)c * 2654435761u;
+        int64_t s = (int64_t)(h & (uint64_t)(cap - 1));
+        while (slots[s] >= 0 && keys[slots[s]] != c)
+            s = (s + 1) & (cap - 1);
+        int32_t row = slots[s];
+        if (row < 0) {
+            row = n_distinct++;
+            slots[s] = row;
+            keys[row] = c;
+            memset(pm_words + (int64_t)row * W, 0, (size_t)W * sizeof(uint64_t));
+        }
+        pm_words[(int64_t)row * W + (i >> 6)] |= 1ull << (i & 63);
+    }
+    /* v starts all-ones over la bits */
+    for (int64_t w = 0; w < W; w++) v[w] = ~0ull;
+    uint64_t top_mask = (la & 63) ? ((1ull << (la & 63)) - 1ull) : ~0ull;
+    v[W - 1] = top_mask;
+    for (int64_t j = 0; j < lb; j++) {
+        uint32_t c = b[j];
+        uint64_t h = (uint64_t)c * 2654435761u;
+        int64_t s = (int64_t)(h & (uint64_t)(cap - 1));
+        int32_t row = -1;
+        while (slots[s] >= 0) {
+            if (keys[slots[s]] == c) { row = slots[s]; break; }
+            s = (s + 1) & (cap - 1);
+        }
+        if (row < 0) continue;
+        const uint64_t *restrict m = pm_words + (int64_t)row * W;
+        uint64_t carry = 0, borrow = 0;
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t vv = v[w];
+            uint64_t u = vv & m[w];
+            unsigned long long add, sub;
+            carry = __builtin_uaddll_overflow(vv, u, &add)
+                  | __builtin_uaddll_overflow(add, carry, &add);
+            uint64_t b1 = __builtin_usubll_overflow(vv, u, &sub);
+            uint64_t b2 = __builtin_usubll_overflow(sub, borrow, &sub);
+            borrow = b1 | b2;
+            v[w] = add | sub;
+        }
+        v[W - 1] &= top_mask;
+    }
+    int64_t ones = 0;
+    for (int64_t w = 0; w < W; w++) ones += __builtin_popcountll(v[w]);
+    return (int)(la - ones);
+}
+
+/* Batch entry: two codepoint arenas + per-pair offsets/lengths. */
+void lcs_batch(const uint32_t *a_arena, const uint32_t *b_arena,
+               const int64_t *a_off, const int64_t *a_len,
+               const int64_t *b_off, const int64_t *b_len,
+               int64_t n_pairs, int32_t *out) {
+    int64_t max_short = 0, max_cap = 2;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        int64_t mn = a_len[i] < b_len[i] ? a_len[i] : b_len[i];
+        if (mn > max_short) max_short = mn;
+    }
+    while (max_cap < 2 * (max_short + 1)) max_cap <<= 1;
+    int64_t W = (max_short + 63) >> 6;
+    if (W == 0) W = 1;
+    uint64_t *v = (uint64_t *)malloc((size_t)W * sizeof(uint64_t));
+    uint64_t *pm = (uint64_t *)malloc((size_t)max_short * W * sizeof(uint64_t));
+    uint32_t *keys = (uint32_t *)malloc((size_t)max_short * sizeof(uint32_t));
+    int32_t *slots = (int32_t *)malloc((size_t)max_cap * sizeof(int32_t));
+    if (!v || !(pm || max_short == 0) || !(keys || max_short == 0) || !slots) {
+        free(v); free(pm); free(keys); free(slots);
+        for (int64_t i = 0; i < n_pairs; i++) out[i] = -1;
+        return;
+    }
+    for (int64_t i = 0; i < n_pairs; i++)
+        out[i] = lcs_one(a_arena + a_off[i], a_len[i],
+                         b_arena + b_off[i], b_len[i],
+                         v, pm, keys, slots, max_cap);
+    free(v); free(pm); free(keys); free(slots);
+}
+"""
+
+
+def _build() -> ctypes.CDLL | None:
+    digest = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    cache_dir = os.environ.get("ERS_NATIVE_CACHE", tempfile.gettempdir())
+    so_path = os.path.join(cache_dir, f"ers_lcs_{digest}.so")
+    if not os.path.exists(so_path):
+        cc = os.environ.get("CC", "cc")
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                src = os.path.join(td, "lcs.c")
+                with open(src, "w") as fh:
+                    fh.write(_C_SOURCE)
+                tmp_so = os.path.join(td, "lcs.so")
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp_so, src],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                # atomic publish: racing workers all rename to the same
+                # content-addressed path; last writer wins with identical bytes
+                import shutil
+
+                tmp_final = so_path + f".{os.getpid()}"
+                shutil.copy(tmp_so, tmp_final)
+                os.replace(tmp_final, so_path)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+        lib.lcs_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lcs_batch.restype = None
+        return lib
+    except Exception:
+        return None
+
+
+_LIB: ctypes.CDLL | None | bool = False  # False = not yet attempted
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _LIB
+    if _LIB is False:
+        _LIB = _build()
+    return _LIB
+
+
+def _codepoint_matrix(strs: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(padded codepoint matrix raveled, lengths, row width) — one numpy
+    conversion for the whole batch, no per-string Python."""
+    filled = np.where(pd_isna(strs), "", strs) if strs.dtype == object else strs
+    u = filled.astype("U")
+    width = max(u.dtype.itemsize // 4, 1)
+    lens = np.char.str_len(u).astype(np.int64)
+    if u.dtype.itemsize == 0:  # all-empty batch -> 'U0'
+        mat = np.zeros(len(u), dtype=np.uint32)
+    else:
+        mat = np.ascontiguousarray(u).view(np.uint32)
+    return mat, lens, width
+
+
+def pd_isna(arr: np.ndarray) -> np.ndarray:
+    out = np.empty(len(arr), dtype=bool)
+    for i, x in enumerate(arr):
+        out[i] = x is None
+    return out
+
+
+def lcs_batch_native(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray | None:
+    """Vectorized LCS lengths for object arrays of str (None/empty -> 0).
+    Returns None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(a_strs)
+    a_mat, a_len, wa = _codepoint_matrix(a_strs)
+    b_mat, b_len, wb = _codepoint_matrix(b_strs)
+    a_off = np.arange(n, dtype=np.int64) * wa
+    b_off = np.arange(n, dtype=np.int64) * wb
+    if a_mat.size == 0:
+        a_mat = np.zeros(1, dtype=np.uint32)  # valid pointer for empty batch
+    if b_mat.size == 0:
+        b_mat = np.zeros(1, dtype=np.uint32)
+    out = np.empty(n, dtype=np.int32)
+    p = lambda arr, t: arr.ctypes.data_as(ctypes.POINTER(t))
+    lib.lcs_batch(
+        p(a_mat, ctypes.c_uint32),
+        p(b_mat, ctypes.c_uint32),
+        p(a_off, ctypes.c_int64),
+        p(a_len, ctypes.c_int64),
+        p(b_off, ctypes.c_int64),
+        p(b_len, ctypes.c_int64),
+        ctypes.c_int64(n),
+        p(out, ctypes.c_int32),
+    )
+    if (out < 0).any():  # allocation failure inside the kernel
+        return None
+    return out

