@@ -103,6 +103,77 @@ static int lcs_one(const uint32_t *a, int64_t la,
     return (int)(la - ones);
 }
 
+/* Jaro similarity with the same conventions as the Python kernel
+   (functions/similarity.py): both empty -> 1.0, one empty -> 0.0,
+   window = max(la,lb)/2 - 1 clamped at 0. */
+static double jaro_one(const uint32_t *a, int64_t la,
+                       const uint32_t *b, int64_t lb,
+                       uint8_t *restrict aflag, uint8_t *restrict bflag) {
+    if (la == 0 && lb == 0) return 1.0;
+    if (la == 0 || lb == 0) return 0.0;
+    int64_t mx = la > lb ? la : lb;
+    int64_t window = mx / 2 - 1;
+    if (window < 0) window = 0;
+    memset(aflag, 0, (size_t)la);
+    memset(bflag, 0, (size_t)lb);
+    int64_t matches = 0;
+    for (int64_t i = 0; i < la; i++) {
+        int64_t lo = i - window; if (lo < 0) lo = 0;
+        int64_t hi = i + window + 1; if (hi > lb) hi = lb;
+        for (int64_t j = lo; j < hi; j++) {
+            if (!bflag[j] && b[j] == a[i]) {
+                aflag[i] = bflag[j] = 1;
+                matches++;
+                break;
+            }
+        }
+    }
+    if (matches == 0) return 0.0;
+    int64_t t = 0, j = 0;
+    for (int64_t i = 0; i < la; i++) {
+        if (aflag[i]) {
+            while (!bflag[j]) j++;
+            if (a[i] != b[j]) t++;
+            j++;
+        }
+    }
+    t /= 2;
+    double m = (double)matches;
+    return (m / la + m / lb + (m - t) / m) / 3.0;
+}
+
+/* Jaro-Winkler batch: prefix bonus capped at 4, weight 0.1, always
+   applied (rapidfuzz convention, same as the Python kernel). */
+void jw_batch(const uint32_t *a_arena, const uint32_t *b_arena,
+              const int64_t *a_off, const int64_t *a_len,
+              const int64_t *b_off, const int64_t *b_len,
+              int64_t n_pairs, double *out) {
+    int64_t max_len = 1;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        if (a_len[i] > max_len) max_len = a_len[i];
+        if (b_len[i] > max_len) max_len = b_len[i];
+    }
+    uint8_t *aflag = (uint8_t *)malloc((size_t)max_len);
+    uint8_t *bflag = (uint8_t *)malloc((size_t)max_len);
+    if (!aflag || !bflag) {
+        free(aflag); free(bflag);
+        for (int64_t i = 0; i < n_pairs; i++) out[i] = -1.0;
+        return;
+    }
+    for (int64_t i = 0; i < n_pairs; i++) {
+        const uint32_t *a = a_arena + a_off[i];
+        const uint32_t *b = b_arena + b_off[i];
+        int64_t la = a_len[i], lb = b_len[i];
+        double jv = jaro_one(a, la, b, lb, aflag, bflag);
+        int64_t pmax = la < lb ? la : lb;
+        if (pmax > 4) pmax = 4;
+        int64_t prefix = 0;
+        while (prefix < pmax && a[prefix] == b[prefix]) prefix++;
+        out[i] = jv + (double)prefix * 0.1 * (1.0 - jv);
+    }
+    free(aflag); free(bflag);
+}
+
 /* Batch entry: two codepoint arenas + per-pair offsets/lengths. */
 void lcs_batch(const uint32_t *a_arena, const uint32_t *b_arena,
                const int64_t *a_off, const int64_t *a_len,
@@ -174,6 +245,17 @@ def _build() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.lcs_batch.restype = None
+        lib.jw_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.jw_batch.restype = None
         return lib
     except Exception:
         return None
@@ -238,5 +320,38 @@ def lcs_batch_native(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray | Non
         p(out, ctypes.c_int32),
     )
     if (out < 0).any():  # allocation failure inside the kernel
+        return None
+    return out
+
+
+def jw_batch_native(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray | None:
+    """Vectorized Jaro-Winkler for object arrays of str (None -> 0.0 via
+    the empty-string conventions). Returns None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(a_strs)
+    a_mat, a_len, wa = _codepoint_matrix(a_strs)
+    b_mat, b_len, wb = _codepoint_matrix(b_strs)
+    a_off = np.arange(n, dtype=np.int64) * wa
+    b_off = np.arange(n, dtype=np.int64) * wb
+    if a_mat.size == 0:
+        a_mat = np.zeros(1, dtype=np.uint32)
+    if b_mat.size == 0:
+        b_mat = np.zeros(1, dtype=np.uint32)
+    out = np.empty(n, dtype=np.float64)
+    p = lambda arr, t: arr.ctypes.data_as(ctypes.POINTER(t))
+    lib.jw_batch(
+        p(a_mat, ctypes.c_uint32),
+        p(b_mat, ctypes.c_uint32),
+        p(a_off, ctypes.c_int64),
+        p(a_len, ctypes.c_int64),
+        p(b_off, ctypes.c_int64),
+        p(b_len, ctypes.c_int64),
+        ctypes.c_int64(n),
+        p(out, ctypes.c_double),
+    )
+    if (out < 0).any():  # allocation failure
         return None
     return out

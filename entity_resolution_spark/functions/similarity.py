@@ -197,8 +197,21 @@ def batch_fuzz_ratio(a: pd.Series, b: pd.Series) -> np.ndarray:
 
 
 def batch_jaro_winkler(a: pd.Series, b: pd.Series) -> np.ndarray:
-    out = np.zeros(len(a), dtype=np.float64)
+    """Jaro-Winkler per pair; compiled kernel when available (bit-identical
+    to the Python implementation — None maps to "" whose conventions give
+    the same 0.0/1.0 results), pure-Python fallback otherwise."""
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    from ._lcs_native import jw_batch_native
+
+    native = jw_batch_native(av, bv)
+    if native is not None:
+        # Python kernel returns 0.0 for None inputs; "" vs "" gives 1.0 —
+        # restore the None convention explicitly
+        for i in range(len(native)):
+            if av[i] is None or bv[i] is None:
+                native[i] = 0.0
+        return native
+    out = np.zeros(len(a), dtype=np.float64)
     for i in range(len(out)):
         out[i] = jaro_winkler(av[i], bv[i])
     return out
