@@ -367,3 +367,25 @@ def range_join_events_in_order_window(spark, sf_dir):
         events, windows, on="k", point_ts="ts", start_col="w_start", end_col="w_end"
     )
     return out.select("event_id", "k")
+
+
+# --- the FLAGSHIP pipeline, oracle-checked ---------------------------------
+# resolve() under the jaccard+JW scoring config (w_content=0): the whole
+# blocking -> candidates -> scoring -> connected-components chain verified
+# value-for-value against one SQL program (sql_kernels.py — exact seeded
+# MinHash bands, pfx keys, token-set Jaccard, DuckDB's JW, recursive-CTE
+# closure). The content-ratio term (the one non-SQL-expressible kernel) is
+# pinned separately: DP-oracle + published-value tests and the default-
+# config pipeline_clusters rows-only check.
+@query("pipeline_clusters_light", _sql.pipeline_light_clusters_sql(threshold=45))
+def pipeline_clusters_light(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    from ..config import PipelineConfig
+    from ..plans.pipeline import resolve
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = entry_mod._docs_as_repo_files(spark, sf_dir)
+    res = resolve(files, PipelineConfig(w_content=0.0, similarity_threshold=45))
+    return res.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")

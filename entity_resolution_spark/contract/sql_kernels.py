@@ -59,11 +59,18 @@ def _rolling_hash_terms(k: int, var: str = "s", idx: str = "i") -> str:
     )
 
 
-def minhash_signature_ctes(cfg: MinHashConfig | None = None) -> str:
-    """CTE chain: ``documents(doc_id, text)`` -> ``__sig(doc_id, slot,
+def minhash_signature_ctes(
+    cfg: MinHashConfig | None = None,
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """CTE chain: ``src(id_col, text_col)`` -> ``__sig(doc_id, slot,
     value)`` — the exact one-permutation signature the engine computes
     (normalize, k-shingle rolling hashes, distinct, seeded splitmix64,
-    bin-min, circular densification, 63-bit mask)."""
+    bin-min, circular densification, 63-bit mask). ``src`` may be a table
+    or an earlier CTE (the pipeline oracle feeds the exact-dup
+    representatives through it)."""
     cfg = cfg or MinHashConfig()
     assert cfg.one_permutation, "SQL replica covers the default one-permutation kernel"
     m = cfg.num_hashes
@@ -71,7 +78,9 @@ def minhash_signature_ctes(cfg: MinHashConfig | None = None) -> str:
     seed_c = (cfg.seed * _C1) % (1 << 64)
     return f"""
 __t AS (
-  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents
+  SELECT {id_col} AS doc_id,
+         trim(regexp_replace({text_col}, '\\s+', ' ', 'g')) AS s
+  FROM {src}
 ),
 __sh AS (
   SELECT doc_id,
@@ -328,4 +337,112 @@ __p AS (
 )
 SELECT doc_id, (generate_subscripts(picks, 1) - 1)::INT AS pos, unnest(picks) AS fingerprint
 FROM __p
+"""
+
+
+def pipeline_light_clusters_sql(
+    threshold: float,
+    pipeline_minhash: MinHashConfig | None = None,
+) -> str:
+    """Full-pipeline oracle (jaccard+JW scoring config, ``w_content=0``):
+    the complete blocking -> candidates -> scoring -> connected-components
+    chain over the documents-derived repo_files frame, in one SQL program.
+
+    Replicates, stage for stage, what ``resolve()`` computes under
+    ``PipelineConfig(w_content=0, similarity_threshold=threshold)``:
+
+    - exact-duplicate collapse: representative = min doc_id per identical
+      text (grouping by text == grouping by sha256(text)); non-reps
+      rejoin via star edges;
+    - blocking keys for representatives: pfx (sha256 of the first 256
+      normalized chars) and the precision-tilted MinHash bands (bands=8,
+      r=16 — the exact seeded signature via minhash_signature_ctes). The
+      path family is provably inert on this corpus: derived basenames are
+      "<doc_id>.txt", and normalize_basename strips digit runs to "" which
+      the degenerate-key guard nulls out;
+    - candidates: distinct pairs sharing >= 1 key (band equality == the
+      engine's FNV band-key equality);
+    - scoring: token-set Jaccard over distinct identifier tokens (equal to
+      the engine's xxhash64-set Jaccard modulo 64-bit collisions) and
+      Jaro-Winkler on basenames (DuckDB's builtin matches the engine's
+      kernel exactly — the f_jw_levenshtein contract row pins this);
+      score = round(35*jac + 25*jw, 6), matched iff score >= threshold
+      (the engine applies the same formula to both bound branches);
+    - clustering: WITH RECURSIVE transitive closure over matched + exact
+      edges, label = component-min doc_id, singletons keep their own id.
+
+    Valid while the corpus keeps per-block sizes far below the engine's
+    salting/thinning caps (asserted by the non-silent-truncation metrics:
+    dropped_keys == 0, kept_fraction never < 1 at contract scale).
+    """
+    cfg = pipeline_minhash or MinHashConfig(bands=8)
+    r = cfg.rows_per_band
+    sig_ctes = minhash_signature_ctes(cfg, src="__reps")
+    return f"""
+WITH RECURSIVE
+__reps AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+),
+__exact_edges AS (
+  SELECT mn AS a, doc_id AS b
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn FROM documents)
+  WHERE doc_id != mn
+),
+{sig_ctes},
+__sigs AS MATERIALIZED (
+  SELECT doc_id, list(value ORDER BY slot) AS sig FROM __sig GROUP BY doc_id
+),
+__band_keys AS (
+  SELECT doc_id,
+         'mh:' || b.band || ':' ||
+         array_to_string(sig[b.band * {r} + 1 : (b.band + 1) * {r}], ',') AS bk
+  FROM __sigs, (SELECT unnest(range(0, {cfg.bands})) AS band) b
+),
+__keys AS MATERIALIZED (
+  SELECT doc_id, bk FROM __band_keys
+  UNION ALL
+  SELECT doc_id, 'pfx:' || sha256(substr(s, 1, 256)) AS bk
+  FROM __t WHERE length(s) > 0
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS l, b.doc_id AS rr
+  FROM __keys a JOIN __keys b ON a.bk = b.bk
+  WHERE a.doc_id < b.doc_id
+),
+__feat AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*')) AS toks,
+         doc_id::VARCHAR || '.txt' AS basename
+  FROM __reps
+),
+__scored AS (
+  SELECT c.l, c.rr,
+         round(35.0 * (CASE WHEN len(fa.toks) + len(fb.toks)
+                                 - len(list_intersect(fa.toks, fb.toks)) > 0
+                       THEN len(list_intersect(fa.toks, fb.toks)) * 1.0 /
+                            (len(fa.toks) + len(fb.toks)
+                             - len(list_intersect(fa.toks, fb.toks)))
+                       ELSE 0.0 END)
+               + 25.0 * jaro_winkler_similarity(fa.basename, fb.basename),
+               6) AS score
+  FROM __cand c
+  JOIN __feat fa ON fa.doc_id = c.l
+  JOIN __feat fb ON fb.doc_id = c.rr
+),
+__edges AS MATERIALIZED (
+  SELECT l AS a, rr AS b FROM __scored WHERE score >= {threshold}
+  UNION SELECT a, b FROM __exact_edges
+),
+__dir AS MATERIALIZED (SELECT a, b FROM __edges UNION SELECT b, a FROM __edges),
+__reach(a, b) AS (
+  SELECT a, b FROM __dir
+  UNION
+  SELECT r.a, d.b FROM __reach r JOIN __dir d ON r.b = d.a
+),
+__labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM __reach GROUP BY a
+)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN __labels l USING (doc_id)
 """
