@@ -217,7 +217,13 @@ def run_scaling(sf_dir: str) -> dict:
     config (the least-disturbed sample, standard practice on noisy hosts).
     Load averages are recorded alongside each sample.
     """
-    n_groups = int(os.environ.get("SPARK_GRAFT_SCALE_GROUPS", "12000"))
+    # Default corpus size: large enough that the parallel pairwise work
+    # dominates the serial floor (JVM startup, driver rounds, planning).
+    # After the round-2 native kernels made scoring ~3x faster, the
+    # previous 12k/24k-group corpora fell into Amdahl territory — measured
+    # efficiency there reflects the serial floor, not the engine's scaling
+    # (BENCH/BASELINE.md "Amdahl at small corpus" section).
+    n_groups = int(os.environ.get("SPARK_GRAFT_SCALE_GROUPS", "48000"))
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
     n_lo, n_hi = 2, 8
     samples: dict[int, list[dict]] = {n_lo: [], n_hi: []}

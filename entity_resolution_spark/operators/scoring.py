@@ -134,15 +134,22 @@ def score_pairs(
     )
     # the union below reads p1 through two branches (rejected + survivors);
     # without a materialization boundary each branch would re-run the
-    # phase-1 joins and the JW UDF — persist is that boundary (columnar,
-    # prunable, and lazily filled inside the first consuming job; an eager
-    # localCheckpoint was measured ~70% slower here). The cache is tracked
-    # and released via release_phase1() / the next call, so repeated
-    # score_pairs calls never leak executor memory. (A StageStore write
-    # plays this role on a cluster.)
+    # phase-1 joins and the JW UDF — persist is that boundary (columnar
+    # and prunable; an eager localCheckpoint was measured ~70% slower).
+    # The cache is tracked and released via release_phase1() / the next
+    # call, so repeated score_pairs calls never leak executor memory. (A
+    # StageStore write plays this role on a cluster.)
     release_phase1()
     p1 = p1.persist()
     _PHASE1_CACHE.append(p1)
+    # Fill the cache NOW, before the union job runs: the union reads p1
+    # through two concurrent branches, and concurrent readers of an
+    # unfilled cache each recompute its lineage (phase-1 joins + the JW
+    # UDF, twice). Measured A/B at 973k pairs / local[8], alternating in
+    # one session: lazy 107.6/31.6/19.6 s vs forced 44.7/15.8/17.2 s —
+    # the forced fill wins every adjacent pair. Same dependency-order rule
+    # the pipeline applies to its own multi-reader stages (pipeline.py).
+    p1.count()
     # lev_ratio is banker's-rounded to an int, so the true blend can exceed
     # the unrounded length bound by up to w_content*0.5 — widen the gate by
     # that slack so "bound misses threshold" really means "can never match"

@@ -75,3 +75,38 @@ def test_sliding_match_rate_batch(spark):
     assert sum(r.n_scored for r in out) == 4 * 2
     for r in out:
         assert 0.0 <= r.match_rate <= 1.0
+
+
+def test_session_window_stream_equals_batch(spark):
+    """Native session windows: AvailableNow stream output == the same plan
+    in batch (unified-semantics contract), complete mode."""
+    from entity_resolution_spark.streaming.windows import session_window_counts
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in session_window_counts(events, gap="30 minutes").collect()
+    }
+    assert batch
+    base = tempfile.mkdtemp()
+    try:
+        inp = os.path.join(base, "in")
+        events.write.parquet(inp, mode="overwrite")
+        stream = spark.readStream.schema(events.schema).parquet(inp)
+        agg = session_window_counts(stream, gap="30 minutes", watermark="10 days")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_win")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.sql("SELECT * FROM sess_win").collect()
+        }
+        assert got == batch
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
