@@ -220,6 +220,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# --- fused corpus-curation pipeline, oracle-checked end-to-end -------------
+@query("corpus_curation", _sql.curation_status_sql(min_quality=0.6, min_jaccard=0.6))
+def corpus_curation(spark, sf_dir):
+    """The canonical LLM training-data prep flow as ONE operator: quality
+    gate -> exact sha collapse -> MinHash-LSH near-dup -> connected
+    components -> per-document (status, canonical_id) decision. Every
+    stage oracle-checked in a single SQL program."""
+    from ..operators.curation import curate_corpus
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"), min_quality=0.6, min_jaccard=0.6
+    )
+
+
 # --- connected components, oracle-checked via recursive CTE ----------------
 # The iterative large-star/small-star fixpoint (operators/clustering.py) is
 # the engine's core graph operator; over a SQL-expressible edge set its

@@ -340,6 +340,89 @@ FROM __p
 """
 
 
+def quality_expr(text: str = "text") -> str:
+    """DuckDB expression replicating ``functions/text.py:quality_score_col``
+    exactly: 0.4·min(len/500,1) + 0.4·alpha_ratio + 0.2·word-shape, rounded
+    to 4 (same literal used by the text_quality_score contract row)."""
+    n_tok = f"(CASE WHEN trim({text}) = '' THEN 0 ELSE length(string_split_regex(trim({text}), '\\s+')) END)"
+    return f"""round(0.4 * least(length({text}) / 500.0, 1.0)
+        + 0.4 * (CASE WHEN length({text}) > 0
+                 THEN CAST(length(regexp_replace({text}, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length({text})
+                 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN {n_tok} > 0
+                  AND CAST(length({text}) AS DOUBLE) / (CASE WHEN {n_tok} = 0 THEN 1 ELSE {n_tok} END)
+                      BETWEEN 3 AND 12
+                 THEN 1.0 ELSE 0.5 END),
+        4)"""
+
+
+def curation_status_sql(
+    min_quality: float,
+    min_jaccard: float,
+    cfg: MinHashConfig | None = None,
+) -> str:
+    """Full oracle for ``operators/curation.py:curate_corpus``: per-document
+    (status, canonical_id) through the fused quality-gate -> exact-collapse
+    -> MinHash-LSH -> transitive-closure chain, value-for-value (quality
+    replica + window collapse + the exact seeded signature CTEs +
+    recursive-CTE components)."""
+    cfg = cfg or MinHashConfig()
+    m, r = cfg.num_hashes, cfg.rows_per_band
+    sig_ctes = minhash_signature_ctes(cfg, src="__reps")
+    return f"""
+WITH RECURSIVE
+__q AS MATERIALIZED (
+  SELECT doc_id, text, {quality_expr("text")} AS quality FROM documents
+),
+__sha AS MATERIALIZED (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM __q WHERE quality >= {min_quality}
+),
+__reps AS MATERIALIZED (SELECT doc_id, text FROM __sha WHERE doc_id = rep),
+{sig_ctes},
+__sigs AS MATERIALIZED (
+  SELECT doc_id, list(value ORDER BY slot) AS sig FROM __sig GROUP BY doc_id
+),
+__bands AS (
+  SELECT doc_id, b.band,
+         array_to_string(sig[b.band * {r} + 1 : (b.band + 1) * {r}], ',') AS bk
+  FROM __sigs, (SELECT unnest(range(0, {cfg.bands})) AS band) b
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS l, b.doc_id AS rr
+  FROM __bands a JOIN __bands b ON a.band = b.band AND a.bk = b.bk
+  WHERE a.doc_id < b.doc_id
+),
+__edges AS MATERIALIZED (
+  SELECT c.l AS a, c.rr AS b
+  FROM __cand c
+  JOIN __sigs sa ON sa.doc_id = c.l
+  JOIN __sigs sb ON sb.doc_id = c.rr
+  WHERE round(len(list_filter(range(1, {m} + 1), i -> sa.sig[i] = sb.sig[i]))
+              / {m}.0, 6) >= {min_jaccard}
+),
+__dir AS MATERIALIZED (SELECT a, b FROM __edges UNION SELECT b, a FROM __edges),
+__reach(a, b) AS (
+  SELECT a, b FROM __dir
+  UNION
+  SELECT x.a, d.b FROM __reach x JOIN __dir d ON x.b = d.a
+),
+__canon AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM __reach GROUP BY a)
+SELECT q.doc_id,
+       CASE WHEN q.quality < {min_quality} THEN 'low_quality'
+            WHEN s.doc_id != s.rep THEN 'exact_dup'
+            WHEN c.cid IS NOT NULL AND c.cid != s.doc_id THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN q.quality < {min_quality} THEN NULL
+            WHEN s.doc_id != s.rep THEN s.rep
+            WHEN c.cid IS NOT NULL AND c.cid != s.doc_id THEN c.cid
+            ELSE s.doc_id END AS canonical_id
+FROM __q q
+LEFT JOIN __sha s USING (doc_id)
+LEFT JOIN __canon c ON c.doc_id = s.doc_id
+"""
+
+
 def pipeline_light_clusters_sql(
     threshold: float,
     pipeline_minhash: MinHashConfig | None = None,

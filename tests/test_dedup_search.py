@@ -182,3 +182,43 @@ def test_centroid_determinism(spark):
     c1 = train_centroids(emb, n_cells=4, iters=3)
     c2 = train_centroids(emb, n_cells=4, iters=3)
     assert np.allclose(c1, c2)
+
+
+# --- fused curation pipeline ------------------------------------------------
+def test_curate_corpus_all_statuses(spark):
+    """All four decision branches on planted data: kept / low_quality /
+    exact_dup (impossible on the synthetic testdata corpus — no duplicate
+    texts) / near_dup, with the documented canonical_id semantics."""
+    from entity_resolution_spark.operators.curation import curate_corpus
+
+    good = (
+        "distributed query planning with cost models and adaptive execution "
+        "requires careful partitioning of the input relations and pruning of "
+        "unneeded columns before any shuffle boundary is crossed in the plan"
+    ) * 3
+    rows = [
+        (0, good),
+        (1, good),  # exact dup of 0
+        (2, good + " trailing words appended here"),  # near dup of 0
+        (3, "!!!! ???? ....  "),  # low quality (no alpha)
+        (4, "a completely different but equally well formed document about "
+            "watermark semantics in streaming aggregation engines and the "
+            "latency tradeoffs of state checkpointing strategies" * 2),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.status, r.canonical_id)
+           for r in curate_corpus(docs, min_quality=0.5, min_jaccard=0.6).collect()}
+    assert out[0] == ("kept", 0)
+    assert out[1] == ("exact_dup", 0)
+    assert out[2] == ("near_dup", 0)
+    assert out[3] == ("low_quality", None)
+    assert out[4] == ("kept", 4)
+
+
+def test_curate_corpus_deterministic_across_partitioning(spark):
+    from entity_resolution_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(str, curate_corpus(docs.repartition(1)).collect()))
+    b = sorted(map(str, curate_corpus(docs.repartition(16)).collect()))
+    assert a == b and len(a) > 0
