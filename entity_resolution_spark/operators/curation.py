@@ -57,28 +57,34 @@ def curate_corpus(
     from .clustering import connected_components
     from .dedup import minhash_lsh_pairs
 
-    q = docs.select(
+    # ONE pass stamps quality AND the exact-dup representative: the window
+    # shuffles on the 32-byte sha2 digest (never the raw text as a key),
+    # and `rep` = min surviving doc_id of the sha group (NULL if the whole
+    # group failed quality). Everything downstream — the LSH input, the
+    # status assembly — reads this single lineage instead of re-scanning
+    # the corpus per stage (text bytes are the dominant I/O at 100 TB; a
+    # StageStore/persist boundary on `stamp` makes it one physical scan).
+    surviving = F.when(
+        quality_score_col(F.col(text_col)) >= min_quality, F.col(id_col)
+    )
+    stamp = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         quality_score_col(F.col(text_col)).alias("quality"),
+        F.min(surviving)
+        .over(Window.partitionBy(F.sha2(F.col(text_col).cast("binary"), 256)))
+        .alias("rep"),
     )
-
-    ok = q.filter(F.col("quality") >= min_quality)
-    # 32-byte shuffle key; min-over-window avoids a groupBy + join-back
-    w = Window.partitionBy(F.sha2("text", 256))
-    sha = ok.withColumn("rep", F.min("doc_id").over(w)).select("doc_id", "text", "rep")
-    reps = sha.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    reps = stamp.filter(
+        (F.col("quality") >= min_quality) & (F.col("doc_id") == F.col("rep"))
+    ).select("doc_id", "text")
 
     pairs = minhash_lsh_pairs(reps, cfg=cfg, min_jaccard=min_jaccard)
     comp = connected_components(
         pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     ).select(F.col("file_id").alias("doc_id"), "cluster_id")
 
-    out = (
-        q.select("doc_id", "quality")
-        .join(sha.select("doc_id", "rep"), "doc_id", "left")
-        .join(comp, "doc_id", "left")
-    )
+    out = stamp.select("doc_id", "quality", "rep").join(comp, "doc_id", "left")
     is_low = F.col("quality") < min_quality
     is_exact = F.col("rep") != F.col("doc_id")
     is_near = F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("doc_id"))
