@@ -87,3 +87,36 @@ def session_window_counts_q(spark, sf_dir):
     from ..streaming.windows import session_window_counts
 
     return session_window_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# --- stream-stream interval join (streaming/joins.py), batch mode ----------
+# Purchase attributed to every click by the same user in the prior hour —
+# the watermarked stream-stream join plan run in batch (unified
+# semantics); the stream==batch equivalence is pinned in
+# tests/test_streaming_windows.py.
+@query(
+    "stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_interval_join_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    out = interval_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="cts", upper="1 hour"
+    )
+    return out.select("purchase_id", "click_id")

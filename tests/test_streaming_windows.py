@@ -110,3 +110,49 @@ def test_session_window_stream_equals_batch(spark):
         assert got == batch
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Watermarked stream-stream interval join: AvailableNow output ==
+    the identical plan in batch (both sides streamed from parquet)."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.streaming.joins import interval_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+
+    def plan(frame):
+        purchases = frame.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        clicks = frame.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+        )
+        return interval_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="cts",
+            upper="1 hour", watermark="30 days",
+        ).select("purchase_id", "click_id")
+
+    batch = {(r.purchase_id, r.click_id) for r in plan(ev).collect()}
+    base = tempfile.mkdtemp()
+    try:
+        inp = os.path.join(base, "in")
+        ev.write.parquet(inp, mode="overwrite")
+        stream = spark.readStream.schema(ev.schema).parquet(inp)
+        q = (
+            plan(stream)
+            .writeStream.format("memory")
+            .queryName("ivj")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.purchase_id, r.click_id)
+            for r in spark.sql("SELECT * FROM ivj").collect()
+        }
+        assert got == batch and batch
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
