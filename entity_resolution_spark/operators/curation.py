@@ -84,7 +84,13 @@ def curate_corpus(
         pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     ).select(F.col("file_id").alias("doc_id"), "cluster_id")
 
-    out = stamp.select("doc_id", "quality", "rep").join(comp, "doc_id", "left")
+    # shuffle_hash: build the (small) component-label side as a hash map
+    # instead of sort-merge — sorting the corpus-sized stamp frame is the
+    # cost to avoid; broadcast would be wrong (comp is corpus-bounded in
+    # the worst case), the engine-wide rule for corpus joins
+    out = stamp.select("doc_id", "quality", "rep").join(
+        comp.hint("shuffle_hash"), "doc_id", "left"
+    )
     is_low = F.col("quality") < min_quality
     is_exact = F.col("rep") != F.col("doc_id")
     is_near = F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("doc_id"))

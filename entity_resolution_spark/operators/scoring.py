@@ -90,6 +90,12 @@ def score_pairs(
     short-circuit).
     """
     cfg = cfg or PipelineConfig()
+    # the phase-1 fill below executes the JW UDF at CALL time — workers
+    # must be able to import this package even under a caller-built
+    # vanilla session (idempotent; resolve() also calls it)
+    from ..session import ensure_py_files
+
+    ensure_py_files(pairs.sparkSession)
     light = features.select(
         "file_id",
         "basename",

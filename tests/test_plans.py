@@ -135,3 +135,16 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     assert pf and "cell" in pf[0], plan[:1500]
     # and the probe results are real
     assert df.count() == 5
+
+
+def test_curation_plan_shape(spark):
+    """curate_corpus: no cartesian/nested-loop anywhere, the exact-collapse
+    window shuffles on the 32-byte digest (never raw text), and the final
+    label join is hash-based (no corpus-side sort)."""
+    from entity_resolution_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(curate_corpus(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "sha2" in plan  # the window partition key is the digest
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
