@@ -101,6 +101,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extras["repo_files_pairs_scored"] = float(n_scored2)
     extras["pairs_scored_per_sec"] = round(n_scored2 / dt2, 2) if dt2 > 0 else 0.0
 
+    # --- headline 3: fused corpus-curation (LLM training-data prep) on
+    # the documents table — quality gate + exact collapse + MinHash-LSH +
+    # connected components in one operator
+    t0 = time.time()
+    from entity_resolution_spark.operators.curation import curate_corpus
+
+    cur = curate_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_quality=0.6
+    )
+    kept = cur.filter("status = 'kept'").count()
+    n_docs = cur.count()
+    dtc = time.time() - t0
+    queries["corpus_curation"] = round(dtc, 3)
+    extras["curation_docs_per_sec"] = round(n_docs / dtc, 2) if dtc > 0 else 0.0
+    extras["curation_kept"] = float(kept)
+
     # --- representative operator queries from the driver contract
     from entity_resolution_spark.queries import SPARK_QUERIES
 
