@@ -73,6 +73,12 @@ def resolve(
 
     ensure_py_files(spark)  # pandas UDFs must import this package on workers
 
+    # fail fast with a complete report instead of an unresolved-column error
+    # deep inside the feature/blocking plan (P4 semantics, readers.py)
+    from ..sources.readers import validate_schema
+
+    validate_schema(files)
+
     if "file_id" not in files.columns:
         # deterministic fallback id: monotonically_increasing_id() is
         # partition-dependent, which made cluster_id = min(file_id)

@@ -114,3 +114,20 @@ def test_missing_file_id_fallback_is_deterministic(spark):
     b = {tuple(r[k] for k in key): r.cluster_id
          for r in r2.clusters.join(r2.features.select("file_id", *key), "file_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_resolve_rejects_wrong_shape_with_complete_report(spark):
+    """A frame missing identity columns fails fast with ALL problems named
+    (P4 semantics), not an unresolved-column error deep inside the plan —
+    previously a frame with no repo/path/commit crashed on a zero-arg
+    xxhash64."""
+    from entity_resolution_spark.sources.readers import SchemaValidationError
+
+    df = spark.createDataFrame(
+        [("py", "print(1)\n" * 20)], "lang string, content string"
+    )
+    with pytest.raises(SchemaValidationError) as exc:
+        resolve(df, PipelineConfig())
+    msg = str(exc.value)
+    for col in ("repo", "path", "commit"):
+        assert col in msg
