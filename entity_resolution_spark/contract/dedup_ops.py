@@ -405,3 +405,26 @@ def pipeline_clusters_light(spark, sf_dir):
     files = entry_mod._docs_as_repo_files(spark, sf_dir)
     res = resolve(files, PipelineConfig(w_content=0.0, similarity_threshold=45))
     return res.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "dup_span_stats",
+    f"""
+    WITH fps AS ({_sql.fingerprints_sql()}),
+    tot AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+    dupf AS (SELECT fingerprint FROM fps GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT f.doc_id, count(*) AS n_dup FROM fps f JOIN dupf USING (fingerprint) GROUP BY 1)
+    SELECT t.doc_id, CAST(t.n_fp AS BIGINT) AS n_fp,
+           CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_fp,
+           round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_fp, 6) AS dup_frac
+    FROM tot t LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def dup_span_stats(spark, sf_dir):
+    """Cross-document duplicated-span fractions from winnowing fingerprints
+    (approximate exact-substring dedup, Lee et al. 2022) — oracle reuses the
+    bit-exact rolling-hash SQL replica."""
+    from ..operators.dedup import duplicate_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(d)

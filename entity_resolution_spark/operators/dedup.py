@@ -415,3 +415,68 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("left_id", "right_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Cross-document duplicate-span statistics (winnowing fingerprints)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span fractions: which parts of each doc also
+    appear elsewhere in the corpus (boilerplate, quoted passages, licence
+    headers) — the approximate form of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better").
+
+    Winnowing fingerprints (Schleimer et al., functions/text.py:fingerprint)
+    localize shared k-gram runs; a fingerprint appearing in >= min_docs
+    distinct documents marks its span as duplicated. Output:
+    (doc_id, n_fp, n_dup_fp, dup_frac), docs with >= 1 fingerprint only.
+
+    Scale shape: one Arrow pass for the fingerprints, one groupBy on the
+    64-bit fingerprint for document frequency, one shuffle-hash join back —
+    no self-join, so corpus-wide boilerplate cannot create a quadratic
+    block (the fingerprint df table grows linearly with the corpus).
+    """
+    from ..session import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.text import batch_fingerprint
+
+        return batch_fingerprint(texts, k=k, window=window).apply(
+            lambda xs: [int(x) for x in xs]
+        )
+
+    fps = docs.select(
+        F.col(id_col).alias("id"), F.explode(fp_udf(F.col(text_col))).alias("fp")
+    ).localCheckpoint(eager=True)  # one kernel pass feeds df-count AND join
+    dup_fps = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    totals = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+    dups = (
+        fps.join(dup_fps.hint("shuffle_hash"), "fp")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_fp"))
+    )
+    out = totals.join(dups, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_fp",
+        F.coalesce(F.col("n_dup_fp"), F.lit(0)).alias("n_dup_fp"),
+        F.round(
+            F.coalesce(F.col("n_dup_fp"), F.lit(0)) / F.col("n_fp"), 6
+        ).alias("dup_frac"),
+    )
+    return out

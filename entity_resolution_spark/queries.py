@@ -33,4 +33,10 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Registrations land in entity_resolution_spark/contract/*.py; import them
 # here so a single `from entity_resolution_spark.queries import SPARK_QUERIES`
 # sees everything.
-from .contract import core_ops, dedup_ops, stream_ops, text_ops  # noqa: E402,F401
+from .contract import (  # noqa: E402,F401
+    core_ops,
+    dedup_ops,
+    sampling_ops,
+    stream_ops,
+    text_ops,
+)

@@ -1,0 +1,92 @@
+"""operators/sampling.py + duplicate_span_stats behavioral tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.sampling import (
+    deterministic_split,
+    per_source_cap,
+    split_thresholds,
+)
+
+
+def test_split_thresholds_reject_bad_fractions():
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
+
+
+def test_split_is_deterministic_and_roughly_proportional(spark):
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    out = deterministic_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # partitioning-independent: same assignment under a different layout
+    out2 = deterministic_split(df.repartition(17), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = dict(out.select("k", "split").collect())
+    b = dict(out2.select("k", "split").collect())
+    assert a == b
+
+
+def test_split_never_moves_rows_when_corpus_grows(spark):
+    """Content-addressing property: adding rows can't reassign old rows."""
+    small = spark.range(0, 1_000).withColumnRenamed("id", "k")
+    big = spark.range(0, 5_000).withColumnRenamed("id", "k")
+    a = dict(deterministic_split(small, "k").select("k", "split").collect())
+    b = dict(deterministic_split(big, "k").select("k", "split").collect())
+    assert all(b[k] == v for k, v in a.items())
+
+
+def _skewed_sources(spark):
+    # one giant source (hot key) + many small ones
+    giant = spark.range(0, 5_000).select(
+        F.lit("giant").alias("source"), F.col("id").alias("k")
+    )
+    small = spark.range(5_000, 5_400).select(
+        F.concat(F.lit("s"), (F.col("id") % 40).cast("string")).alias("source"),
+        F.col("id").alias("k"),
+    )
+    return giant.unionByName(small)
+
+
+def test_per_source_cap_exact_counts(spark):
+    df = _skewed_sources(spark)
+    out = per_source_cap(df, "source", "k", cap=25)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["giant"] == 25
+    for s, n in counts.items():
+        if s != "giant":
+            assert n == 10  # 400 rows over 40 sources, all under the cap
+
+
+def test_per_source_cap_prefilter_matches_exact(spark):
+    df = _skewed_sources(spark)
+    exact = sorted(map(tuple, per_source_cap(df, "source", "k", cap=25).select("source", "k").collect()))
+    pre = sorted(map(tuple, per_source_cap(df, "source", "k", cap=25, prefilter_margin=4.0).select("source", "k").collect()))
+    assert exact == pre
+
+
+def test_per_source_cap_repair_path_matches_exact(spark):
+    """A deliberately starved margin forces the undershoot-repair pass;
+    the result must still equal the exact plan."""
+    df = _skewed_sources(spark)
+    exact = sorted(map(tuple, per_source_cap(df, "source", "k", cap=25).select("source", "k").collect()))
+    starved = sorted(map(tuple, per_source_cap(df, "source", "k", cap=25, prefilter_margin=0.2).select("source", "k").collect()))
+    assert exact == starved
+
+
+def test_duplicate_span_stats_flags_shared_boilerplate(spark):
+    from entity_resolution_spark.operators.dedup import duplicate_span_stats
+
+    header = "copyright acme corporation all rights reserved " * 4
+    rows = [
+        (1, header + "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        (2, header + "one two three four five six seven eight nine ten " * 6),
+        (3, "completely different text with nothing shared at all qqq " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_stats(docs).collect()}
+    assert out[1]["n_dup_fp"] > 0 and out[2]["n_dup_fp"] > 0
+    assert out[3]["n_dup_fp"] == 0 and out[3]["dup_frac"] == 0.0
+    assert 0 < out[1]["dup_frac"] < 1
