@@ -428,3 +428,27 @@ def dup_span_stats(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return duplicate_span_stats(d)
+
+
+# The incremental plan's oracle is the BATCH SQL program over the full
+# corpus: resolve() on 3/4 of the docs, resolve_incremental() folds in the
+# remaining 1/4, and the result must equal batch clusters on the union
+# (the closure property tests/test_incremental_resolve.py pins on synthetic
+# corpora, here checked value-for-value by DuckDB at the driver).
+@query("incremental_clusters_light", _sql.pipeline_light_clusters_sql(threshold=45))
+def incremental_clusters_light(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    from ..config import PipelineConfig
+    from ..plans.incremental import resolve_incremental
+    from ..plans.pipeline import resolve
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = entry_mod._docs_as_repo_files(spark, sf_dir)
+    cfg = PipelineConfig(w_content=0.0, similarity_threshold=45)
+    old = files.filter(F.pmod(F.col("file_id"), F.lit(4)) != 0)
+    new = files.filter(F.pmod(F.col("file_id"), F.lit(4)) == 0)
+    prior = resolve(old, cfg)
+    inc = resolve_incremental(prior.features, prior.clusters, new, cfg)
+    return inc.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")

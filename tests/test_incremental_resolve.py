@@ -1,0 +1,83 @@
+"""resolve_incremental == batch resolve on the union (no caps crossed)."""
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.config import PipelineConfig
+from entity_resolution_spark.datagen import generate_repo_files
+from entity_resolution_spark.plans.incremental import resolve_incremental
+from entity_resolution_spark.plans.pipeline import resolve
+
+
+def _cluster_sets(clusters_df):
+    """Partition-shape comparison: frozenset of member-frozensets (cluster
+    ids themselves are min-file-id, so direct dict compare also works)."""
+    rows = clusters_df.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["file_id"])
+    return {cid: frozenset(m) for cid, m in by_cluster.items()}
+
+
+def _split(files):
+    old = files.filter(F.pmod(F.xxhash64("path"), F.lit(4)) != 0)
+    new = files.filter(F.pmod(F.xxhash64("path"), F.lit(4)) == 0)
+    return old, new
+
+
+def test_incremental_matches_batch_union(spark):
+    files = generate_repo_files(spark, 120).localCheckpoint()
+    old, new = _split(files)
+    cfg = PipelineConfig()
+
+    prior = resolve(old, cfg)
+    inc = resolve_incremental(prior.features, prior.clusters, new, cfg)
+    batch = resolve(files, cfg)
+
+    assert _cluster_sets(inc.clusters) == _cluster_sets(batch.clusters)
+
+
+def test_incremental_with_reused_blocking_index(spark):
+    """Passing the prior blocking index (the 100 TB mode: old keys are not
+    recomputed) must give the same clusters."""
+    from entity_resolution_spark.operators.blocking import (
+        exploded_blocks,
+        with_block_keys,
+    )
+    from entity_resolution_spark.plans.pipeline import exact_duplicate_edges
+
+    files = generate_repo_files(spark, 100).localCheckpoint()
+    old, new = _split(files)
+    cfg = PipelineConfig()
+
+    prior = resolve(old, cfg)
+    old_reps, _ = exact_duplicate_edges(prior.features)
+    prior_blocks = exploded_blocks(with_block_keys(old_reps, cfg)).filter(
+        ~F.col("block_key").startswith("sha:")
+    )
+
+    inc = resolve_incremental(
+        prior.features, prior.clusters, new, cfg, prior_blocks=prior_blocks
+    )
+    batch = resolve(files, cfg)
+    assert _cluster_sets(inc.clusters) == _cluster_sets(batch.clusters)
+
+
+def test_incremental_exact_dup_joins_without_scoring(spark):
+    """A new file byte-identical to an old one joins its cluster through
+    the exact-duplicate star edge; no candidate pair is scored for it."""
+    rows_old = [
+        ("r1", "src/alpha.py", "c1", "py", "def alpha():\n    return 1\n" * 10),
+        ("r2", "src/beta.py", "c2", "py", "def beta():\n    return 2\n" * 10),
+    ]
+    rows_new = [
+        ("r3", "vendored/alpha.py", "c3", "py", "def alpha():\n    return 1\n" * 10),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    old = spark.createDataFrame(rows_old, schema)
+    new = spark.createDataFrame(rows_new, schema)
+    cfg = PipelineConfig()
+    prior = resolve(old, cfg)
+    inc = resolve_incremental(prior.features, prior.clusters, new, cfg)
+    sets = _cluster_sets(inc.clusters)
+    sizes = sorted(len(m) for m in sets.values())
+    assert sizes == [1, 2]  # alpha pair merged, beta alone
