@@ -376,3 +376,32 @@ def f_jw_levenshtein(spark, sf_dir):
         F.round(jw_udf(F.col("na"), F.col("nb")), 6).alias("jw"),
         F.levenshtein("na", "nb").alias("lev"),
     )
+
+
+# --- corpus TF-IDF top terms (two-pass global statistics) ------------------
+@query(
+    "tfidf_top_terms",
+    """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id AS id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents) GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.id, t.term,
+             round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf t JOIN df d USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    SELECT id AS doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per doc by smoothed TF-IDF — two-pass corpus
+    statistics entirely in JVM expressions (operators/terms.py)."""
+    from ..operators.terms import tfidf_top_terms as op
+
+    d = _t(spark, sf_dir, "documents")
+    return op(d, k=3)
