@@ -87,6 +87,26 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extras["documents_pairs_scored"] = float(n_scored)
     extras["documents_clusters"] = float(n_clusters)
 
+    # --- headline 1b: incremental fold — a 2% near-duplicate delta merged
+    # into headline 1's standing clusters without re-scoring the corpus
+    # (plans/incremental.py; the 100 TB grow-only operating mode)
+    t0 = time.time()
+    from entity_resolution_spark.plans.incremental import resolve_incremental
+
+    delta = (
+        files.filter(F.pmod(F.xxhash64("path"), F.lit(50)) == 0)
+        .withColumn("file_id", F.col("file_id") + F.lit(10_000_000))
+        .withColumn("path", F.concat(F.col("path"), F.lit(".mirror")))
+        .withColumn("content", F.concat(F.col("content"), F.lit("\n# mirrored copy\n")))
+    )
+    inc = resolve_incremental(res.features, res.clusters, delta, PipelineConfig())
+    n_inc_pairs = inc.scored.count()
+    inc.clusters.count()
+    dti = time.time() - t0
+    queries["incremental_fold"] = round(dti, 3)
+    extras["incremental_delta_rows"] = float(delta.count())
+    extras["incremental_pairs_scored"] = float(n_inc_pairs)
+
     # --- headline 2: pipeline on deterministic synthetic repo_files
     # (north-rule input shape; size scales with sf)
     n_groups = max(200, int(30000 * sf))
