@@ -452,3 +452,23 @@ def incremental_clusters_light(spark, sf_dir):
     prior = resolve(old, cfg)
     inc = resolve_incremental(prior.features, prior.clusters, new, cfg)
     return inc.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "label_centroids",
+    """
+    SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(val), 6) AS val
+    FROM (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids as scalar (label, pos, val) rows —
+    element-wise mean via posexplode/groupBy (operators/vectors.py)."""
+    from ..operators.vectors import group_centroids_long
+
+    e = _t(spark, sf_dir, "embeddings")
+    return group_centroids_long(e, "label")
