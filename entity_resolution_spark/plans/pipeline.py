@@ -45,13 +45,29 @@ class ResolutionResult:
 def exact_duplicate_edges(feat: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(representatives, star edges rep->member) by content_sha256.
 
-    One shuffle on the digest; the window-min avoids a self-join.
+    Hash-aggregate to a (digest, rep_id) map, then hash-join it back: the
+    aggregate's map-side combine shrinks even a 10^9-member boilerplate
+    digest to one row per partition before the shuffle, and neither step
+    sorts — a window-min here (the earlier design) sorts every partition by
+    digest, which makes the one mega-digest group a single-task external
+    sort at 100 TB.
+
+    NULL content (unknown bytes) is NOT a duplicate of other unknowns: each
+    null-content row keys by its own file_id and stays a singleton here —
+    otherwise every content-less row in the corpus would merge into one
+    mega-cluster. The sha256 column itself stays NULL (the per-row
+    invariant is sha-of-content, not sha-of-coalesce).
     """
-    w = Window.partitionBy("content_sha256")
-    tagged = feat.withColumn("rep_id", F.min("file_id").over(w))
-    reps = tagged.filter(F.col("file_id") == F.col("rep_id")).drop("rep_id")
+    key = F.coalesce(
+        F.col("content_sha256"),
+        F.concat(F.lit("__null__:"), F.col("file_id").cast("string")),
+    )
+    tagged = feat.withColumn("__sha_key", key)
+    rep_map = tagged.groupBy("__sha_key").agg(F.min("file_id").alias("rep_id"))
+    joined = tagged.join(rep_map.hint("shuffle_hash"), "__sha_key")
+    reps = joined.filter(F.col("file_id") == F.col("rep_id")).drop("rep_id", "__sha_key")
     edges = (
-        tagged.filter(F.col("file_id") != F.col("rep_id"))
+        joined.filter(F.col("file_id") != F.col("rep_id"))
         .select(F.col("rep_id").alias("src"), F.col("file_id").alias("dst"))
     )
     return reps, edges

@@ -47,3 +47,31 @@ def test_blocking_metrics_emitted(spark):
     assert m[("blocking", "max_block_size")] >= 2
     assert m[("blocking", "dropped_keys")] == 0
     assert ("blocking", "p99_block_size") in m
+
+
+def test_null_content_flood_stays_singletons(spark):
+    """Rows with NULL content (bytes unavailable at scan time) must NOT merge
+    with each other: unknown == unknown is not evidence of duplication. A
+    shared NULL sha collapsing into one exact-dup group would fuse every
+    content-less row in a 100 TB corpus into a single mega-cluster."""
+    base = generate_repo_files(spark, 40)
+    nulls = spark.range(500).select(
+        (F.col("id") + 2_000_000).alias("file_id"),
+        F.lit("megacorp/opaque").alias("repo"),
+        F.concat(F.lit("blob/unknown_"), F.col("id").cast("string"), F.lit(".bin")).alias("path"),
+        F.lpad(F.col("id").cast("string"), 40, "f").alias("commit"),
+        F.lit("binary").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+    )
+    files = base.unionByName(nulls)
+    res = resolve(files, PipelineConfig())
+    # the sha column itself stays NULL — the invariant is sha-of-content
+    null_feat = res.features.filter(F.col("file_id") >= 2_000_000)
+    assert null_feat.filter(F.col("content_sha256").isNotNull()).count() == 0
+    # every null-content row resolves to its own cluster
+    got = res.clusters.filter(F.col("file_id") >= 2_000_000)
+    assert got.count() == 500
+    assert got.select("cluster_id").distinct().count() == 500
+    # and the base corpus still resolves (flood did not eat the pair budget)
+    m = {(r.stage, r.metric): r.value for r in res.metrics.collect()}
+    assert m[("input", "rows")] == base.count() + 500
