@@ -73,6 +73,16 @@ class PipelineConfig:
     # logged, never silent — SURVEY.md §4.2). High default: a recall knob
     # that should only fire on pathological corpora.
     max_pairs_per_hot_block: int = 10_000_000
+    # content chars per side fed to the edit-ratio kernel. The bit-parallel
+    # LCS is O(len_l*len_r/64): one near-identical pair of 1 MB minified
+    # bundles costs ~1.6e10 word-ops — a single-pair straggler no amount of
+    # partitioning fixes. Pairs with either side over the cap score the
+    # edit ratio on the first lev_max_chars normalized chars, clamped to
+    # the full-length upper bound 200*min(n_l,n_r)/(n_l+n_r) so truncation
+    # can never claim more similarity than the real lengths allow. Pairs
+    # under the cap (everything in the reference's domain) are bit-exact
+    # fuzz.ratio. Worst-case kernel cost becomes ~1e7 word-ops (~ms).
+    lev_max_chars: int = 25_000
     # clustering
     cc_max_iterations: int = 50
     # checkpointing / resume

@@ -24,7 +24,10 @@ by up to half a point) can never match — they are scored with
 content join entirely.
 
 **Phase 2 (heavy).** Only bound-survivors join the actual contents and run
-the bit-parallel LCS ratio (exact-equality shortcut first). On realistic
+the bit-parallel LCS ratio (exact-equality shortcut first; content capped
+at ``lev_max_chars`` per side with a full-length-bound clamp, so one pair
+of megabyte minified bundles cannot become a quadratic straggler task —
+see config.py). On realistic
 corpora survivors are a few percent of candidates, so the content bytes
 (the dominant shuffle payload — KBs per row vs ~100 B of pair metadata)
 move for a small fraction of pairs. A naive one-phase scorer shuffles
@@ -170,9 +173,24 @@ def score_pairs(
     )
 
     survivors = p1.filter(bound >= reject_below)
-    content = features.select("file_id", "norm_content")
-    lc = content.select(F.col("file_id").alias("left_id"), F.col("norm_content").alias("l_norm"))
-    rc = content.select(F.col("file_id").alias("right_id"), F.col("norm_content").alias("r_norm"))
+    # megafile guard: truncate the content fed to the LCS kernel at
+    # lev_max_chars (JVM-side, so the Arrow transfer shrinks too) and carry
+    # the true lengths; see PipelineConfig.lev_max_chars for the cost math
+    content = features.select(
+        "file_id",
+        F.substring("norm_content", 1, cfg.lev_max_chars).alias("norm_content"),
+        F.length("norm_content").alias("n_full"),
+    )
+    lc = content.select(
+        F.col("file_id").alias("left_id"),
+        F.col("norm_content").alias("l_norm"),
+        F.col("n_full").alias("l_full"),
+    )
+    rc = content.select(
+        F.col("file_id").alias("right_id"),
+        F.col("norm_content").alias("r_norm"),
+        F.col("n_full").alias("r_full"),
+    )
     heavy = survivors.join(lc.hint("shuffle_hash"), "left_id").join(
         rc.hint("shuffle_hash"), "right_id"
     )
@@ -186,8 +204,21 @@ def score_pairs(
     # long-content partition was a straggler that cost ~40% wall-clock on
     # the scaling bench (bimodal 104 s vs 170 s at 8 cores).
     heavy = heavy.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 8)
+    # truncated pairs clamp to the full-length upper bound (floor keeps the
+    # int type and errs toward NOT matching); untruncated pairs keep the
+    # bit-exact fuzz.ratio — applying the clamp there would shave the
+    # banker's-rounding half-point off genuine matches
+    truncated = (F.col("l_full") > cfg.lev_max_chars) | (F.col("r_full") > cfg.lev_max_chars)
+    full_ub = 200.0 * F.least("l_full", "r_full") / (F.col("l_full") + F.col("r_full"))
+    raw_ratio = _lev_udf(F.col("l_norm"), F.col("r_norm"))
     scored2 = (
-        heavy.withColumn("lev_ratio", _lev_udf(F.col("l_norm"), F.col("r_norm")))
+        heavy.withColumn("raw_ratio", raw_ratio)
+        .withColumn(
+            "lev_ratio",
+            F.when(
+                truncated, F.least(F.col("raw_ratio"), F.floor(full_ub).cast("int"))
+            ).otherwise(F.col("raw_ratio")),
+        )
         .withColumn(
             "score", F.round(cfg.w_content * F.col("lev_ratio") + F.col("base_score"), 6)
         )
