@@ -472,3 +472,50 @@ def label_centroids(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return group_centroids_long(e, "label")
+
+
+# Test-set decontamination (operators/decontam.py): docs with doc_id % 97
+# == 0 stand in as the benchmark/eval set; every other doc reports what
+# fraction of its distinct word n-grams appear in the benchmark. n=3 here
+# (the synthetic docs are a few dozen tokens; real pipelines use 8-13 —
+# the plan is identical, only the gram width changes).
+_DECON_N = 3
+
+
+@query(
+    "ngram_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_DECON_N}
+                  THEN list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                                      FOR i IN range(1, len(t)-{_DECON_N}+2)])
+                  ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM toks),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0 AND len(g) > 0),
+    hits AS (
+      SELECT tt.doc_id, count(*) AS hit_grams
+      FROM (SELECT doc_id, unnest(g) AS gram FROM train) tt
+      JOIN bench USING (gram)
+      GROUP BY tt.doc_id)
+    SELECT train.doc_id,
+           CAST(len(g) AS BIGINT) AS total_grams,
+           CAST(COALESCE(hit_grams, 0) AS BIGINT) AS hit_grams,
+           round(COALESCE(hit_grams, 0)::DOUBLE / len(g), 6) AS contamination
+    FROM train LEFT JOIN hits USING (doc_id)
+    """,
+)
+def ngram_decontamination(spark, sf_dir):
+    """Benchmark-overlap fractions for the training split of documents."""
+    from ..operators.decontam import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return ngram_contamination(train, bench, n=_DECON_N)
