@@ -405,3 +405,58 @@ def tfidf_top_terms(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return op(d, k=3)
+
+
+# Multimodal feature extraction (operators/multimodal.py): documents stand
+# in as opaque media payloads (UTF-8 bytes), kind cycles by doc_id. The
+# deterministic fake decoder derives each 16-dim vector from the payload's
+# sha256 digest (little-endian uint32 words / 2^32 as float32), which an
+# ANSI-SQL oracle replicates hex-digit-for-hex-digit — so the ENTIRE
+# mapInPandas plumbing (Arrow batching, schema, byte handling) is
+# value-hash-checked even though the real codec is a declared stub.
+@query(
+    "multimodal_fake_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             sha256(text) AS sha,
+             octet_length(CAST(text AS BLOB)) AS nb
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT media_id, kind, sha AS payload_sha256,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(p AS INT) AS pos,
+           CAST((
+              ('0x' || substr(sha, ((4*p)     % 32)*2 + 1, 2))::BIGINT
+            + ('0x' || substr(sha, ((4*p + 1) % 32)*2 + 1, 2))::BIGINT * 256
+            + ('0x' || substr(sha, ((4*p + 2) % 32)*2 + 1, 2))::BIGINT * 65536
+            + ('0x' || substr(sha, ((4*p + 3) % 32)*2 + 1, 2))::BIGINT * 16777216
+           )::DOUBLE / 4294967296.0 AS FLOAT) AS val
+    FROM m, range(0, 16) r(p)
+    """,
+)
+def multimodal_fake_features(spark, sf_dir):
+    """Arrow-batched media feature extraction, exploded to scalar rows."""
+    from ..operators.multimodal import extract_features
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(5)) == 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "val"),
+    )
