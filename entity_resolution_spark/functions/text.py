@@ -121,9 +121,13 @@ def quality_score_col(text: Column) -> Column:
     mean_word = F.when(n_tokens > 0, n / n_tokens).otherwise(F.lit(0.0))
     len_score = F.least(n / F.lit(500.0), F.lit(1.0))  # saturate at 500 chars
     word_score = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(
+    score = F.round(
         F.lit(0.4) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.2) * word_score, 4
     )
+    # NULL text scores NULL, not 0.5: F.least SKIPS nulls, so without the
+    # guard len_score silently becomes 1.0 for content-less rows and they
+    # pass quality gates they never saw
+    return F.when(text.isNotNull(), score)
 
 
 def repetition_stats_cols(text: Column) -> dict[str, Column]:

@@ -19,8 +19,15 @@ Scale shape (each stage reuses machinery already sized for 100 TB):
 
 - the quality gate is a pure JVM expression (functions/text.py) — codegen,
   no Python;
-- exact collapse windows over ``sha2(text)`` — never the raw text bytes —
-  so the shuffle key is 32 bytes regardless of document size;
+- exact collapse is a narrow hash-aggregate: only ``(doc_id, digest,
+  quality)`` ever shuffles — text bytes move exactly once, and only for
+  surviving representatives, keyed by the uniform ``doc_id`` (a window
+  over the digest — the earlier design — sort-shuffles every text byte on
+  a skewed key: one boilerplate digest repeated 10^8 times becomes a
+  single-task external sort);
+- NULL text is low_quality by definition (no content to keep) and keys by
+  its own doc_id, so content-less docs neither merge with each other nor
+  vanish through a null-key join;
 - near-dup runs ``minhash_lsh_pairs`` (skew-capped band self-join,
   empty-doc sentinel exclusion) on *representatives only* — boilerplate
   repeated millions of times costs one representative each, the same
@@ -38,7 +45,7 @@ recursive-CTE closure).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import MinHashConfig
@@ -57,27 +64,42 @@ def curate_corpus(
     from .clustering import connected_components
     from .dedup import minhash_lsh_pairs
 
-    # ONE pass stamps quality AND the exact-dup representative: the window
-    # shuffles on the 32-byte sha2 digest (never the raw text as a key),
-    # and `rep` = min surviving doc_id of the sha group (NULL if the whole
-    # group failed quality). Everything downstream — the LSH input, the
-    # status assembly — reads this single lineage instead of re-scanning
-    # the corpus per stage (text bytes are the dominant I/O at 100 TB; a
-    # StageStore/persist boundary on `stamp` makes it one physical scan).
-    surviving = F.when(
-        quality_score_col(F.col(text_col)) >= min_quality, F.col(id_col)
+    # Narrow pass: (doc_id, digest, quality) — text is READ here but never
+    # shuffled. `rep` = min surviving doc_id per sha group (NULL if the
+    # whole group failed quality), assigned via hash-aggregate + hash-join:
+    # map-side combine shrinks even a 10^8-member boilerplate digest to one
+    # row per input partition, and nothing sorts. NULL text keys by its own
+    # doc_id (unknown != unknown; a bare NULL digest would also silently
+    # drop those rows at the inner join below).
+    digest = F.coalesce(
+        F.sha2(F.col(text_col).cast("binary"), 256),
+        F.concat(F.lit("__null__:"), F.col(id_col).cast("string")),
     )
-    stamp = docs.select(
+    narrow = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
+        digest.alias("digest"),
         quality_score_col(F.col(text_col)).alias("quality"),
-        F.min(surviving)
-        .over(Window.partitionBy(F.sha2(F.col(text_col).cast("binary"), 256)))
-        .alias("rep"),
     )
-    reps = stamp.filter(
-        (F.col("quality") >= min_quality) & (F.col("doc_id") == F.col("rep"))
-    ).select("doc_id", "text")
+    surviving = F.when(F.col("quality") >= min_quality, F.col("doc_id"))
+    rep_map = narrow.groupBy("digest").agg(F.min(surviving).alias("rep"))
+    stamp = narrow.join(rep_map.hint("shuffle_hash"), "digest").select(
+        "doc_id", "quality", "rep"
+    )
+    # Text re-attaches ONLY for surviving representatives (the LSH input),
+    # keyed by the uniform doc_id — the one corpus-bytes shuffle in the
+    # operator, and it is skew-free by construction.
+    reps = (
+        stamp.filter(
+            (F.col("quality") >= min_quality) & (F.col("doc_id") == F.col("rep"))
+        )
+        .select("doc_id")
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ).hint("shuffle_hash"),
+            "doc_id",
+        )
+    )
 
     pairs = minhash_lsh_pairs(reps, cfg=cfg, min_jaccard=min_jaccard)
     comp = connected_components(
@@ -91,7 +113,7 @@ def curate_corpus(
     out = stamp.select("doc_id", "quality", "rep").join(
         comp.hint("shuffle_hash"), "doc_id", "left"
     )
-    is_low = F.col("quality") < min_quality
+    is_low = F.col("quality").isNull() | (F.col("quality") < min_quality)
     is_exact = F.col("rep") != F.col("doc_id")
     is_near = F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("doc_id"))
     return out.select(

@@ -222,3 +222,20 @@ def test_curate_corpus_deterministic_across_partitioning(spark):
     a = sorted(map(str, curate_corpus(docs.repartition(1)).collect()))
     b = sorted(map(str, curate_corpus(docs.repartition(16)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_curate_corpus_null_text_is_low_quality(spark):
+    """NULL text = no content: low_quality with NULL canonical, never
+    merged with other NULL-text docs, never silently dropped by a
+    null-key join."""
+    from entity_resolution_spark.operators.curation import curate_corpus
+
+    rows = [(0, "a well formed document about join reordering strategies "
+                "and broadcast thresholds in distributed query optimizers"),
+            (1, None), (2, None), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.status, r.canonical_id) for r in curate_corpus(docs).collect()}
+    assert len(out) == 4  # nobody vanished
+    assert out[0][0] == "kept"
+    for i in (1, 2, 3):
+        assert out[i] == ("low_quality", None)
