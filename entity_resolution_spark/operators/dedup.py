@@ -19,7 +19,7 @@ left_id < right_id pairs or cluster assignments.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -59,8 +59,11 @@ def _capped_block_pairs(
       are still found through their other, more selective bands — and the
       exact-sha path catches identical docs regardless).
     """
-    w = Window.partitionBy("bk")
-    sized = exploded.withColumn("bs", F.count("*").over(w)).filter(
+    # census by hash-aggregate + join-back, not count-over-window: the
+    # window form sorts each block in one task, so a 10^8-member stop-key
+    # would straggle in the sort before the drop filter removed it
+    census = exploded.groupBy("bk").agg(F.count("*").alias("bs"))
+    sized = exploded.join(census.hint("shuffle_hash"), "bk").filter(
         F.col("bs") <= drop_limit
     )
 
@@ -318,8 +321,11 @@ def ngram_jaccard_pairs(
         "n_grams", F.size("grams")
     ).localCheckpoint(eager=True)
     postings = d.select("id", "n_grams", F.explode("grams").alias("gram"))
-    df_w = Window.partitionBy("gram")
-    postings = postings.withColumn("doc_freq", F.count("*").over(df_w)).filter(
+    # doc-freq by hash-aggregate + join-back, not count-over-window: the
+    # window sorts each gram's postings in one task, so exactly the
+    # stop-grams this filter exists to drop would straggle first
+    gram_freq = postings.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    postings = postings.join(gram_freq.hint("shuffle_hash"), "gram").filter(
         F.col("doc_freq") <= max_doc_freq
     )
     a = postings.select(
