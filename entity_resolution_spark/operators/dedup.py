@@ -133,19 +133,40 @@ def _capped_block_pairs(
 # 1. Exact dedup (hash groupBy)
 # ---------------------------------------------------------------------------
 
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_roster: int = 10_000,
+) -> DataFrame:
     """(content_sha256, n_copies, canonical_doc_id, doc_ids) per duplicate
-    group with > 1 member. One shuffle on the digest."""
-    return (
-        docs.withColumn("content_sha256", F.sha2(F.col(text_col).cast("binary"), 256))
-        .groupBy("content_sha256")
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min(id_col).alias("canonical_doc_id"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+    group with > 1 member.
+
+    The id roster is memory-bounded: a boilerplate digest repeated 10^8
+    times would build a 10^8-element collect_list in ONE aggregation
+    buffer, so the census runs first (narrow, map-side combined) and only
+    groups with <= max_roster members are joined back for the list
+    aggregate — oversize groups report ``doc_ids = NULL`` (their count and
+    canonical are still exact; enumerate members by joining on the digest
+    if needed)."""
+    tagged = docs.select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_sha256"),
+    )
+    census = (
+        tagged.groupBy("content_sha256")
+        .agg(F.count("*").alias("n_copies"), F.min("__id").alias("canonical_doc_id"))
         .filter(F.col("n_copies") > 1)
     )
+    roster = (
+        tagged.join(
+            census.filter(F.col("n_copies") <= max_roster).select("content_sha256"),
+            "content_sha256",
+        )
+        .groupBy("content_sha256")
+        .agg(F.sort_array(F.collect_list("__id")).alias("doc_ids"))
+    )
+    return census.join(roster.hint("shuffle_hash"), "content_sha256", "left")
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,19 @@ def test_curate_corpus_null_text_is_low_quality(spark):
     assert out[0][0] == "kept"
     for i in (1, 2, 3):
         assert out[i] == ("low_quality", None)
+
+
+def test_exact_duplicates_roster_bounded(spark):
+    """Groups above max_roster keep exact counts/canonical but a NULL id
+    roster — the collect_list buffer never sees a mega group's members."""
+    from entity_resolution_spark.operators.dedup import exact_duplicates
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 40, F.lit("common boilerplate body"))
+        .otherwise(F.lit("rare duplicate body"))
+        .alias("text"),
+    )
+    out = {r.canonical_doc_id: r for r in exact_duplicates(docs, max_roster=10).collect()}
+    assert out[0].n_copies == 40 and out[0].doc_ids is None
+    assert out[40].n_copies == 10 and list(out[40].doc_ids) == list(range(40, 50))
