@@ -13,12 +13,23 @@ exploits two closure properties of the batch design:
   so old rows keep their keys and only new-vs-(old ∪ new) pairs inside
   shared blocks need scoring — never old-vs-old.
 
-Cost per increment: features for the new batch only; one narrow shuffle
-over (sha, id) of the old corpus for the exact-duplicate collapse; block
-keys for new representatives (plus optionally reusing a persisted blocking
-index for old rows — pass ``prior_blocks``; otherwise old keys are
-recomputed map-side); scoring restricted to pairs with >= 1 new side; CC
-over star + exact + new-match edges.
+Cost per increment is DELTA-PROPORTIONAL — the corpus is scanned
+(column-pruned, broadcast-probed) but never shuffled:
+
+- exact collapse runs only on sha groups containing a new digest (the
+  increment's digest set broadcasts; the union is semi-probed);
+- the old blocking index is semi-probed against the increment's key set
+  (pass ``prior_blocks`` to reuse the persisted index; otherwise old keys
+  are recomputed map-side — compute, not shuffle);
+- scoring features are semi-probed down to actual pair members before the
+  scoring joins, so the corpus light-feature frame never shuffles;
+- connected components runs only over components touched by a new edge:
+  prior clusters replay their star edges iff an endpoint belongs to them;
+  every other row keeps its prior assignment verbatim.
+
+The broadcast frames (digests, block keys, pair ids, touched clusters) are
+all O(delta x keys); for a delta that is a large fraction of the corpus,
+run the batch ``resolve()`` instead — it is the same price at that point.
 
 Equivalence: with no skew cap crossed, ``resolve_incremental(A, B)``
 produces exactly the clusters of ``resolve(A ∪ B)`` (asserted in
@@ -42,9 +53,9 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..operators.blocking import exploded_blocks, with_block_keys, with_features
-from ..operators.clustering import assign_clusters, connected_components
+from ..operators.clustering import connected_components
 from ..operators.scoring import matched_edges, score_pairs
-from .pipeline import exact_duplicate_edges
+from .pipeline import exact_duplicate_edges, sha_group_key
 
 
 @dataclass
@@ -56,19 +67,24 @@ class IncrementalResult:
 
 
 def incremental_candidate_pairs(
-    blocks: DataFrame, new_ids: DataFrame, cfg: PipelineConfig | None = None
+    old_blocks: DataFrame, new_blocks: DataFrame, cfg: PipelineConfig | None = None
 ) -> DataFrame:
-    """(block_key, file_id) x new ids -> (left_id, right_id, block_key)
-    where at least one side is new. Same skew ladder semantics as the batch
+    """old index x new index -> (left_id, right_id, block_key) where the
+    right side is new. Same skew ladder semantics as the batch
     candidate_pairs: stop-keys dropped, per-block pair budget hash-thinned
     deterministically, cross-key dedup keeps the min block_key.
+
+    Delta-proportional: the set of keys the increment touches is broadcast
+    and the (corpus-sized) old index is SEMI-PROBED against it — the old
+    index is scanned, never shuffled, and everything downstream (census,
+    joins, budgets) runs on the delta-bounded live subset.
     """
     cfg = cfg or PipelineConfig()
-    tagged = blocks.join(
-        new_ids.select("file_id").withColumn("__is_new", F.lit(True)),
-        "file_id",
-        "left",
-    ).withColumn("__is_new", F.coalesce("__is_new", F.lit(False)))
+    new_keys = new_blocks.select("block_key").distinct()
+    live_old = old_blocks.join(F.broadcast(new_keys), "block_key", "left_semi")
+    tagged = live_old.withColumn("__is_new", F.lit(False)).unionByName(
+        new_blocks.withColumn("__is_new", F.lit(True))
+    )
     census = tagged.groupBy("block_key").agg(
         F.count("*").alias("n_total"),
         F.sum(F.col("__is_new").cast("long")).alias("n_new"),
@@ -145,45 +161,117 @@ def resolve_incremental(
     feat_all = prior_features.unionByName(new_feat.select(prior_features.columns))
     new_ids = new_feat.select("file_id")
 
-    # exact collapse over the union: one narrow shuffle on (sha, id); a new
-    # row whose digest already exists joins its group through a star edge
-    # and never reaches blocking/scoring
-    reps, exact_edges = exact_duplicate_edges(feat_all)
-    reps = _force("exact_collapse", reps)
+    # Exact collapse restricted to AFFECTED sha groups (groups containing a
+    # new digest): the increment's digest set is broadcast and the union is
+    # semi-probed — the corpus is scanned (column-pruned to the narrow sha
+    # projection), never shuffled or re-collapsed. Unaffected groups keep
+    # their membership through the prior clusters. Edges here are the only
+    # exact edges whose components can change.
+    aff = feat_all.withColumn("__sha_key", sha_group_key()).join(
+        F.broadcast(new_feat.select(sha_group_key().alias("__sha_key")).distinct()),
+        "__sha_key",
+    )
+    rep_map = aff.groupBy("__sha_key").agg(F.min("file_id").alias("rep_id"))
+    aff = aff.join(rep_map.hint("shuffle_hash"), "__sha_key")
+    exact_edges = (
+        aff.filter(F.col("file_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("src"), F.col("file_id").alias("dst"))
+    )
+    aff_reps = _force(
+        "exact_collapse",
+        aff.filter(F.col("file_id") == F.col("rep_id")).drop("rep_id", "__sha_key"),
+    )
+    # only new rows that became their group's representative need blocking
+    # keys; a new row folded under an existing old rep rides its star edge
+    new_reps = aff_reps.join(new_ids, "file_id", "left_semi")
 
     if prior_blocks is None:
-        keyed = with_block_keys(reps, cfg)
-        blocks = exploded_blocks(keyed).filter(
+        # no reusable index: recompute old reps' keys (O(corpus) map-side
+        # work, no corpus shuffle — the documented cost of not persisting
+        # the blocking index between folds)
+        old_rep_rows, _ = exact_duplicate_edges(prior_features)
+        old_blocks = exploded_blocks(with_block_keys(old_rep_rows, cfg)).filter(
             ~F.col("block_key").startswith("sha:")
         )
     else:
-        new_reps = reps.join(new_ids, "file_id", "left_semi")
-        new_blocks = exploded_blocks(with_block_keys(new_reps, cfg)).filter(
-            ~F.col("block_key").startswith("sha:")
-        )
         # old entries whose file_id is no longer a rep (its sha group gained
         # a smaller-id member) are harmless: their pairs drop at the scoring
         # join and the new rep carries its own keys
-        blocks = prior_blocks.unionByName(new_blocks)
-    blocks = _force("blocking", blocks)
+        old_blocks = prior_blocks
+    new_blocks = _force(
+        "blocking_new",
+        exploded_blocks(with_block_keys(new_reps, cfg)).filter(
+            ~F.col("block_key").startswith("sha:")
+        ),
+    )
 
-    pairs = _force("candidates", incremental_candidate_pairs(blocks, new_ids, cfg))
-    scored = _force("scoring", score_pairs(pairs, reps, cfg))
+    pairs = _force(
+        "candidates", incremental_candidate_pairs(old_blocks, new_blocks, cfg)
+    )
+    # scoring features: semi-probe the union down to actual pair members
+    # (broadcast of the delta-bounded id set) — the corpus light-feature
+    # frame is never shuffled into the scoring joins
+    pair_ids = (
+        pairs.select(F.col("left_id").alias("file_id"))
+        .unionByName(pairs.select(F.col("right_id").alias("file_id")))
+        .distinct()
+    )
+    # localCheckpoint, not just lazy: a persisted frame whose lineage
+    # contains this broadcast semi-join never gets cache HITS downstream
+    # (observed: every consumer of `scored` re-ran the whole scoring
+    # subtree, 4s+ per reference at test scale) — materializing the
+    # delta-bounded probe result restores normal cache behavior
+    feat_scoring = feat_all.join(
+        F.broadcast(pair_ids), "file_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    scored = _force("scoring", score_pairs(pairs, feat_scoring, cfg))
     from ..operators.scoring import release_phase1
 
     release_phase1()
 
-    star = prior_clusters.filter(F.col("file_id") != F.col("cluster_id")).select(
-        F.col("cluster_id").alias("src"), F.col("file_id").alias("dst")
-    )
     near = matched_edges(scored, cfg).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
-    all_edges = near.unionByName(exact_edges).unionByName(star)
-
+    # The delta frames below fan out into several consumers (touched set,
+    # star replay, CC input, final assembly, metrics) and their lineages
+    # carry broadcasts + aggregations: without a materialization boundary
+    # each consumer re-executes the whole subtree and the evaluation count
+    # multiplies through the DAG (measured: minutes instead of seconds on a
+    # 30-row delta). They are delta-bounded — checkpointing them is cheap.
     t0 = time.time()
-    components = connected_components(all_edges, cfg)
-    clusters = assign_clusters(feat_all, components)
+    new_edges = near.unionByName(exact_edges).localCheckpoint(eager=True)
+    stage_secs["edges"] = round(time.time() - t0, 3)
+
+    # Connected components over AFFECTED components only: prior clusters
+    # touched by any new edge replay their star edges; everything else
+    # keeps its prior assignment untouched. CC input is delta-bounded —
+    # O(new edges + members of touched clusters), not O(corpus).
+    t0 = time.time()
+    touched = (
+        new_edges.select(F.col("src").alias("file_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("file_id")))
+        .distinct()
+    )
+    aff_clusters = (
+        prior_clusters.join(F.broadcast(touched), "file_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    star_aff = (
+        prior_clusters.join(F.broadcast(aff_clusters), "cluster_id", "left_semi")
+        .filter(F.col("file_id") != F.col("cluster_id"))
+        .select(F.col("cluster_id").alias("src"), F.col("file_id").alias("dst"))
+    )
+    components = connected_components(new_edges.unionByName(star_aff), cfg)
+    unchanged = prior_clusters.join(
+        F.broadcast(aff_clusters), "cluster_id", "left_anti"
+    ).select("file_id", "cluster_id")
+    new_singletons = (
+        new_ids.join(components, "file_id", "left_anti")
+        .select("file_id", F.col("file_id").alias("cluster_id"))
+    )
+    clusters = unchanged.unionByName(components).unionByName(new_singletons)
     n_clusters = clusters.select("cluster_id").distinct().count()
     stage_secs["clustering"] = round(time.time() - t0, 3)
 
@@ -191,6 +279,7 @@ def resolve_incremental(
         ("input_new", "rows", float(new_ids.count())),
         ("candidates", "pairs", float(pairs.count())),
         ("scoring", "scored_pairs", float(scored.count())),
+        ("clustering", "affected_prior_clusters", float(aff_clusters.count())),
         ("clustering", "clusters", float(n_clusters)),
     ] + [(k, "seconds", float(v)) for k, v in stage_secs.items()]
     metrics = spark.createDataFrame(rows, "stage string, metric string, value double")

@@ -42,6 +42,17 @@ class ResolutionResult:
     dropped_keys: DataFrame  # stop-keys removed from blocking, with sizes
 
 
+def sha_group_key():
+    """Exact-duplicate group key over (content_sha256, file_id) columns:
+    NULL content keys by the row's own file_id — unknown bytes are not
+    duplicates of other unknowns (see exact_duplicate_edges). Shared with
+    the incremental plan so both collapse into identical groups."""
+    return F.coalesce(
+        F.col("content_sha256"),
+        F.concat(F.lit("__null__:"), F.col("file_id").cast("string")),
+    )
+
+
 def exact_duplicate_edges(feat: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(representatives, star edges rep->member) by content_sha256.
 
@@ -58,11 +69,7 @@ def exact_duplicate_edges(feat: DataFrame) -> tuple[DataFrame, DataFrame]:
     mega-cluster. The sha256 column itself stays NULL (the per-row
     invariant is sha-of-content, not sha-of-coalesce).
     """
-    key = F.coalesce(
-        F.col("content_sha256"),
-        F.concat(F.lit("__null__:"), F.col("file_id").cast("string")),
-    )
-    tagged = feat.withColumn("__sha_key", key)
+    tagged = feat.withColumn("__sha_key", sha_group_key())
     rep_map = tagged.groupBy("__sha_key").agg(F.min("file_id").alias("rep_id"))
     joined = tagged.join(rep_map.hint("shuffle_hash"), "__sha_key")
     reps = joined.filter(F.col("file_id") == F.col("rep_id")).drop("rep_id", "__sha_key")
