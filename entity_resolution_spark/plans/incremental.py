@@ -157,6 +157,17 @@ def resolve_incremental(
         stage_secs[name] = round(time.time() - t0, 3)
         return out
 
+    def _ck(name: str, df: DataFrame) -> DataFrame:
+        """Eager checkpoint for delta-bounded frames whose lineage carries a
+        broadcast-hinted join: Spark's cache matching never HITS a persisted
+        frame with such a plan, so each consumer would re-run the whole
+        subtree (incl. the band UDF over the old corpus — measured 2x the
+        fold). The checkpoint severs the lineage instead."""
+        t0 = time.time()
+        out = df.localCheckpoint(eager=True)
+        stage_secs[name] = round(time.time() - t0, 3)
+        return out
+
     new_feat = _force("features_new", with_features(new_files, cfg))
     feat_all = prior_features.unionByName(new_feat.select(prior_features.columns))
     new_ids = new_feat.select("file_id")
@@ -177,7 +188,7 @@ def resolve_incremental(
         aff.filter(F.col("file_id") != F.col("rep_id"))
         .select(F.col("rep_id").alias("src"), F.col("file_id").alias("dst"))
     )
-    aff_reps = _force(
+    aff_reps = _ck(
         "exact_collapse",
         aff.filter(F.col("file_id") == F.col("rep_id")).drop("rep_id", "__sha_key"),
     )
@@ -198,14 +209,14 @@ def resolve_incremental(
         # a smaller-id member) are harmless: their pairs drop at the scoring
         # join and the new rep carries its own keys
         old_blocks = prior_blocks
-    new_blocks = _force(
+    new_blocks = _ck(
         "blocking_new",
         exploded_blocks(with_block_keys(new_reps, cfg)).filter(
             ~F.col("block_key").startswith("sha:")
         ),
     )
 
-    pairs = _force(
+    pairs = _ck(
         "candidates", incremental_candidate_pairs(old_blocks, new_blocks, cfg)
     )
     # scoring features: semi-probe the union down to actual pair members
