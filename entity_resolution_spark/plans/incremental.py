@@ -64,6 +64,8 @@ class IncrementalResult:
     scored: DataFrame  # scored candidate pairs involving >= 1 new file
     clusters: DataFrame  # (file_id, cluster_id) over old ∪ new
     metrics: DataFrame  # (stage, metric, value)
+    blocks: DataFrame | None = None  # updated blocking index (old ∪ new) —
+    # persist and pass as the next fold's prior_blocks
 
 
 def incremental_candidate_pairs(
@@ -294,4 +296,6 @@ def resolve_incremental(
         ("clustering", "clusters", float(n_clusters)),
     ] + [(k, "seconds", float(v)) for k, v in stage_secs.items()]
     metrics = spark.createDataFrame(rows, "stage string, metric string, value double")
-    return IncrementalResult(feat_all, scored, clusters, metrics)
+    return IncrementalResult(
+        feat_all, scored, clusters, metrics, old_blocks.unionByName(new_blocks)
+    )

@@ -40,6 +40,9 @@ class ResolutionResult:
     clusters: DataFrame  # (file_id, cluster_id)
     metrics: DataFrame  # (stage, metric, value)
     dropped_keys: DataFrame  # stop-keys removed from blocking, with sizes
+    blocks: DataFrame | None = None  # (block_key, file_id) index over reps —
+    # persist it (StageStore/parquet) and hand it to resolve_incremental as
+    # prior_blocks so later folds skip re-keying the old corpus
 
 
 def sha_group_key():
@@ -184,7 +187,7 @@ def resolve(
         store.write("metrics", metrics)
         store.write("lineage", scored)  # every pair decision, with block_key provenance
 
-    return ResolutionResult(feat, scored, clusters, metrics, dropped)
+    return ResolutionResult(feat, scored, clusters, metrics, dropped, blocks)
 
 
 def _build_metrics(spark, files, pairs, scored, clusters, cfg, blocks=None) -> DataFrame:

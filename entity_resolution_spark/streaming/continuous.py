@@ -55,15 +55,23 @@ def _committed_versions(state_dir: str) -> list[int]:
 
 
 def latest_state(spark: SparkSession, state_dir: str):
-    """(features, clusters) DataFrames of the newest committed version, or
-    None."""
+    """(features, clusters, blocks-or-None) DataFrames of the newest
+    committed version, or None. ``blocks`` is the persisted blocking index
+    (older state dirs may predate it — folds then re-key the old corpus)."""
     versions = _committed_versions(state_dir)
     if not versions:
         return None
     base = os.path.join(state_dir, f"v{versions[-1]}")
+    blocks_dir = os.path.join(base, "blocks")
+    blocks = (
+        spark.read.parquet(blocks_dir)
+        if os.path.exists(os.path.join(blocks_dir, "_SUCCESS"))
+        else None
+    )
     return (
         spark.read.parquet(os.path.join(base, "features")),
         spark.read.parquet(os.path.join(base, "clusters")),
+        blocks,
     )
 
 
@@ -87,17 +95,23 @@ def run_continuous_resolution(
             from ..plans.pipeline import resolve
 
             res = resolve(batch, cfg)
-            feats, clusters = res.features, res.clusters
+            feats, clusters, blocks = res.features, res.clusters, res.blocks
         else:
             from ..plans.incremental import resolve_incremental
 
-            inc = resolve_incremental(prior[0], prior[1], batch, cfg)
-            feats, clusters = inc.features, inc.clusters
+            # prior state is parquet-backed, incl. the blocking index — the
+            # fold is delta-proportional: old keys are probed, never re-keyed
+            inc = resolve_incremental(
+                prior[0], prior[1], batch, cfg, prior_blocks=prior[2]
+            )
+            feats, clusters, blocks = inc.features, inc.clusters, inc.blocks
         base = os.path.join(state_dir, f"v{batch_id}")
         # the resolve/incremental plans persist+force their heavy stages, so
-        # these two writes are reads of filled caches, not recomputes
+        # these writes are reads of filled caches, not recomputes
         feats.write.mode("overwrite").parquet(os.path.join(base, "features"))
         clusters.write.mode("overwrite").parquet(os.path.join(base, "clusters"))
+        if blocks is not None:
+            blocks.write.mode("overwrite").parquet(os.path.join(base, "blocks"))
 
     q = (
         read_file_stream(spark, input_dir)

@@ -50,6 +50,9 @@ def test_two_drops_converge_to_batch_clusters(spark, tmp_path):
     final = latest_state(spark, state)
     batch = resolve(files, cfg)
     assert _cluster_sets(final[1]) == _cluster_sets(batch.clusters)
+    # the blocking index is versioned with the state, so the second fold
+    # probed it instead of re-keying drop 1 (delta-proportional mode)
+    assert final[2] is not None and final[2].count() > 0
 
     # rerunning with nothing new leaves the state at the same version
     versions_before = sorted(os.listdir(state))
