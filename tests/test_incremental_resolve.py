@@ -81,3 +81,42 @@ def test_incremental_exact_dup_joins_without_scoring(spark):
     sets = _cluster_sets(inc.clusters)
     sizes = sorted(len(m) for m in sets.values())
     assert sizes == [1, 2]  # alpha pair merged, beta alone
+
+
+def test_chained_folds_with_index_reuse_match_batch(spark):
+    """Three deltas folded in sequence — each reusing the previous fold's
+    returned blocking index — must equal one batch resolve of everything.
+    This pins the .blocks contract (old ∪ new) across a chain, the
+    continuous loop's operating mode."""
+    files = generate_repo_files(spark, 90).localCheckpoint()
+    parts = [
+        files.filter(F.pmod(F.xxhash64("path"), F.lit(3)) == i) for i in range(3)
+    ]
+    cfg = PipelineConfig()
+
+    prior = resolve(parts[0], cfg)
+    feats, clusters, blocks = prior.features, prior.clusters, prior.blocks
+    for delta in parts[1:]:
+        inc = resolve_incremental(feats, clusters, delta, cfg, prior_blocks=blocks)
+        feats, clusters, blocks = inc.features, inc.clusters, inc.blocks
+
+    batch = resolve(files, cfg)
+    assert _cluster_sets(clusters) == _cluster_sets(batch.clusters)
+
+
+def test_incremental_matches_batch_on_skewed_splits(spark):
+    """Equivalence must hold regardless of the delta's shape: a tiny tail
+    delta and a majority delta (the fold is documented for small deltas but
+    must stay CORRECT for any split)."""
+    files = generate_repo_files(spark, 70).localCheckpoint()
+    cfg = PipelineConfig()
+    batch = resolve(files, cfg)
+    for modulus, residue in ((10, 0), (10, 5), (2, 0)):
+        old = files.filter(F.pmod(F.xxhash64("commit"), F.lit(modulus)) != residue)
+        new = files.filter(F.pmod(F.xxhash64("commit"), F.lit(modulus)) == residue)
+        prior = resolve(old, cfg)
+        inc = resolve_incremental(prior.features, prior.clusters, new, cfg)
+        assert _cluster_sets(inc.clusters) == _cluster_sets(batch.clusters), (
+            modulus,
+            residue,
+        )
