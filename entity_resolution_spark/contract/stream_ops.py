@@ -27,9 +27,7 @@ def windowed_event_counts_q(spark, sf_dir):
 # --- gap-based sessionization (operators/sessions.py) ----------------------
 # The batch twin of the stateful streaming sessionizer; per-user sessions
 # split at >30-min inactivity gaps, summarized one row per session.
-@query(
-    "sessionize_events",
-    """
+_SESSIONIZE_ORACLE = """
     WITH o AS (
       SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -48,12 +46,34 @@ def windowed_event_counts_q(spark, sf_dir):
            min(ts) AS session_start, max(ts) AS session_end,
            CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_seconds
     FROM s GROUP BY user_id, session_idx
-    """,
-)
+    """
+
+
+@query("sessionize_events", _SESSIONIZE_ORACLE)
 def sessionize_events_q(spark, sf_dir):
     from ..operators.sessions import session_summary
 
     return session_summary(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+# The hot-key-safe segmented plan must produce the SAME sessions as the
+# plain window (operators/sessions.sessionize_segmented): same oracle.
+@query("sessionize_events_segmented", _SESSIONIZE_ORACLE)
+def sessionize_events_segmented_q(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.sessions import sessionize_segmented
+
+    s = sessionize_segmented(
+        _t(spark, sf_dir, "events"), gap_seconds=1800, chunk_seconds=3600
+    )
+    lng = lambda c: F.col(c).cast("timestamp").cast("long")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(lng("ts")) - F.min(lng("ts"))).alias("duration_seconds"),
+    )
 
 
 # --- native session windows (streaming/windows.py) -------------------------

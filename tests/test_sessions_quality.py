@@ -3,6 +3,8 @@ Gopher-style repetition stats, and PII redaction."""
 
 import datetime as dt
 
+from conftest import SF_DIR
+
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.text import redact_pii_col, repetition_stats_cols
@@ -91,3 +93,34 @@ def test_redact_pii(spark):
     )
     got = df.select(redact_pii_col(F.col("s")).alias("r")).first()["r"]
     assert got == "call ###-#### or mail <EMAIL> now"
+
+
+def test_segmented_sessionize_equals_plain(spark):
+    """sessionize_segmented == sessionize row-for-row, including sessions
+    spanning chunk boundaries and multi-chunk idle-free runs, at a chunk
+    width smaller than the gap and at the default."""
+    from entity_resolution_spark.operators.sessions import (
+        sessionize,
+        sessionize_segmented,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # hot key crossing many chunk boundaries: one event per 10 min for 3 days
+    hot = spark.range(432).select(
+        F.lit(999_999).alias("user_id"),
+        F.lit("hot").alias("event_type"),
+        (F.lit(0) + F.col("id")).alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 600).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    both = events.select("user_id", "event_type", "event_id", "ts", "value").unionByName(hot)
+    for chunk in (900, 86_400):
+        a = {
+            (r.user_id, r.event_id): (r.session_idx, r.is_session_start)
+            for r in sessionize_segmented(both, chunk_seconds=chunk).collect()
+        }
+        b = {
+            (r.user_id, r.event_id): (r.session_idx, r.is_session_start)
+            for r in sessionize(both).collect()
+        }
+        assert a == b, chunk
