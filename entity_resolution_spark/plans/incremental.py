@@ -68,12 +68,30 @@ class IncrementalResult:
     # persist and pass as the next fold's prior_blocks
 
 
+def incremental_dropped_keys(
+    old_blocks: DataFrame, new_blocks: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Stop-keys removed from this fold's candidate generation (touched
+    keys whose total membership exceeds the drop limit) — surfaced, never
+    silent, mirroring the batch path's dropped_block_keys."""
+    cfg = cfg or PipelineConfig()
+    new_keys = new_blocks.select("block_key").distinct()
+    live_old = old_blocks.join(F.broadcast(new_keys), "block_key", "left_semi")
+    idx = live_old.unionByName(new_blocks)
+    return (
+        idx.groupBy("block_key")
+        .agg(F.count("*").alias("block_size"))
+        .filter(F.col("block_size") > cfg.block_key_drop_limit)
+    )
+
+
 def incremental_candidate_pairs(
     old_blocks: DataFrame, new_blocks: DataFrame, cfg: PipelineConfig | None = None
 ) -> DataFrame:
     """old index x new index -> (left_id, right_id, block_key) where the
     right side is new. Same skew ladder semantics as the batch
-    candidate_pairs: stop-keys dropped, per-block pair budget hash-thinned
+    candidate_pairs: stop-keys dropped (surfaced via
+    incremental_dropped_keys), per-block pair budget hash-thinned
     deterministically, cross-key dedup keeps the min block_key.
 
     Delta-proportional: the set of keys the increment touches is broadcast
@@ -291,6 +309,11 @@ def resolve_incremental(
     rows = [
         ("input_new", "rows", float(new_ids.count())),
         ("candidates", "pairs", float(pairs.count())),
+        (
+            "candidates",
+            "dropped_keys",
+            float(incremental_dropped_keys(old_blocks, new_blocks, cfg).count()),
+        ),
         ("scoring", "scored_pairs", float(scored.count())),
         ("clustering", "affected_prior_clusters", float(aff_clusters.count())),
         ("clustering", "clusters", float(n_clusters)),

@@ -120,3 +120,27 @@ def test_incremental_matches_batch_on_skewed_splits(spark):
             modulus,
             residue,
         )
+
+
+def test_incremental_stop_keys_are_surfaced(spark):
+    """A touched key over the drop limit generates zero pairs AND appears
+    in the dropped-keys metric — no silent truncation in the fold."""
+    from entity_resolution_spark.plans.incremental import incremental_dropped_keys
+
+    cfg = PipelineConfig()
+    small_cfg_limit = 5
+    old_blocks = spark.range(10).select(
+        F.lit("path:py:util:0").alias("block_key"), F.col("id").alias("file_id")
+    )
+    new_blocks = spark.range(2).select(
+        F.lit("path:py:util:0").alias("block_key"),
+        (F.col("id") + 100).alias("file_id"),
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, block_key_drop_limit=small_cfg_limit)
+    from entity_resolution_spark.plans.incremental import incremental_candidate_pairs
+
+    assert incremental_candidate_pairs(old_blocks, new_blocks, cfg).count() == 0
+    dropped = incremental_dropped_keys(old_blocks, new_blocks, cfg).collect()
+    assert len(dropped) == 1 and dropped[0].block_size == 12
