@@ -519,3 +519,42 @@ def ngram_decontamination(spark, sf_dir):
     bench = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
     train = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
     return ngram_contamination(train, bench, n=_DECON_N)
+
+
+# Table-vs-table kNN join (operators/similarity_search.knn_join): every
+# 101st embedding row is a query; top-5 corpus neighbors each. Ranking is
+# by unrounded cosine (ulp-level engine agreement; exact-duplicate vectors
+# tie and break by doc_id identically on both sides), reported cosine is
+# round-6 — the JVM zip_with fold and DuckDB list_cosine_similarity agree
+# there (both full-double).
+@query(
+    "knn_join_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 101 = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, c.vec_id,
+             list_cosine_similarity(qv, cv) AS raw
+      FROM q CROSS JOIN c),
+    r AS (
+      SELECT query_id, vec_id, raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS rank
+      FROM s)
+    SELECT query_id, vec_id, round(raw, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def knn_join_topk(spark, sf_dir):
+    """Broadcast-probe kNN join: query matrix vs the embeddings corpus."""
+    from ..operators.similarity_search import knn_join
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(101)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(q, e, k=5, id_col="vec_id", qvec_col="embedding")

@@ -138,3 +138,101 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     cent_df = spark.read.parquet(path.rstrip("/") + "__centroids")
     rows = sorted((r["cell"], r["centroid"]) for r in cent_df.collect())
     return emb, np.array([c for _, c in rows], dtype="float64")
+
+
+def _cosine_cols(a, b):
+    """Cosine of two array<double> columns, all math in double."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(-1.0))
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Table-vs-table kNN: for every query row, the k nearest corpus rows
+    by cosine — (query_id, doc_id, cosine, rank), round-6, ties broken by
+    doc_id asc.
+
+    Scale shape: the query matrix (the small side — batched lookups,
+    eval sets; collected driver-side and broadcast, same bounded-collect
+    convention as IVF centroid training) probes every corpus partition in
+    ONE vectorized (rows x queries) float64 matmul inside mapInPandas;
+    each partition emits only its local top-k per query, so the only
+    shuffled payload is |partitions| x |Q| x k candidate rows, merged by
+    a window. The corpus is scanned once and never shuffled. Winner
+    cosines are re-computed with the JVM zip_with/aggregate expression so
+    reported values are bit-identical to the brute-force/oracle path
+    (BLAS summation order differs in ulps).
+    """
+    q_rows = queries.select(query_id, qvec_col).collect()
+    qids = [r[0] for r in q_rows]
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype="float64")
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    sc = corpus.sparkSession.sparkContext
+    b_q = sc.broadcast(Qn)
+    b_ids = sc.broadcast(qids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(V, axis=1)
+            nz = np.maximum(norms, 1e-300)
+            S = (V / nz[:, None]) @ b_q.value.T  # (rows x queries)
+            S[norms == 0, :] = -1.0
+            kk = min(k, len(pdf))
+            out = {"query_id": [], id_col: [], "approx": []}
+            for j, qid in enumerate(b_ids.value):
+                # local winners by (-cosine, id): any global top-k row is a
+                # local top-k row of its partition under the same order
+                order = np.lexsort((ids, -S[:, j]))[:kk]
+                out["query_id"] += [qid] * kk
+                out[id_col] += list(ids[order])
+                out["approx"] += list(S[order, j])
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc(id_col))
+    winners = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+    # exact re-score of the |Q|*k winners with the JVM expression
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+    )
+    cv = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    return (
+        cv.join(F.broadcast(winners), id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -255,3 +255,29 @@ def test_exact_duplicates_roster_bounded(spark):
     out = {r.canonical_doc_id: r for r in exact_duplicates(docs, max_roster=10).collect()}
     assert out[0].n_copies == 40 and out[0].doc_ids is None
     assert out[40].n_copies == 10 and list(out[40].doc_ids) == list(range(40, 50))
+
+
+def test_knn_join_matches_brute_force_per_query(spark):
+    """knn_join == brute_force_topk for every query, across partitionings
+    (the local-topk merge must be exact, not approximate)."""
+    from entity_resolution_spark.operators.similarity_search import (
+        brute_force_topk,
+        knn_join,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(q, emb.repartition(7), k=4, id_col="vec_id").collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qrow in q.collect():
+        want = [
+            (i + 1, r.vec_id, r.cosine)
+            for i, r in enumerate(
+                brute_force_topk(emb, list(qrow.embedding), k=4).collect()
+            )
+        ]
+        assert sorted(by_query[qrow.query_id]) == want, qrow.query_id
