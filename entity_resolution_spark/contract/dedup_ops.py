@@ -527,9 +527,7 @@ def ngram_decontamination(spark, sf_dir):
 # tie and break by doc_id identically on both sides), reported cosine is
 # round-6 — the JVM zip_with fold and DuckDB list_cosine_similarity agree
 # there (both full-double).
-@query(
-    "knn_join_topk",
-    """
+_KNN_ORACLE = """
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id % 101 = 0),
@@ -545,8 +543,10 @@ def ngram_decontamination(spark, sf_dir):
       FROM s)
     SELECT query_id, vec_id, round(raw, 6) AS cosine, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("knn_join_topk", _KNN_ORACLE)
 def knn_join_topk(spark, sf_dir):
     """Broadcast-probe kNN join: query matrix vs the embeddings corpus."""
     from ..operators.similarity_search import knn_join
@@ -558,3 +558,24 @@ def knn_join_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_join(q, e, k=5, id_col="vec_id", qvec_col="embedding")
+
+
+# Same oracle at full probe: the IVF join's cell machinery must return
+# EXACTLY the exact-kNN rows when every cell is probed (n_probe == cells).
+@query("ivf_knn_join_full_probe", _KNN_ORACLE)
+def ivf_knn_join_full_probe(spark, sf_dir):
+    from ..operators.similarity_search import (
+        assign_cells,
+        ivf_knn_join,
+        train_centroids,
+    )
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_cells=8)
+    with_cells = assign_cells(e, cents)
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(101)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn_join(q, with_cells, cents, k=5, n_probe=8, id_col="vec_id")

@@ -236,3 +236,61 @@ def knn_join(
             "rank",
         )
     )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus_with_cells: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-accelerated table-vs-table kNN — the fractional-scan scale path.
+
+    Each query probes only its ``n_probe`` nearest cells: the (query_id,
+    cell) probe list is built driver-side from the bounded query matrix
+    (same collect convention as knn_join/train_centroids), broadcast, and
+    equi-joined against the cell-assigned corpus — when the corpus is
+    written partitioned by cell (write_ivf_index) the join prunes whole
+    directories. Everything after the cell join is JVM expressions: the
+    cosine is the zip_with/aggregate fold (bit-identical to brute force)
+    and top-k is a window over the probed subset. n_probe == n_cells
+    degenerates to exact knn_join output (pinned by test).
+    """
+    q_rows = queries.select(query_id, qvec_col).collect()
+    spark = corpus_with_cells.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        q = np.asarray(list(r[1]), dtype="float64")
+        d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+        for c in d.argsort()[:n_probe]:
+            probe_rows.append((r[0], int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+    )
+    cand = (
+        corpus_with_cells.select(
+            "cell", F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+        )
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

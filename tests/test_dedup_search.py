@@ -281,3 +281,38 @@ def test_knn_join_matches_brute_force_per_query(spark):
             )
         ]
         assert sorted(by_query[qrow.query_id]) == want, qrow.query_id
+
+
+def test_ivf_knn_join_full_probe_equals_brute(spark):
+    """ivf_knn_join at n_probe == n_cells must return exactly the
+    brute-force knn_join rows (same set, cosine, rank); at n_probe < cells
+    it keeps high recall on clustered data."""
+    from entity_resolution_spark.operators.similarity_search import (
+        assign_cells,
+        ivf_knn_join,
+        knn_join,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, n_cells=8)
+    with_cells = assign_cells(emb, cents)
+    q = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in knn_join(q, emb, k=4, id_col="vec_id").collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in ivf_knn_join(q, with_cells, cents, k=4, n_probe=8).collect()
+    }
+    assert full == exact
+    probed = {
+        (r.query_id, r.vec_id)
+        for r in ivf_knn_join(q, with_cells, cents, k=4, n_probe=3).collect()
+    }
+    exact_ids = {(a, b) for a, b, _, _ in exact}
+    recall = len(probed & exact_ids) / len(exact_ids)
+    assert recall >= 0.5, recall
