@@ -241,9 +241,7 @@ def corpus_curation(spark, sf_dir):
 # the engine's core graph operator; over a SQL-expressible edge set its
 # RESULT is SQL-expressible even though the algorithm isn't: transitive
 # closure by WITH RECURSIVE, component label = min reachable doc_id.
-@query(
-    "cc_clusters_ngram",
-    f"""
+_NGRAM_CC_SQL = f"""
     WITH RECURSIVE
     {_NGRAM_PAIR_CTES},
     edges AS (
@@ -257,8 +255,10 @@ def corpus_curation(spark, sf_dir):
     )
     SELECT a AS doc_id, least(a, min(b)) AS cluster_id
     FROM reach GROUP BY a
-    """,
-)
+    """
+
+
+@query("cc_clusters_ngram", _NGRAM_CC_SQL)
 def cc_clusters_ngram(spark, sf_dir):
     """connected_components over the exact n-gram Jaccard edge set —
     every node in an edge labeled with its component-min doc_id."""
@@ -579,3 +579,48 @@ def ivf_knn_join_full_probe(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_knn_join(q, with_cells, cents, k=5, n_probe=8, id_col="vec_id")
+
+
+# Pairwise cluster-agreement metrics (operators/quality.py): the engine's
+# light-pipeline clustering scored against the n-gram-CC clustering as
+# reference — the north-rule pairwise-F1 metric as a distributed operator.
+# The oracle nests BOTH full SQL clustering programs as subqueries and
+# recomputes the contingency C(n,2) arithmetic.
+@query(
+    "cluster_agreement_metrics",
+    f"""
+    WITH j AS (
+      SELECT p.doc_id, p.cluster_id AS pc, t.cluster_id AS tc
+      FROM ({_sql.pipeline_light_clusters_sql(threshold=45)}) p
+      JOIN ({_NGRAM_CC_SQL}) t USING (doc_id)),
+    cont AS (SELECT pc, tc, count(*) AS n FROM j GROUP BY 1, 2),
+    tp AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v FROM cont),
+    pp AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+           FROM (SELECT pc, sum(n) AS n FROM cont GROUP BY 1)),
+    tt AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+           FROM (SELECT tc, sum(n) AS n FROM cont GROUP BY 1))
+    SELECT tp.v AS tp_pairs, pp.v AS pred_pairs, tt.v AS truth_pairs,
+           round(CASE WHEN pp.v > 0 THEN tp.v * 1.0 / pp.v ELSE 0 END, 6) AS pair_precision,
+           round(CASE WHEN tt.v > 0 THEN tp.v * 1.0 / tt.v ELSE 0 END, 6) AS pair_recall,
+           round(CASE WHEN pp.v > 0 AND tt.v > 0 AND tp.v > 0
+                      THEN 2 * (tp.v * 1.0 / pp.v) * (tp.v * 1.0 / tt.v)
+                           / ((tp.v * 1.0 / pp.v) + (tp.v * 1.0 / tt.v))
+                      ELSE 0 END, 6) AS pair_f1
+    FROM tp, pp, tt
+    """,
+)
+def cluster_agreement_metrics(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    from ..config import PipelineConfig
+    from ..operators.quality import pairwise_cluster_metrics
+    from ..plans.pipeline import resolve
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = entry_mod._docs_as_repo_files(spark, sf_dir)
+    pred = resolve(
+        files, PipelineConfig(w_content=0.0, similarity_threshold=45)
+    ).clusters
+    truth = cc_clusters_ngram(spark, sf_dir).withColumnRenamed("doc_id", "file_id")
+    return pairwise_cluster_metrics(pred, truth)

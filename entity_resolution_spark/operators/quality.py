@@ -1,0 +1,70 @@
+"""Cluster-quality metrics — the north-rule acceptance metric (pairwise
+F1 on labeled/reference pairs) as a first-class distributed operator.
+
+``pairwise_cluster_metrics(pred, truth)`` compares two clusterings over
+their common id universe WITHOUT materializing pairs: all three pair
+counts come from the contingency table via C(n,2) sums —
+
+    tp_pairs    = Σ_ij C(n_ij, 2)   (pairs co-clustered in BOTH)
+    pred_pairs  = Σ_i  C(n_i·, 2)   (pairs co-clustered in pred)
+    truth_pairs = Σ_j  C(n_·j, 2)   (pairs co-clustered in truth)
+
+so a 10^8-member cluster costs one aggregate row, not 10^16 pair rows.
+One shuffle on id for the join, one narrow shuffle for the contingency
+groupBy; everything after is arithmetic on cluster-count-sized frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _c2(col):
+    # n*(n-1) fits long for any realistic cluster (overflow at n ~ 3e9,
+    # where ANSI mode would fail loudly, not silently wrap)
+    return (col * (col - F.lit(1)) / F.lit(2)).cast("long")
+
+
+def pairwise_cluster_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "file_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One row: (tp_pairs, pred_pairs, truth_pairs, pair_precision,
+    pair_recall, pair_f1), round-6, over ids present in both inputs."""
+    j = pred.select(F.col(id_col), F.col(cluster_col).alias("__p")).join(
+        truth.select(F.col(id_col), F.col(cluster_col).alias("__t")), id_col
+    )
+    cont = j.groupBy("__p", "__t").agg(F.count("*").alias("n")).persist()
+    tp = cont.agg(F.coalesce(F.sum(_c2(F.col("n"))), F.lit(0)).alias("tp_pairs"))
+    pp = (
+        cont.groupBy("__p")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.coalesce(F.sum(_c2(F.col("n"))), F.lit(0)).alias("pred_pairs"))
+    )
+    tt = (
+        cont.groupBy("__t")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.coalesce(F.sum(_c2(F.col("n"))), F.lit(0)).alias("truth_pairs"))
+    )
+    out = tp.crossJoin(pp).crossJoin(tt)
+    p = F.when(F.col("pred_pairs") > 0, F.col("tp_pairs") / F.col("pred_pairs")).otherwise(
+        F.lit(0.0)
+    )
+    r = F.when(F.col("truth_pairs") > 0, F.col("tp_pairs") / F.col("truth_pairs")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    result = out.select(
+        "tp_pairs",
+        "pred_pairs",
+        "truth_pairs",
+        F.round(p, 6).alias("pair_precision"),
+        F.round(r, 6).alias("pair_recall"),
+        F.round(f1, 6).alias("pair_f1"),
+    )
+    result = result.localCheckpoint(eager=True)
+    cont.unpersist()
+    return result
