@@ -55,3 +55,59 @@ def source_cap_sample(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return per_source_cap(d, "source", "doc_id", cap=10).select("doc_id", "source")
+
+
+_WS_TOKENS = """CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"""
+
+
+# token-budget mixing: per-source rows in content-address order until the
+# running token sum reaches the budget (first crossing row kept)
+@query(
+    "token_budget_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_WS_TOKENS} AS tok,
+             sha256('budget' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h)
+    SELECT doc_id, source FROM c WHERE cum - tok < 600
+    """,
+)
+def token_budget_sample(spark, sf_dir):
+    from ..operators.sampling import sample_to_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_to_token_budget(d, 600).select("doc_id", "source")
+
+
+# GPT-style streaming sequence packing coordinates
+@query(
+    "sequence_packing",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_WS_TOKENS} AS tok,
+             sha256('pack' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h)
+    SELECT source, doc_id, tok AS n_tokens,
+           CAST((cum - tok) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - tok) % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    from ..operators.sampling import pack_into_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_into_sequences(d, 512)

@@ -137,3 +137,78 @@ def per_source_cap(
             repair.select(kept.columns)
         )
     return kept.drop(_HASH_COL, "__n")
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-source subset whose token count just reaches ``budget_tokens``
+    (training-data mixing: "N tokens of web, M of code").
+
+    Rows are taken in content-address (sha256-hash, key) order — stable
+    under any partitioning / corpus growth, like deterministic_split — and
+    a row is kept iff the running token sum BEFORE it is under the budget,
+    so the budget is met (first row crossing the boundary is included),
+    never undershot while tokens remain. Skew note: the per-source cumsum
+    window is the per_source_cap trade-off; for a corpus-scale source the
+    same hash-prefilter pattern applies (bound ~budget/min_doc_tokens rows
+    before the exact window).
+    """
+    from ..functions.text import whitespace_token_count_col
+
+    tokens = (
+        F.col(token_col) if token_col else whitespace_token_count_col(F.col(text_col))
+    ).cast("long")
+    w = Window.partitionBy(source_col).orderBy(_HASH_COL, key_col)
+    cum = F.sum("__tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.withColumn(_HASH_COL, _hash_hex(F.col(key_col), salt))
+        .withColumn("__tok", tokens)
+        .withColumn("__cum", cum)
+        .filter(F.col("__cum") - F.col("__tok") < F.lit(int(budget_tokens)))
+        .drop(_HASH_COL, "__tok", "__cum")
+    )
+
+
+def pack_into_sequences(
+    df: DataFrame,
+    seq_len: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style streaming sequence packing: documents are laid end-to-end
+    per source in content-address order and each gets its training-sequence
+    coordinates — ``seq_id = floor(start / seq_len)``, ``seq_offset =
+    start % seq_len`` (a document may straddle a boundary; readers split at
+    materialization, the standard concat-then-chunk packing). Deterministic
+    for any partitioning; output is scalar columns (source, key, n_tokens,
+    seq_id, seq_offset)."""
+    from ..functions.text import whitespace_token_count_col
+
+    tokens = (
+        F.col(token_col) if token_col else whitespace_token_count_col(F.col(text_col))
+    ).cast("long")
+    w = Window.partitionBy(source_col).orderBy(_HASH_COL, key_col)
+    cum = F.sum("__tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.col("__cum") - F.col("__tok")).alias("__start")
+    return (
+        df.withColumn(_HASH_COL, _hash_hex(F.col(key_col), salt))
+        .withColumn("__tok", tokens)
+        .withColumn("__cum", cum)
+        .select(
+            source_col,
+            key_col,
+            F.col("__tok").alias("n_tokens"),
+            F.floor((F.col("__cum") - F.col("__tok")) / F.lit(int(seq_len))).alias("seq_id"),
+            ((F.col("__cum") - F.col("__tok")) % F.lit(int(seq_len))).alias("seq_offset"),
+        )
+    )

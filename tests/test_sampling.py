@@ -90,3 +90,50 @@ def test_duplicate_span_stats_flags_shared_boilerplate(spark):
     assert out[1]["n_dup_fp"] > 0 and out[2]["n_dup_fp"] > 0
     assert out[3]["n_dup_fp"] == 0 and out[3]["dup_frac"] == 0.0
     assert 0 < out[1]["dup_frac"] < 1
+
+
+def test_token_budget_met_not_undershot(spark):
+    """The kept set's token sum reaches the budget (first crossing row
+    included) and removing its last hash-ordered row would drop below."""
+    from entity_resolution_spark.functions.text import whitespace_token_count_col
+    from entity_resolution_spark.operators.sampling import sample_to_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "web", "tok " * (10 + i)) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    budget = 150
+    kept = sample_to_token_budget(docs, budget)
+    toks = kept.select(
+        whitespace_token_count_col(F.col("text")).cast("long").alias("n")
+    ).collect()
+    total = sum(r.n for r in toks)
+    assert total >= budget
+    assert total - max(r.n for r in toks) < budget  # minimal overshoot
+    # determinism under different partitioning
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id for r in sample_to_token_budget(docs.repartition(13), budget).collect()
+    )
+    assert a == b
+
+
+def test_sequence_packing_contiguous(spark):
+    """Offsets tile each source's token stream exactly: sorted by
+    (seq_id, seq_offset), every doc starts where the previous ended."""
+    from entity_resolution_spark.operators.sampling import pack_into_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "w " * (5 + 3 * i)) for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    out = pack_into_sequences(docs, seq_len=64).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: (r.seq_id, r.seq_offset))
+        pos = 0
+        for r in rows:
+            assert r.seq_id * 64 + r.seq_offset == pos, (r, pos)
+            pos += r.n_tokens
