@@ -560,6 +560,50 @@ def knn_join_topk(spark, sf_dir):
     return knn_join(q, e, k=5, id_col="vec_id", qvec_col="embedding")
 
 
+# Same join over STRING ids: the output id columns must follow the input
+# schemas (a hardcoded LongType would fail at Arrow conversion), and
+# cosine-tie ranking breaks by the string id on both sides.
+_KNN_STR_ORACLE = """
+    WITH q AS (
+      SELECT CAST(vec_id AS VARCHAR) AS query_id,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 101 = 0),
+    c AS (SELECT CAST(vec_id AS VARCHAR) AS sid,
+                 CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, c.sid,
+             list_cosine_similarity(qv, cv) AS raw
+      FROM q CROSS JOIN c),
+    r AS (
+      SELECT query_id, sid, raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, sid) AS rank
+      FROM s)
+    SELECT query_id, sid AS vec_id, round(raw, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """
+
+
+@query("knn_join_topk_string_ids", _KNN_STR_ORACLE)
+def knn_join_topk_string_ids(spark, sf_dir):
+    """knn_join with string id columns — pins the derived output schema."""
+    from ..operators.similarity_search import knn_join
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding",
+        F.col("vec_id").alias("__num")
+    )
+    q = e.filter(F.pmod(F.col("__num"), F.lit(101)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(
+        q, e.select("vec_id", "embedding"), k=5, id_col="vec_id", qvec_col="embedding"
+    )
+
+
 # Same oracle at full probe: the IVF join's cell machinery must return
 # EXACTLY the exact-kNN rows when every cell is probed (n_probe == cells).
 @query("ivf_knn_join_full_probe", _KNN_ORACLE)

@@ -409,11 +409,14 @@ __reach(a, b) AS (
 ),
 __canon AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM __reach GROUP BY a)
 SELECT q.doc_id,
-       CASE WHEN q.quality < {min_quality} THEN 'low_quality'
+       -- NULL text => NULL quality; the engine labels those low_quality
+       -- (quality_score_col returns NULL, which fails min_quality), so the
+       -- replica must not let NULL fall through to 'kept'
+       CASE WHEN q.quality IS NULL OR q.quality < {min_quality} THEN 'low_quality'
             WHEN s.doc_id != s.rep THEN 'exact_dup'
             WHEN c.cid IS NOT NULL AND c.cid != s.doc_id THEN 'near_dup'
             ELSE 'kept' END AS status,
-       CASE WHEN q.quality < {min_quality} THEN NULL
+       CASE WHEN q.quality IS NULL OR q.quality < {min_quality} THEN NULL
             WHEN s.doc_id != s.rep THEN s.rep
             WHEN c.cid IS NOT NULL AND c.cid != s.doc_id THEN c.cid
             ELSE s.doc_id END AS canonical_id

@@ -89,8 +89,13 @@ static int lcs_one(const uint32_t *a, int64_t la,
             uint64_t vv = v[w];
             uint64_t u = vv & m[w];
             unsigned long long add, sub;
-            carry = __builtin_uaddll_overflow(vv, u, &add)
-                  | __builtin_uaddll_overflow(add, carry, &add);
+            /* two sequenced statements: both overflow calls write `add`
+               and `|` has unspecified operand evaluation order, so a
+               single-expression form could read `add` before the left
+               operand wrote it */
+            uint64_t c1 = __builtin_uaddll_overflow(vv, u, &add);
+            uint64_t c2 = __builtin_uaddll_overflow(add, carry, &add);
+            carry = c1 | c2;
             uint64_t b1 = __builtin_usubll_overflow(vv, u, &sub);
             uint64_t b2 = __builtin_usubll_overflow(sub, borrow, &sub);
             borrow = b1 | b2;

@@ -49,7 +49,8 @@ BASE_CATEGORIES = {
 class SemanticPatterns:
     """Mined column-name patterns (prefixes, suffixes, category mappings)."""
 
-    min_frequency: float = 0.3
+    # reference default: entity_assignment.py:47-56 (min_frequency_threshold=0.1)
+    min_frequency: float = 0.1
     prefixes: list[str] = field(default_factory=list)
     suffixes: list[str] = field(default_factory=list)
     mappings: dict[tuple, str] = field(default_factory=dict)

@@ -401,17 +401,24 @@ def embedding_cosine_pairs(
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim)).astype("float64")
 
+    # one (batch x dim) @ (dim x tables*planes) matmul per Arrow batch —
+    # the whole sketch is a single BLAS call plus a bit-pack, same
+    # vectorization as the SimHash kernel (~10x over the per-row loop).
+    # Keys are the packed sign bits; any injective encoding of the same
+    # bits yields the identical candidate-pair set.
+    P = planes.reshape(n_tables * n_planes, dim).T  # (dim, tables*planes)
+    weights = (1 << np.arange(n_planes, dtype="int64"))
+
     @pandas_udf(T.ArrayType(T.StringType()))
     def sketch_udf(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            arr = np.asarray(v, dtype="float64")
-            keys = []
-            for t in range(n_tables):
-                bits = (planes[t] @ arr) >= 0
-                keys.append(f"t{t}:" + "".join("1" if b else "0" for b in bits))
-            out.append(keys)
-        return pd.Series(out)
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.asarray(vecs.tolist(), dtype="float64")  # (n, dim)
+        bits = (X @ P) >= 0
+        codes = (bits.reshape(len(X), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(
+            [[f"t{t}:{codes[i, t]}" for t in range(n_tables)] for i in range(len(X))]
+        )
 
     # all math in double: float32 partial sums drift vs a double-precision
     # oracle in the 4th-6th decimal (same convention as similarity_search)

@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 
 def _c2(col):
     # n*(n-1) fits long for any realistic cluster (overflow at n ~ 3e9,
-    # where ANSI mode would fail loudly, not silently wrap)
-    return (col * (col - F.lit(1)) / F.lit(2)).cast("long")
+    # where ANSI mode would fail loudly, not silently wrap). Integer DIV —
+    # n*(n-1) is always even — keeps C(n,2) exact past the 2^53 double
+    # mantissa (clusters >= ~1.3e8 members would lose low bits under `/`).
+    n = col.cast("long")
+    return F.shiftright(n * (n - F.lit(1)), 1)
 
 
 def pairwise_cluster_metrics(

@@ -179,16 +179,29 @@ def score_pairs(
     content = features.select(
         "file_id",
         F.substring("norm_content", 1, cfg.lev_max_chars).alias("norm_content"),
+        # tail sample, carried only for over-cap rows (empty otherwise, so
+        # no extra shuffle bytes for the common case): head-only comparison
+        # of truncated pairs errs toward MATCHING — minified bundles often
+        # share a long preamble and diverge after the cap — so truncated
+        # pairs are additionally compared on their last lev_max_chars
+        F.when(
+            F.length("norm_content") > cfg.lev_max_chars,
+            F.substring("norm_content", -cfg.lev_max_chars, cfg.lev_max_chars),
+        )
+        .otherwise(F.lit(""))
+        .alias("tail"),
         F.length("norm_content").alias("n_full"),
     )
     lc = content.select(
         F.col("file_id").alias("left_id"),
         F.col("norm_content").alias("l_norm"),
+        F.col("tail").alias("l_tail"),
         F.col("n_full").alias("l_full"),
     )
     rc = content.select(
         F.col("file_id").alias("right_id"),
         F.col("norm_content").alias("r_norm"),
+        F.col("tail").alias("r_tail"),
         F.col("n_full").alias("r_full"),
     )
     heavy = survivors.join(lc.hint("shuffle_hash"), "left_id").join(
@@ -204,19 +217,35 @@ def score_pairs(
     # long-content partition was a straggler that cost ~40% wall-clock on
     # the scaling bench (bimodal 104 s vs 170 s at 8 cores).
     heavy = heavy.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 8)
-    # truncated pairs clamp to the full-length upper bound (floor keeps the
-    # int type and errs toward NOT matching); untruncated pairs keep the
-    # bit-exact fuzz.ratio — applying the clamp there would shave the
-    # banker's-rounding half-point off genuine matches
+    # Truncated pairs take min(head ratio, tail ratio, full-length bound):
+    # the length bound alone cannot reject two same-length megafiles that
+    # agree on the first lev_max_chars but diverge after (bound = 100 when
+    # lengths are equal), so the tail sample supplies the divergence signal
+    # the head cannot see. lev_ratio for truncated pairs is an approximation
+    # by construction; the min errs toward NOT matching. Untruncated pairs
+    # keep the bit-exact fuzz.ratio — the tail operands collapse to ""/"",
+    # the kernel's O(1) fast path, so phase-2 CPU is unchanged for them.
     truncated = (F.col("l_full") > cfg.lev_max_chars) | (F.col("r_full") > cfg.lev_max_chars)
     full_ub = 200.0 * F.least("l_full", "r_full") / (F.col("l_full") + F.col("r_full"))
     raw_ratio = _lev_udf(F.col("l_norm"), F.col("r_norm"))
+    # per-pair tail operands: an under-cap side compares its WHOLE text
+    # (its head == full string) against the long side's tail sample; empty
+    # only when the pair needs no tail check at all
+    l_tail_eff = F.when(
+        truncated, F.when(F.col("l_full") > cfg.lev_max_chars, F.col("l_tail")).otherwise(F.col("l_norm"))
+    ).otherwise(F.lit(""))
+    r_tail_eff = F.when(
+        truncated, F.when(F.col("r_full") > cfg.lev_max_chars, F.col("r_tail")).otherwise(F.col("r_norm"))
+    ).otherwise(F.lit(""))
+    tail_ratio = _lev_udf(l_tail_eff, r_tail_eff)
     scored2 = (
         heavy.withColumn("raw_ratio", raw_ratio)
+        .withColumn("tail_ratio", tail_ratio)
         .withColumn(
             "lev_ratio",
             F.when(
-                truncated, F.least(F.col("raw_ratio"), F.floor(full_ub).cast("int"))
+                truncated,
+                F.least(F.col("raw_ratio"), F.col("tail_ratio"), F.floor(full_ub).cast("int")),
             ).otherwise(F.col("raw_ratio")),
         )
         .withColumn(

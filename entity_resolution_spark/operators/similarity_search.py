@@ -156,62 +156,80 @@ def knn_join(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     qvec_col: str = "embedding",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Table-vs-table kNN: for every query row, the k nearest corpus rows
     by cosine — (query_id, doc_id, cosine, rank), round-6, ties broken by
     doc_id asc.
 
-    Scale shape: the query matrix (the small side — batched lookups,
-    eval sets; collected driver-side and broadcast, same bounded-collect
-    convention as IVF centroid training) probes every corpus partition in
-    ONE vectorized (rows x queries) float64 matmul inside mapInPandas;
-    each partition emits only its local top-k per query, so the only
-    shuffled payload is |partitions| x |Q| x k candidate rows, merged by
-    a window. The corpus is scanned once and never shuffled. Winner
-    cosines are re-computed with the JVM zip_with/aggregate expression so
-    reported values are bit-identical to the brute-force/oracle path
-    (BLAS summation order differs in ulps).
+    Scale shape — fully distributed, nothing collects to the driver: the
+    corpus is bucketed once on a uniform synthetic key (xxhash64 of the id,
+    ``n_buckets`` ways), the query side — the small side: batched lookups,
+    eval sets — is replicated to every bucket via a broadcast cross-join,
+    and a cogrouped ``applyInPandas`` scores each bucket in ONE vectorized
+    (bucket_rows x queries) float64 matmul. Each bucket emits only its
+    local top-k per query — any global top-k row is a local top-k row of
+    its bucket under the same (-cosine, id) order — so the merge window
+    sees ``n_buckets x |Q| x k`` candidate rows. Cost: one corpus shuffle
+    (linear, partition-parallel — the previous design's driver-side query
+    collect was a driver-memory wall instead) plus |Q| x n_buckets query
+    replicas. Size ``n_buckets`` so a bucket's vectors fit an executor
+    (default 4x parallelism); for repeated probing, pre-bucket the corpus
+    at rest, and for corpus-scale fractional scans use ivf_knn_join.
+    Winner cosines are re-computed with the JVM zip_with/aggregate
+    expression so reported values are bit-identical to the
+    brute-force/oracle path (BLAS summation order differs in ulps).
     """
-    q_rows = queries.select(query_id, qvec_col).collect()
-    qids = [r[0] for r in q_rows]
-    Q = np.asarray([list(r[1]) for r in q_rows], dtype="float64")
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    sc = corpus.sparkSession.sparkContext
-    b_q = sc.broadcast(Qn)
-    b_ids = sc.broadcast(qids)
-
+    spark = corpus.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism * 4
+    # output id types follow the INPUT schemas — string/int ids work alike
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField("query_id", queries.schema[query_id].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
             T.StructField("approx", T.DoubleType()),
         ]
     )
 
-    def local_topk(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.asarray(pdf[vec_col].tolist(), dtype="float64")
-            ids = pdf[id_col].to_numpy()
-            norms = np.linalg.norm(V, axis=1)
-            nz = np.maximum(norms, 1e-300)
-            S = (V / nz[:, None]) @ b_q.value.T  # (rows x queries)
-            S[norms == 0, :] = -1.0
-            kk = min(k, len(pdf))
-            out = {"query_id": [], id_col: [], "approx": []}
-            for j, qid in enumerate(b_ids.value):
-                # local winners by (-cosine, id): any global top-k row is a
-                # local top-k row of its partition under the same order
-                order = np.lexsort((ids, -S[:, j]))[:kk]
-                out["query_id"] += [qid] * kk
-                out[id_col] += list(ids[order])
-                out["approx"] += list(S[order, j])
-            yield pd.DataFrame(out)
+    corpus_b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("__b"),
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("__b"))
+    queries_r = queries.select(
+        F.col(query_id).alias("query_id"), F.col(qvec_col).alias("__qv")
+    ).crossJoin(F.broadcast(buckets))
+
+    def bucket_topk(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cdf) or not len(qdf):
+            return pd.DataFrame({"query_id": [], id_col: [], "approx": []})
+        V = np.asarray(cdf["__v"].tolist(), dtype="float64")
+        ids = cdf[id_col].to_numpy()
+        Q = np.asarray(qdf["__qv"].tolist(), dtype="float64")
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        norms = np.linalg.norm(V, axis=1)
+        S = (V / np.maximum(norms, 1e-300)[:, None]) @ Qn.T  # (rows x queries)
+        S[norms == 0, :] = -1.0
+        kk = min(k, len(cdf))
+        out = {"query_id": [], id_col: [], "approx": []}
+        for j, qid in enumerate(qdf["query_id"].to_numpy()):
+            # local winners by (-cosine, id): any global top-k row is a
+            # local top-k row of its bucket under the same order
+            order = np.lexsort((ids, -S[:, j]))[:kk]
+            out["query_id"] += [qid] * kk
+            out[id_col] += list(ids[order])
+            out["approx"] += list(S[order, j])
+        return pd.DataFrame(out)
 
     from pyspark.sql import Window
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    cand = (
+        corpus_b.groupBy("__b")
+        .cogroup(queries_r.groupBy("__b"))
+        .applyInPandas(bucket_topk, out_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc(id_col))
     winners = (
         cand.withColumn("rank", F.row_number().over(w))
@@ -252,24 +270,33 @@ def ivf_knn_join(
     """IVF-accelerated table-vs-table kNN — the fractional-scan scale path.
 
     Each query probes only its ``n_probe`` nearest cells: the (query_id,
-    cell) probe list is built driver-side from the bounded query matrix
-    (same collect convention as knn_join/train_centroids), broadcast, and
-    equi-joined against the cell-assigned corpus — when the corpus is
+    cell) probe frame is built DISTRIBUTED — one Arrow pass over the query
+    table (vectorized centroid-distance argsort, mirroring assign_cells; no
+    driver collect), exploded to (query_id, cell) rows — then broadcast and
+    equi-joined against the cell-assigned corpus: |Q| x n_probe rows of
+    (id, int), tiny relative to the query table itself. When the corpus is
     written partitioned by cell (write_ivf_index) the join prunes whole
     directories. Everything after the cell join is JVM expressions: the
     cosine is the zip_with/aggregate fold (bit-identical to brute force)
     and top-k is a window over the probed subset. n_probe == n_cells
     degenerates to exact knn_join output (pinned by test).
     """
-    q_rows = queries.select(query_id, qvec_col).collect()
-    spark = corpus_with_cells.sparkSession
-    probe_rows = []
-    for r in q_rows:
-        q = np.asarray(list(r[1]), dtype="float64")
-        d = ((centroids - q[None, :]) ** 2).sum(axis=1)
-        for c in d.argsort()[:n_probe]:
-            probe_rows.append((r[0], int(c)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    cent = centroids.copy()
+    n_probe = min(n_probe, len(cent))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells_udf(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(list(vecs), dtype="float64")
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(idx))
+
+    probes = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(probe_cells_udf(F.col(qvec_col))).alias("cell"),
+    )
 
     qv = queries.select(
         F.col(query_id).alias("query_id"),

@@ -109,6 +109,38 @@ def test_lev_truncation_clamps_to_length_bound(spark):
     assert row.score < cfg.similarity_threshold
 
 
+def test_lev_truncation_tail_divergence_rejected(spark):
+    """Two SAME-length files identical in the first lev_max_chars but
+    totally divergent after must NOT score lev_ratio ~100: the length
+    bound is 100 when lengths are equal (it cannot help), so the tail
+    sample must supply the divergence. Minified bundles — the truncation
+    guard's stated motivation — often share a long preamble."""
+    from entity_resolution_spark.operators.blocking import with_features
+    from entity_resolution_spark.operators.scoring import score_pairs
+
+    cfg = PipelineConfig()
+    prefix = ";".join(f"let q{i}={i}" for i in range(3000))  # ~30k shared
+    files = _files(
+        spark,
+        [
+            ("r/t", "a/w.js", "a" * 40, "javascript", prefix + ";" + "a" * 30000),
+            ("r/t", "b/w.js", "b" * 40, "javascript", prefix + ";" + "b" * 30000),
+        ],
+    )
+    feat = with_features(files, cfg).withColumn(
+        "file_id", F.xxhash64("repo", "path", "commit")
+    )
+    ids = [r.file_id for r in feat.select("file_id").collect()]
+    pairs = spark.createDataFrame(
+        [(min(ids), max(ids), "pfx:test")], "left_id long, right_id long, block_key string"
+    )
+    row = score_pairs(pairs, feat, cfg).collect()[0]
+    # head window (first 25k) is identical -> raw ratio 100; equal lengths
+    # -> length bound 100; the tail sample (all-a vs all-b) is what rejects
+    assert row.lev_ratio < 30
+    assert row.score < cfg.similarity_threshold
+
+
 def test_duplicated_identity_rows_collapse_to_one_id(spark):
     """The deterministic file_id fallback hashes (repo, path, commit): a row
     emitted twice upstream (e.g. a retried extract task) maps to ONE id and

@@ -121,6 +121,24 @@ def test_patterns_mine_suffixes():
     assert {"identifier", "name", "date"} <= cats
 
 
+def test_patterns_default_matches_compat_layer():
+    # operator-layer default mirrors the reference's 0.1
+    # (entity_assignment.py:47-56); compat layer wraps the same default —
+    # both must mine identical patterns on the reference's own fixture
+    # (reference tests/test_entity_assignment.py:32-42)
+    from entity_resolution_spark.compat import SemanticConsolidation
+
+    cols1 = ["cust_id", "customer_name", "order_date"]
+    cols2 = ["user_id", "user_name", "created_date"]
+    op = SemanticPatterns().analyze(cols1, cols2)
+    assert op.min_frequency == 0.1
+    compat = SemanticConsolidation()
+    compat_p = compat.patterns.analyze(cols1, cols2)
+    assert op.prefixes == compat_p.prefixes
+    assert op.suffixes == compat_p.suffixes
+    assert op.mappings == compat_p.mappings
+
+
 def test_decision_rule():
     # entity_assignment.py:399-412: top max(1, min_cols//2) mean / 100
     m = [("a", "x", 90.0), ("b", "y", 80.0), ("c", "z", 10.0)]
