@@ -51,16 +51,44 @@ def _as_spark(df: Any, spark: SparkSession | None = None) -> DataFrame:
 
 
 class SimilarColumnFinder:
-    """Reference: entity_resolution.py:50-351. ``llm`` / ``prompt_template``
-    hooks are accepted for signature parity; the deterministic describer
-    ignores them (a callable ``describer(df) -> dict[col,str]`` may be
-    injected instead)."""
+    """Reference: entity_resolution.py:50-351. The ``llm`` hook is accepted
+    for signature parity (the deterministic describer replaces it; a
+    callable ``describer(df) -> dict[col,str]`` may be injected instead).
+
+    ``prompt_template`` is HONORED the way the reference honors
+    ``column_description_prompt`` (entity_resolution.py:87-115): the
+    reference lets callers reshape the description text per column; here a
+    template with a ``format`` method (``str`` works) renders each
+    description from ``column_name`` / ``dtype`` / ``description`` (the
+    deterministic default text). Same validation as the reference: a
+    non-None template without ``format`` raises TypeError."""
 
     def __init__(self, llm=None, prompt_template=None, describer=None, spark=None):
         self.llm = llm
+        if prompt_template is not None and not hasattr(prompt_template, "format"):
+            # reference entity_resolution.py:110-112
+            raise TypeError(
+                "prompt_template must have a 'format' method (a str or "
+                "PromptTemplate-like object)"
+            )
         self.prompt_template = prompt_template
         self.describer = describer or _sm.describe_columns
         self.spark = spark
+
+    def _render(self, sdf: DataFrame, descriptions: dict) -> dict:
+        if self.prompt_template is None:
+            return descriptions
+        from .operators.schema_matching import profile_columns
+
+        profiles = profile_columns(sdf)
+        return {
+            c: self.prompt_template.format(
+                column_name=c,
+                dtype=profiles[c].enhanced_dtype if c in profiles else "",
+                description=d,
+            )
+            for c, d in descriptions.items()
+        }
 
     def describe_columns(self, df, columns: list | None = None) -> dict[str, str]:
         """Reference signature ``describe_columns(df, columns)``
@@ -80,7 +108,7 @@ class SimilarColumnFinder:
                     f"The following columns are not found in the DataFrame: {missing}"
                 )
             sdf = sdf.select(*columns)
-        return self.describer(sdf)
+        return self._render(sdf, self.describer(sdf))
 
     def find_similar_columns(
         self, df1, df2, threshold: int = DEFAULT_SIMILARITY_THRESHOLD
@@ -88,7 +116,13 @@ class SimilarColumnFinder:
         a, b = _as_spark(df1, self.spark), _as_spark(df2, self.spark)
         if not a.columns or not b.columns:
             raise ValueError("input DataFrames must have columns")
-        return _sm.find_similar_columns(a, b, threshold)
+        return _sm.find_similar_columns(
+            a,
+            b,
+            threshold,
+            descriptions1=self._render(a, self.describer(a)),
+            descriptions2=self._render(b, self.describer(b)),
+        )
 
     def validate_column_matches(
         self, df1, df2, column_matches, sample_size: int = DEFAULT_VALIDATION_SAMPLE

@@ -274,10 +274,16 @@ def cc_clusters_ngram(spark, sf_dir):
     return comp.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
-@query("pipeline_clusters")
+# DEFAULT-config flagship, oracle-checked value-for-value: the content
+# edit-ratio term (w_content=0.4) is replicated in SQL by an anti-diagonal
+# LCS DP inside a recursive CTE + round_even (sql_kernels.
+# pipeline_default_clusters_sql) — the light query pins the w_content=0
+# chain, this row pins the full default blend end to end.
+@query("pipeline_clusters", _sql.pipeline_default_clusters_sql(threshold=80.0))
 def pipeline_clusters(spark, sf_dir):
-    """Full blocking->scoring->clustering pipeline on the documents corpus;
-    deterministic cluster summary (the flagship as a contract row)."""
+    """Full blocking->scoring->clustering pipeline on the documents corpus
+    under the DEFAULT config (the flagship as a contract row); per-doc
+    cluster labels so every membership decision is value-checked."""
     import __spark_entry__ as entry_mod
     from ..config import PipelineConfig
     from ..plans.pipeline import resolve
@@ -286,11 +292,55 @@ def pipeline_clusters(spark, sf_dir):
     ensure_py_files(spark)
     files = entry_mod._docs_as_repo_files(spark, sf_dir)
     res = resolve(files, PipelineConfig())
-    return (
-        res.clusters.groupBy("cluster_id")
-        .agg(F.count("*").alias("cluster_size"), F.min("file_id").alias("min_file_id"))
-        .orderBy(F.desc("cluster_size"), "cluster_id")
-    )
+    return res.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
+# North-rule resumability as a CONTRACT row: run the flagship through a
+# StageStore, kill it after scoring (remove the clusters stage dir), run
+# again — the resumed run must reproduce the first run's labels exactly,
+# and both must equal the ground-truth SQL program. The inner join makes
+# any id drift show up as a row-count mismatch.
+@query(
+    "pipeline_resume_equivalence",
+    f"""
+    SELECT doc_id, cluster_id, cluster_id AS cluster_id_resumed
+    FROM ({_sql.pipeline_default_clusters_sql(threshold=80.0)})
+    """,
+)
+def pipeline_resume_equivalence(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+    from ..config import PipelineConfig
+    from ..plans.pipeline import resolve
+    from ..session import ensure_py_files
+    from ..sources.io import StageStore
+
+    ensure_py_files(spark)
+    base = tempfile.mkdtemp(prefix="ers_resume_")
+    try:
+        files = entry_mod._docs_as_repo_files(spark, sf_dir)
+        cfg = PipelineConfig()
+        store = StageStore(os.path.join(base, "run"))
+        res1 = resolve(files, cfg, store=store)
+        first = res1.clusters.select(
+            F.col("file_id").alias("doc_id"), "cluster_id"
+        ).localCheckpoint(eager=True)
+        # crash simulation: the clusters stage never completed; the rerun
+        # must resume from the persisted features/pairs/scored stages and
+        # recompute only clustering onward
+        shutil.rmtree(store.path("clusters"))
+        assert not store.is_complete("clusters")
+        res2 = resolve(files, cfg, store=store)
+        resumed = res2.clusters.select(
+            F.col("file_id").alias("doc_id"),
+            F.col("cluster_id").alias("cluster_id_resumed"),
+        ).localCheckpoint(eager=True)
+        return first.join(resumed, "doc_id")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query("doc_fingerprints", _sql.fingerprints_sql())

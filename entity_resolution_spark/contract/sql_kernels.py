@@ -532,3 +532,159 @@ __labels AS (
 SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN __labels l USING (doc_id)
 """
+
+
+def pipeline_default_clusters_sql(
+    threshold: float = 80.0,
+    w_content: float = 0.4,
+    pipeline_minhash: MinHashConfig | None = None,
+) -> str:
+    """Full-pipeline oracle under the DEFAULT scoring config — the last
+    piece the light oracle could not check: the content edit-ratio term
+    (``w_content=0.4``) computed value-for-value in SQL.
+
+    Same stage-for-stage replica as ``pipeline_light_clusters_sql`` (exact
+    collapse, seeded MinHash bands + pfx keys, candidate self-join,
+    token-set Jaccard, DuckDB Jaro-Winkler, recursive-CTE closure), plus
+    the engine's two-phase scoring:
+
+    - the bound gate (``w_c*ub + base >= threshold - w_c*0.5`` with the
+      banker's-rounding slack) prunes pairs that can never match — a SOUND
+      pruning, not an implementation mirror: a rejected pair's blend is
+      strictly below the threshold, so it contributes no edge;
+    - survivors get the exact fuzz.ratio: LCS by an anti-diagonal DP in a
+      recursive CTE (cells (i,j) with i+j=d depend only on diagonals d-1 /
+      d-2, so each step is one pure list comprehension — no in-row
+      dependency), then ``round_even(200.0*lcs/(la+lb))`` — DuckDB's
+      half-to-even over the identical IEEE double matches the kernel's
+      Python ``round``. Verified cell-for-cell against the engine's DP
+      oracle in tests. Feasible because contract corpora have short
+      normalized texts (<=~600 chars; the engine's lev_max_chars cap never
+      binds) and few bound survivors.
+
+    All double arithmetic is written to reproduce the engine's constant
+    folding and operation order (``0.4::DOUBLE * lev + (35.0*jac +
+    25.0*jw)``), so round-6 scores agree bit-for-bit in practice.
+    """
+    cfg = pipeline_minhash or MinHashConfig(bands=8)
+    r = cfg.rows_per_band
+    sig_ctes = minhash_signature_ctes(cfg, src="__reps")
+    reject_below = threshold - w_content * 0.5
+    return f"""
+WITH RECURSIVE
+__reps AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+),
+__exact_edges AS (
+  SELECT mn AS a, doc_id AS b
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn FROM documents)
+  WHERE doc_id != mn
+),
+{sig_ctes},
+__sigs AS MATERIALIZED (
+  SELECT doc_id, list(value ORDER BY slot) AS sig FROM __sig GROUP BY doc_id
+),
+__band_keys AS (
+  SELECT doc_id,
+         'mh:' || b.band || ':' ||
+         array_to_string(sig[b.band * {r} + 1 : (b.band + 1) * {r}], ',') AS bk
+  FROM __sigs, (SELECT unnest(range(0, {cfg.bands})) AS band) b
+),
+__keys AS MATERIALIZED (
+  SELECT doc_id, bk FROM __band_keys
+  UNION ALL
+  SELECT doc_id, 'pfx:' || sha256(substr(s, 1, 256)) AS bk
+  FROM __t WHERE length(s) > 0
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS l, b.doc_id AS rr
+  FROM __keys a JOIN __keys b ON a.bk = b.bk
+  WHERE a.doc_id < b.doc_id
+),
+__feat AS (
+  SELECT rep.doc_id,
+         list_distinct(regexp_extract_all(rep.text, '[A-Za-z_][A-Za-z0-9_]*')) AS toks,
+         rep.doc_id::VARCHAR || '.txt' AS basename,
+         t.s AS s
+  FROM __reps rep JOIN __t t USING (doc_id)
+),
+__light AS (
+  SELECT c.l, c.rr,
+         length(fa.s) AS la, length(fb.s) AS lb,
+         fa.s AS sa, fb.s AS sb,
+         (CASE WHEN len(fa.toks) + len(fb.toks)
+                    - len(list_intersect(fa.toks, fb.toks)) > 0
+           THEN len(list_intersect(fa.toks, fb.toks)) * 1.0 /
+                (len(fa.toks) + len(fb.toks)
+                 - len(list_intersect(fa.toks, fb.toks)))
+           ELSE 0.0 END) AS jac,
+         jaro_winkler_similarity(fa.basename, fb.basename) AS jw
+  FROM __cand c
+  JOIN __feat fa ON fa.doc_id = c.l
+  JOIN __feat fb ON fb.doc_id = c.rr
+),
+__surv AS MATERIALIZED (
+  SELECT * FROM __light
+  WHERE {w_content}::DOUBLE *
+          (CASE WHEN la > 0 AND lb > 0
+                THEN 200.0 * least(la, lb) / (la + lb) ELSE 0.0 END)
+        + (35.0 * jac + 25.0 * jw) >= {reject_below!r}
+),
+__sv AS MATERIALIZED (
+  SELECT l, rr, la, lb,
+         [sa[i] FOR i IN range(1, la + 1)] AS ca,
+         [sb[i] FOR i IN range(1, lb + 1)] AS cb
+  FROM __surv WHERE sa != sb AND la > 0 AND lb > 0
+),
+__dp(l, rr, d, prev1, cur) AS (
+  SELECT l, rr, 1,
+         [0 FOR p IN range(1, la + 2)],
+         [0 FOR p IN range(1, la + 2)]
+  FROM __sv
+  UNION ALL
+  SELECT dp.l, dp.rr, dp.d + 1,
+         dp.cur,
+         [ CASE WHEN p = 1 THEN 0
+                WHEN dp.d + 1 - (p - 1) < 1 OR dp.d + 1 - (p - 1) > sv.lb THEN 0
+                WHEN sv.ca[p - 1] = sv.cb[dp.d + 1 - (p - 1)]
+                  THEN dp.prev1[p - 1] + 1
+                ELSE greatest(dp.cur[p - 1], dp.cur[p]) END
+           FOR p IN range(1, sv.la + 2) ]
+  FROM __dp dp JOIN __sv sv ON sv.l = dp.l AND sv.rr = dp.rr
+  WHERE dp.d < sv.la + sv.lb
+),
+__lcs AS MATERIALIZED (
+  SELECT dp.l, dp.rr, dp.cur[sv.la + 1] AS lcs
+  FROM __dp dp JOIN __sv sv ON sv.l = dp.l AND sv.rr = dp.rr
+  WHERE dp.d = sv.la + sv.lb
+),
+__lev AS (
+  SELECT s.l, s.rr,
+         CASE WHEN s.sa = s.sb THEN 100
+              WHEN s.la = 0 OR s.lb = 0 THEN 0
+              ELSE CAST(round_even(200.0::DOUBLE * x.lcs / (s.la + s.lb), 0) AS INT)
+         END AS lev
+  FROM __surv s LEFT JOIN __lcs x ON x.l = s.l AND x.rr = s.rr
+),
+__scored AS (
+  SELECT s.l, s.rr,
+         round({w_content}::DOUBLE * v.lev + (35.0 * s.jac + 25.0 * s.jw), 6) AS score
+  FROM __surv s JOIN __lev v ON v.l = s.l AND v.rr = s.rr
+),
+__edges AS MATERIALIZED (
+  SELECT l AS a, rr AS b FROM __scored WHERE score >= {threshold}
+  UNION SELECT a, b FROM __exact_edges
+),
+__dir AS MATERIALIZED (SELECT a, b FROM __edges UNION SELECT b, a FROM __edges),
+__reach(a, b) AS (
+  SELECT a, b FROM __dir
+  UNION
+  SELECT r.a, d.b FROM __reach r JOIN __dir d ON r.b = d.a
+),
+__labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM __reach GROUP BY a
+)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN __labels l USING (doc_id)
+"""

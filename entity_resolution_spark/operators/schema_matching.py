@@ -155,14 +155,18 @@ def find_similar_columns(
     df1: DataFrame,
     df2: DataFrame,
     threshold: int = DEFAULT_SIMILARITY_THRESHOLD,
+    descriptions1: dict[str, str] | None = None,
+    descriptions2: dict[str, str] | None = None,
 ) -> list[tuple[str, str, float]]:
     """All description pairs scored with the fuzzywuzzy-parity ratio;
     >= threshold kept; sorted (score desc, col1, col2) — the reference's
-    contract with a deterministic tiebreak (SURVEY.md §1.3)."""
+    contract with a deterministic tiebreak (SURVEY.md §1.3). Callers with
+    custom describers/templates (compat.SimilarColumnFinder) pass their
+    rendered descriptions so matching sees the same text the user shaped."""
     if not 0 <= threshold <= 100:
         raise ValueError(f"threshold must be in [0, 100], got {threshold}")
-    d1 = describe_columns(df1)
-    d2 = describe_columns(df2)
+    d1 = descriptions1 if descriptions1 is not None else describe_columns(df1)
+    d2 = descriptions2 if descriptions2 is not None else describe_columns(df2)
     matches: list[tuple[str, str, float]] = []
     for c1, desc1 in d1.items():
         for c2, desc2 in d2.items():

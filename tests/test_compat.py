@@ -26,6 +26,38 @@ def dfs(spark):
     return a, b
 
 
+def test_prompt_template_shapes_descriptions(dfs):
+    # reference entity_resolution.py:87-115: a caller-supplied template
+    # reshapes the per-column description text; validation rejects
+    # format-less objects with TypeError
+    a, _ = dfs
+    default = SimilarColumnFinder().describe_columns(a)
+    custom = SimilarColumnFinder(
+        prompt_template="col {column_name} [{dtype}]: {description}"
+    ).describe_columns(a)
+    assert set(custom) == set(default)
+    assert custom != default
+    assert custom["cust_id"].startswith("col cust_id [")
+    assert default["cust_id"] in custom["cust_id"]
+    with pytest.raises(TypeError):
+        SimilarColumnFinder(prompt_template=object())
+
+
+def test_prompt_template_affects_matching(dfs):
+    # matching must score the RENDERED descriptions (reference: the LLM
+    # output under the custom template is what gets compared)
+    a, b = dfs
+    base = SimilarColumnFinder().find_similar_columns(a, b, threshold=40)
+    # a template that erases all signal drives every pair to one identical
+    # description -> every pair scores 100
+    flat = SimilarColumnFinder(prompt_template="x").find_similar_columns(
+        a, b, threshold=40
+    )
+    assert {s for _, _, s in flat} == {100.0}
+    assert len(flat) == len(a.columns) * len(b.columns)
+    assert base != flat
+
+
 def test_finder_matches_shape_and_sort(dfs):
     # reference tests/test_entity_resolution.py:194-206
     a, b = dfs
