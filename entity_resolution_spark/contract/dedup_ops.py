@@ -524,6 +524,38 @@ def label_centroids(spark, sf_dir):
     return group_centroids_long(e, "label")
 
 
+# Symmetric int8 scalar quantization (operators/vectors.py): the at-rest
+# storage format for 100 TB embedding tables (4x over float32; dequant =
+# codes * scale). Exploded to scalar rows; both sides compute in double so
+# codes agree bit-for-bit (round is half-away-from-zero on both engines).
+@query(
+    "quantize_embeddings_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 CASE WHEN list_max([abs(x) FOR x IN v]) > 0
+                      THEN list_max([abs(x) FOR x IN v]) / 127.0
+                      ELSE 0.0 END AS scale
+          FROM e)
+    SELECT vec_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           CAST(CASE WHEN scale > 0 THEN round(v[i] / scale, 0) ELSE 0 END AS INT) AS code,
+           round(scale, 6) AS scale
+    FROM s, unnest(range(1, len(v) + 1)) AS u(i)
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    from ..operators.vectors import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.posexplode("codes").alias("pos", "code"),
+        F.round("scale", 6).alias("scale"),
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "code", "scale")
+
+
 # Test-set decontamination (operators/decontam.py): docs with doc_id % 97
 # == 0 stand in as the benchmark/eval set; every other doc reports what
 # fraction of its distinct word n-grams appear in the benchmark. n=3 here

@@ -460,3 +460,35 @@ def multimodal_fake_features(spark, sf_dir):
         "n_bytes",
         F.posexplode("features").alias("pos", "val"),
     )
+
+
+# --- document chunking (sliding windows with overlap; RAG prep) -------------
+_CHUNK, _OVERLAP = 160, 32
+_CHUNK_STEP = _CHUNK - _OVERLAP
+
+
+@query(
+    "chunk_documents_sliding",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0),
+    s AS (
+      SELECT doc_id, text, n,
+             unnest(range(1, greatest(n - {_OVERLAP}, 1) + 1, {_CHUNK_STEP})) AS cs
+      FROM d)
+    SELECT doc_id,
+           CAST((cs - 1) / {_CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           CAST(cs AS BIGINT) AS chunk_start,
+           CAST(least(cs + {_CHUNK} - 1, n) AS BIGINT) AS chunk_end,
+           substr(text, CAST(cs AS INT), {_CHUNK}) AS chunk
+    FROM s
+    """,
+)
+def chunk_documents_sliding(spark, sf_dir):
+    """Sliding-window chunking over the documents corpus — every character
+    covered, consecutive chunks share exactly `overlap` chars."""
+    from ..operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_chars=_CHUNK, overlap=_OVERLAP)

@@ -60,6 +60,12 @@ _DRIVER_PRIORITY = [
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",
     "pipeline_clusters",
+    # reworked in round 3 (distributed kNN joins) — must re-verify
+    "knn_join_topk",
+    "ivf_knn_join_full_probe",
+    "dedup_embedding_cosine",
+    "chunk_documents_sliding",
+    "quantize_embeddings_int8",
     # round-1 row only; re-verify under the current engine
     "lang_id_heuristic",
     "text_quality_score",

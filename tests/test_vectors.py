@@ -38,3 +38,45 @@ def test_long_form_matches_array_form(spark):
     long = {(r["label"], r["pos"]): r["val"] for r in group_centroids_long(df, "label").collect()}
     assert set(arr) == set(long)
     assert all(abs(arr[k] - long[k]) < 1e-6 for k in arr)
+
+
+def test_quantize_roundtrip_and_cosine(spark):
+    import numpy as np
+
+    from entity_resolution_spark.operators.vectors import (
+        dequantize_cosine,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df).collect()
+    by_id = {r.vec_id: r for r in q}
+    # codes bounded, zero vector -> scale 0 / all-zero codes
+    for r in q:
+        assert all(-127 <= c <= 127 for c in r.codes)
+    assert by_id[99].scale == 0.0 and set(by_id[99].codes) == {0}
+    # dequant reconstruction error bounded by scale/2 per element
+    for r in q:
+        if r.scale == 0:
+            continue
+        for orig, code in zip(r.embedding, r.codes):
+            assert abs(orig - code * r.scale) <= r.scale / 2 + 1e-12
+    # int8 cosine tracks the float cosine within quantization noise
+    qd = quantize_embeddings(df).select("vec_id", "embedding", "codes", "scale")
+    a = qd.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ea"), F.col("codes").alias("ca"), F.col("scale").alias("sa")
+    )
+    b = qd.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("eb"), F.col("codes").alias("cb"), F.col("scale").alias("sb")
+    )
+    pair = a.crossJoin(b)
+    row = pair.select(
+        dequantize_cosine(F.col("ca"), F.col("sa"), F.col("cb"), F.col("sb")).alias("qcos")
+    ).collect()[0]
+    va = np.array(rows[0][1]); vb = np.array(rows[1][1])
+    fcos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    assert abs(row.qcos - fcos) < 0.02
