@@ -220,6 +220,56 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# --- semantic dedup (SemDeDup): per-vector keep/drop, oracle-checked -------
+# Same recall-tilted LSH + reachable threshold as dedup_embedding_cosine
+# (the synthetic corpus has no planted near-dups); the oracle closes the
+# edge set with WITH RECURSIVE and labels every vector.
+@query(
+    "semantic_dedup_embeddings",
+    _sql.semantic_dedup_sql(min_cosine=0.4, n_planes=4, n_tables=8),
+)
+def semantic_dedup_embeddings(spark, sf_dir):
+    from ..operators.dedup import semantic_dedup
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    out = semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.4, n_planes=4, n_tables=8
+    )
+    return out.select("vec_id", "canonical_id", F.col("kept").cast("int").alias("kept"))
+
+
+# --- int8-quantized exact cosine top-k --------------------------------------
+# Search runs entirely over the quantized codes (the 4x at-rest format);
+# the query is vec 0's embedding, quantized by the same per-vector rule, so
+# the oracle rebuilds both sides from the raw table.
+@query(
+    "sim_search_quantized_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 CASE WHEN list_max([abs(x) FOR x IN v]) > 0
+                      THEN list_max([abs(x) FOR x IN v]) / 127.0
+                      ELSE 0.0 END AS scale
+          FROM e),
+    c AS (SELECT vec_id,
+                 [CASE WHEN scale > 0 THEN round(v[i] / scale, 0) ELSE 0.0 END
+                  FOR i IN range(1, len(v) + 1)] AS codes
+          FROM s),
+    q AS (SELECT codes FROM c WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(codes, (SELECT codes FROM q)), 6) AS cosine
+    FROM c ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_search_quantized_topk(spark, sf_dir):
+    from ..operators.similarity_search import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return quantized_topk(emb, [float(x) for x in qvec], k=10)
+
+
 # --- fused corpus-curation pipeline, oracle-checked end-to-end -------------
 @query("corpus_curation", _sql.curation_status_sql(min_quality=0.6, min_jaccard=0.6))
 def corpus_curation(spark, sf_dir):

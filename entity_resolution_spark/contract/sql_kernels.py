@@ -248,20 +248,21 @@ FROM __cand WHERE bit_count(xor(ua, ub)) <= {max_hamming}
 """
 
 
-def embedding_lsh_pairs_sql(
+def _embedding_edge_ctes(
     min_cosine: float,
-    n_planes: int = 16,
-    n_tables: int = 4,
-    seed: int = 42,
-    dim: int = 64,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int,
 ) -> str:
-    """Full oracle for embedding_cosine_pairs: the seeded random
-    hyperplanes are materialized as SQL literals (repr round-trips float64
-    exactly), sign-sketch buckets are rebuilt per table, and candidates
-    sharing a bucket are verified with double-precision cosine. Sign
-    flips from summation-order differences (numpy BLAS vs sequential
-    list_sum) would need |dot| < ~1e-13 — never observed; the kernel
-    equivalence test pins it on the real corpus."""
+    """Shared CTE body rebuilding embedding_cosine_pairs' edge set: the
+    seeded random hyperplanes are materialized as SQL literals (repr
+    round-trips float64 exactly), sign-sketch buckets are rebuilt per
+    table, and candidates sharing a bucket are verified with
+    double-precision cosine. Sign flips from summation-order differences
+    (numpy BLAS vs sequential list_sum) would need |dot| < ~1e-13 — never
+    observed; the kernel equivalence test pins it on the real corpus.
+    Final CTE: __scored(left_id, right_id, cosine >= min_cosine)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -272,8 +273,7 @@ def embedding_lsh_pairs_sql(
         for p in range(n_planes)
     )
     dot_terms = f"list_sum([pl.p[i] * e.v[i] FOR i IN range(1, {dim} + 1)])"
-    return f"""
-WITH __planes(tbl, plane_idx, p) AS (VALUES
+    return f"""__planes(tbl, plane_idx, p) AS (VALUES
     {rows}
 ),
 __e AS (
@@ -296,14 +296,60 @@ __cand AS (
   FROM __keys a JOIN __keys b ON a.tbl = b.tbl AND a.bk = b.bk
   WHERE a.vec_id < b.vec_id
 ),
-__scored AS (
-  SELECT c.left_id, c.right_id,
-         round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
-  FROM __cand c
-  JOIN __e ea ON ea.vec_id = c.left_id
-  JOIN __e eb ON eb.vec_id = c.right_id
-)
-SELECT left_id, right_id, cosine FROM __scored WHERE cosine >= {min_cosine}
+__scored AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT c.left_id, c.right_id,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM __cand c
+    JOIN __e ea ON ea.vec_id = c.left_id
+    JOIN __e eb ON eb.vec_id = c.right_id
+  ) WHERE cosine >= {min_cosine}
+)"""
+
+
+def embedding_lsh_pairs_sql(
+    min_cosine: float,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Full oracle for embedding_cosine_pairs (see _embedding_edge_ctes)."""
+    return f"""
+WITH {_embedding_edge_ctes(min_cosine, n_planes, n_tables, seed, dim)}
+SELECT left_id, right_id, cosine FROM __scored
+"""
+
+
+def semantic_dedup_sql(
+    min_cosine: float,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Full oracle for operators/dedup.py:semantic_dedup — the hyperplane
+    edge set closed transitively with WITH RECURSIVE (component label =
+    min reachable vec_id, the engine's CC convention), then every corpus
+    vector labeled (canonical_id, kept) with self-canonical fallback."""
+    return f"""
+WITH RECURSIVE {_embedding_edge_ctes(min_cosine, n_planes, n_tables, seed, dim)},
+__dir AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM __scored
+  UNION SELECT right_id, left_id FROM __scored
+),
+__reach(a, b) AS (
+  SELECT a, b FROM __dir
+  UNION
+  SELECT r.a, d.b FROM __reach r JOIN __dir d ON r.b = d.a
+),
+__canon AS (SELECT a AS vec_id, least(a, min(b)) AS cid FROM __reach GROUP BY a)
+SELECT e.vec_id,
+       coalesce(c.cid, e.vec_id) AS canonical_id,
+       -- INT, not BOOLEAN: the driver canonicalizer compares scalar columns
+       -- and the Spark side casts its boolean the same way
+       CAST(coalesce(c.cid, e.vec_id) = e.vec_id AS INT) AS kept
+FROM embeddings e LEFT JOIN __canon c USING (vec_id)
 """
 
 

@@ -452,6 +452,65 @@ def embedding_cosine_pairs(
 
 
 # ---------------------------------------------------------------------------
+# 5b. Semantic dedup (SemDeDup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-vector keep/drop decision for semantically near-duplicate
+    embeddings (SemDeDup, Abbas et al. 2023: prune documents whose
+    embeddings are within cosine epsilon of a kept representative).
+
+    Candidate generation is the seeded hyperplane-LSH blocking of
+    ``embedding_cosine_pairs`` (the paper's k-means cells re-expressed as
+    deterministic sign-hash cells so the decision is reproducible and
+    oracle-able), verification is exact double cosine, and groups are
+    closed transitively with the engine's large-star/small-star connected
+    components — the representative is the component-min id, matching the
+    pipeline's cluster-id convention.
+
+    Output: one row per input vector — (vec_id, canonical_id, kept);
+    vectors in no near-dup group keep themselves.
+
+    Scale shape: LSH band self-join is census-capped (never all-pairs),
+    CC touches only near-dup members, and the final assignment is one
+    shuffle-hash left join of the corpus against the (dup-members-sized)
+    component table — no broadcast of anything corpus-sized, no driver
+    materialization.
+    """
+    from .clustering import connected_components
+
+    pairs = embedding_cosine_pairs(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        min_cosine=min_cosine,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+    )
+    comp = connected_components(
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    ).select(F.col("file_id").alias("__id"), F.col("cluster_id").alias("__canon"))
+    out = emb.select(F.col(id_col).alias("vec_id")).join(
+        comp.hint("shuffle_hash"), F.col("vec_id") == F.col("__id"), "left"
+    )
+    canon = F.coalesce(F.col("__canon"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        canon.alias("canonical_id"),
+        (canon == F.col("vec_id")).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 6. Cross-document duplicate-span statistics (winnowing fingerprints)
 # ---------------------------------------------------------------------------
 

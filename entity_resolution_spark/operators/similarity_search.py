@@ -48,6 +48,43 @@ def brute_force_topk(
     )
 
 
+def quantized_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k over the int8-at-rest representation: the corpus
+    is symmetrically scalar-quantized (operators/vectors.quantize_embeddings
+    — the 4x storage format for 100 TB embedding tables) and the search runs
+    entirely on the integer codes. Per-vector scales cancel in the cosine,
+    so the ranking is exactly cosine(codes, quantized-query) in double; the
+    recall-vs-float gap is bounded by quantization noise (test-pinned).
+
+    The query is quantized with the same half-away-from-zero rule the
+    column expression uses (np.rint would be half-even), so the plan a
+    stored-codes table would produce is bit-identical to this one."""
+    from .vectors import quantize_embeddings
+
+    q = quantize_embeddings(emb, vec_col=vec_col, bits=bits)
+    qa = np.asarray(query, dtype="float64")
+    amax = float(np.abs(qa).max()) if qa.size else 0.0
+    if amax > 0:
+        qmax = float((1 << (bits - 1)) - 1)
+        # same operation order as the column expression (x / (amax/qmax)):
+        # multiplying by the reciprocal can differ in the last ulp and flip
+        # a rounding decision
+        scaled = qa / (amax / qmax)
+        qc = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+    else:
+        qc = np.zeros_like(qa)
+    return brute_force_topk(
+        q, [float(x) for x in qc], k=k, id_col=id_col, vec_col="codes"
+    )
+
+
 def train_centroids(
     emb: DataFrame,
     n_cells: int = 16,

@@ -66,6 +66,8 @@ _DRIVER_PRIORITY = [
     "dedup_embedding_cosine",
     "chunk_documents_sliding",
     "quantize_embeddings_int8",
+    "semantic_dedup_embeddings",
+    "sim_search_quantized_topk",
     # round-1 row only; re-verify under the current engine
     "lang_id_heuristic",
     "text_quality_score",

@@ -316,3 +316,55 @@ def test_ivf_knn_join_full_probe_equals_brute(spark):
     exact_ids = {(a, b) for a, b, _, _ in exact}
     recall = len(probed & exact_ids) / len(exact_ids)
     assert recall >= 0.5, recall
+
+
+def test_semantic_dedup_groups_and_keeps(spark):
+    from entity_resolution_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(0)
+    v = rng.normal(size=8)
+    w = rng.normal(size=8)
+    rows = [
+        (10, [float(x) for x in v]),
+        (11, [float(x) for x in v * 3.0]),                              # cosine 1 with 10
+        (12, [float(x) for x in v + rng.normal(scale=0.01, size=8)]),   # near 10
+        (20, [float(x) for x in w]),                                    # unrelated, alone
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(emb, min_cosine=0.98, n_tables=8).collect()}
+    assert len(out) == 4  # one row per input vector
+    assert out[10].canonical_id == 10 and out[10].kept
+    assert out[11].canonical_id == 10 and not out[11].kept
+    assert out[12].canonical_id == 10 and not out[12].kept
+    assert out[20].canonical_id == 20 and out[20].kept
+
+
+def test_semantic_dedup_all_unique_keeps_everything(spark):
+    from entity_resolution_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, min_cosine=0.9999).collect()
+    assert len(out) == 12
+    assert all(r.kept and r.canonical_id == r.vec_id for r in out)
+
+
+def test_quantized_topk_tracks_float_search(spark):
+    from entity_resolution_spark.operators.similarity_search import quantized_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.select("embedding").first()[0]
+    qtop = quantized_topk(emb, [float(x) for x in q], k=10).collect()
+    ftop = brute_force_topk(emb, [float(x) for x in q], k=10).collect()
+    # the query vector itself still ranks first, near cosine 1
+    assert qtop[0].vec_id == ftop[0].vec_id
+    assert qtop[0].cosine == pytest.approx(1.0, abs=1e-3)
+    # int8 noise may permute the tail, but the sets overlap strongly
+    overlap = {r.vec_id for r in qtop} & {r.vec_id for r in ftop}
+    assert len(overlap) >= 7
+    # per-id cosine agrees within quantization noise
+    fcos = {r.vec_id: r.cosine for r in ftop}
+    for r in qtop:
+        if r.vec_id in fcos:
+            assert abs(r.cosine - fcos[r.vec_id]) < 0.02
