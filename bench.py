@@ -147,6 +147,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "o2_topk",
         "a5_jaccard_sets",
         "token_count_ws",
+        # round-3 operators: SemDeDup over the embedding table, int8-code
+        # ANN, distributed table-vs-table kNN join, RAG chunking
+        "semantic_dedup_embeddings",
+        "sim_search_quantized_topk",
+        "knn_join_topk",
+        "chunk_documents_sliding",
     ]:
         if name not in SPARK_QUERIES:
             continue

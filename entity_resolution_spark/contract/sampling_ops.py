@@ -111,3 +111,32 @@ def sequence_packing(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return pack_into_sequences(d, 512)
+
+
+from . import sql_kernels as _sql  # noqa: E402
+
+
+# near-dup-aware split: the sha256 CASE runs over the CANONICAL id of each
+# MinHash-LSH component, so near-duplicates can never straddle splits
+@query(
+    "leakage_safe_split",
+    _sql.leakage_safe_split_sql(min_jaccard=0.6, bounds=_BOUNDS),
+)
+def leakage_safe_split(spark, sf_dir):
+    from ..operators.sampling import leakage_safe_split as op
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return op(d, fractions=_FRACTIONS, min_jaccard=0.6)
+
+
+# DSIR importance resampling (Xie et al. 2023): hashed char-5-gram bucket
+# log-ratios (target = src0 docs), integer micro-nat scores, top-100 kept
+@query(
+    "dsir_importance_sample",
+    _sql.dsir_sql(target_pred="source = 'src0'", top_k=100),
+)
+def dsir_importance_sample(spark, sf_dir):
+    from ..operators.sampling import dsir_importance_sample as op
+
+    d = _t(spark, sf_dir, "documents")
+    return op(d, d.filter(F.col("source") == "src0"), top_k=100)

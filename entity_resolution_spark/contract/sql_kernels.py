@@ -120,14 +120,16 @@ SELECT doc_id, slot, value FROM __sig
 """
 
 
-def minhash_lsh_pairs_sql(min_jaccard: float, cfg: MinHashConfig | None = None) -> str:
-    """Full oracle for minhash_lsh_pairs: pairs sharing >= 1 LSH band
-    (band slice equality == the engine's FNV band-key equality, collision
-    probability aside), estimated Jaccard from full-signature agreement."""
+def minhash_edge_ctes(min_jaccard: float, cfg: MinHashConfig | None = None) -> str:
+    """CTE chain (incl. signatures): documents -> ``__pairs(left_id,
+    right_id, est_jaccard)`` — pairs sharing >= 1 LSH band (band slice
+    equality == the engine's FNV band-key equality, collision probability
+    aside), estimated Jaccard from full-signature agreement, filtered at
+    ``min_jaccard``. Shared by the pair oracle and every oracle that
+    closes the near-dup graph (leakage-safe split)."""
     cfg = cfg or MinHashConfig()
     m, r = cfg.num_hashes, cfg.rows_per_band
-    return f"""
-WITH {minhash_signature_ctes(cfg)},
+    return f"""{minhash_signature_ctes(cfg)},
 __sigs AS (
   SELECT doc_id, list(value ORDER BY slot) AS sig FROM __sig GROUP BY doc_id
 ),
@@ -148,8 +150,112 @@ __est AS (
   FROM __cand c
   JOIN __sigs sa ON sa.doc_id = c.left_id
   JOIN __sigs sb ON sb.doc_id = c.right_id
+),
+__pairs AS (
+  SELECT left_id, right_id, est_jaccard FROM __est WHERE est_jaccard >= {min_jaccard}
+)"""
+
+
+def minhash_lsh_pairs_sql(min_jaccard: float, cfg: MinHashConfig | None = None) -> str:
+    """Full oracle for minhash_lsh_pairs."""
+    return f"""
+WITH {minhash_edge_ctes(min_jaccard, cfg)}
+SELECT left_id, right_id, est_jaccard FROM __pairs
+"""
+
+
+def leakage_safe_split_sql(
+    min_jaccard: float,
+    bounds: dict[str, str],
+    salt: str = "split:",
+    cfg: MinHashConfig | None = None,
+) -> str:
+    """Full oracle for sampling.leakage_safe_split: MinHash-LSH edges
+    closed transitively (WITH RECURSIVE, component label = min reachable
+    doc_id — the engine's CC convention), every doc labeled with its
+    canonical id (self if unpaired), split = sha256 CASE over the
+    CANONICAL id so near-dup groups share a split. ``bounds`` is
+    sampling.split_thresholds output as a dict (label -> hex bound),
+    iterated in insertion order with the last label as the tail."""
+    labels = list(bounds)
+    h = f"substr(sha256('{salt}' || CAST(canonical_id AS VARCHAR)), 1, 8)"
+    case = "CASE " + " ".join(
+        f"WHEN {h} < '{bounds[lab]}' THEN '{lab}'" for lab in labels[:-1]
+    ) + f" ELSE '{labels[-1]}' END"
+    return f"""
+WITH RECURSIVE {minhash_edge_ctes(min_jaccard, cfg)},
+__dir AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM __pairs
+  UNION SELECT right_id, left_id FROM __pairs
+),
+__reach(a, b) AS (
+  SELECT a, b FROM __dir
+  UNION
+  SELECT r.a, d.b FROM __reach r JOIN __dir d ON r.b = d.a
+),
+__canon AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM __reach GROUP BY a),
+__lab AS (
+  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN __canon c USING (doc_id)
 )
-SELECT left_id, right_id, est_jaccard FROM __est WHERE est_jaccard >= {min_jaccard}
+SELECT doc_id, canonical_id, {case} AS split FROM __lab
+"""
+
+
+def dsir_sql(
+    target_pred: str,
+    shingle_k: int = 5,
+    n_buckets: int = 512,
+    top_k: int = 100,
+    quantum: int = 1_000_000,
+) -> str:
+    """Full oracle for sampling.dsir_importance_sample over ``documents``
+    with the target = rows satisfying ``target_pred``. Term-for-term
+    replica: char-k-gram rolling hashes WITH multiplicity folded mod
+    n_buckets, add-1-smoothed target/raw bucket ratios, per-bucket
+    log-ratio quantized to integer micro-nats (same double-product shape
+    and half-away-from-zero round as the Spark plan), integer score sum,
+    top-k by (score desc, doc_id)."""
+    k, nb = int(shingle_k), int(n_buckets)
+    return f"""
+WITH __t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s,
+         ({target_pred}) AS is_t
+  FROM documents
+),
+__f AS (
+  SELECT doc_id, is_t,
+         unnest([({_rolling_hash_terms(k)}) % {P32} % {nb}
+                 FOR i IN range(1, length(s) - {k} + 2)])::BIGINT AS bucket
+  FROM __t WHERE length(s) >= {k}
+),
+__rc AS (SELECT bucket, count(*) AS r FROM __f GROUP BY bucket),
+__tc AS (SELECT bucket, count(*) AS t FROM __f WHERE is_t GROUP BY bucket),
+__tot AS (
+  SELECT (SELECT count(*) FROM __f) AS R,
+         (SELECT count(*) FROM __f WHERE is_t) AS T
+),
+__w AS (
+  SELECT rc.bucket,
+         CAST(round(ln((CAST(coalesce(tc.t, 0) + 1 AS DOUBLE)
+                        * CAST(__tot.R + {nb} AS DOUBLE))
+                       / (CAST(rc.r + 1 AS DOUBLE)
+                          * CAST(__tot.T + {nb} AS DOUBLE)))
+                    * {int(quantum)}, 0) AS BIGINT) AS w
+  FROM __rc rc LEFT JOIN __tc tc USING (bucket), __tot
+),
+__sc AS (
+  SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+  FROM __f f JOIN __w w USING (bucket) GROUP BY f.doc_id
+),
+__all AS (
+  SELECT d.doc_id, coalesce(s.score, 0) AS score_micro_nats
+  FROM documents d LEFT JOIN __sc s USING (doc_id)
+)
+SELECT doc_id, score_micro_nats,
+       CAST(row_number() OVER (ORDER BY score_micro_nats DESC, doc_id)
+            <= {int(top_k)} AS INT) AS kept
+FROM __all
 """
 
 

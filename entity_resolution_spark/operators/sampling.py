@@ -29,6 +29,7 @@ covered by schema_matching.sample_rows).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -210,5 +211,181 @@ def pack_into_sequences(
             F.col("__tok").alias("n_tokens"),
             F.floor((F.col("__cum") - F.col("__tok")) / F.lit(int(seq_len))).alias("seq_id"),
             ((F.col("__cum") - F.col("__tok")) % F.lit(int(seq_len))).alias("seq_offset"),
+        )
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    min_jaccard: float = 0.6,
+    cfg=None,
+    salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: near-dup groups (MinHash-LSH pairs closed transitively) are
+    keyed by their canonical member, and the split hash is taken over the
+    canonical id — every member of a group lands in the same split. Plain
+    ``deterministic_split`` keyed on doc id keeps *exact* duplicates
+    together only if the id is a content address; near-duplicates (the
+    ones that actually contaminate eval sets) land independently. Output:
+    (id_col, canonical_id, split), one row per input doc.
+
+    Scale shape: candidate generation is the census-capped LSH band join
+    (never all-pairs), CC touches only near-dup members, the corpus joins
+    the (dup-members-sized) component table once with a shuffle-hash hint,
+    and the split itself is a pure-JVM sha256 expression — no new shuffle
+    beyond the label join.
+    """
+    from .clustering import connected_components
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, cfg, id_col=id_col, text_col=text_col, min_jaccard=min_jaccard
+    )
+    comp = connected_components(
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    ).select(F.col("file_id").alias("__id"), F.col("cluster_id").alias("__canon"))
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp.hint("shuffle_hash"), F.col(id_col) == F.col("__id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__canon"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    return deterministic_split(
+        labeled, "canonical_id", fractions, salt=salt, out_col=out_col
+    )
+
+
+def dsir_importance_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    n_buckets: int = 512,
+    top_k: int = 100,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    score every corpus doc by how target-like its hashed n-gram profile is,
+    keep the top ``top_k``.
+
+    Features are char-``shingle_k``-gram rolling hashes (the MinHash
+    shingle kernel, WITH multiplicity) folded into ``n_buckets`` buckets;
+    bucket distributions are estimated with add-1 smoothing on the target
+    and raw corpus, and a doc's score is the sum of per-bucket importance
+    log-ratios over its shingles. To keep the score exact and
+    order-independent (a float sum over ~|doc| terms is neither), the
+    per-bucket log-ratio is quantized to integer micro-nats
+    (``round(quantum * ln(p_target/p_raw))``) BEFORE summing — the
+    published estimator up to 1e-6-nat quantization, and bit-reproducible
+    by any engine (the DuckDB oracle replicates it term for term). Docs
+    whose normalized text is shorter than ``shingle_k`` have no features
+    and score 0.
+
+    Output: (id_col, score_micro_nats, kept) — one row per corpus doc,
+    ``kept`` = 1 for the top_k by (score desc, id).
+
+    Scale shape: one Arrow pass per frame for bucket ids, bucket counts
+    aggregate to <= n_buckets rows with map-side combine, the weight table
+    is broadcast (n_buckets rows), the per-doc score is one shuffle on the
+    id, and top-k is a distributed TakeOrdered — no window over a single
+    partition, no driver materialization.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import norm_content_col
+    from ..session import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    k = int(shingle_k)
+    nb = int(n_buckets)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.minhash import P32
+
+        base = np.uint64(257)
+        powers = np.empty(k, dtype=np.uint64)
+        acc = np.uint64(1)
+        for i in range(k - 1, -1, -1):
+            powers[i] = acc
+            acc = (acc * base) % P32
+        out = []
+        for t in texts.to_numpy(dtype=object):
+            data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if data.shape[0] < k:
+                out.append([])
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(data.astype(np.uint64), k)
+            h = (win * powers).sum(axis=1) % P32  # multiplicity kept (vs MinHash)
+            out.append((h % np.uint64(nb)).astype(np.int32).tolist())
+        return pd.Series(out)
+
+    def feats(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("__fid"),
+            F.explode(buckets_udf(norm_content_col(F.col(text_col)))).alias("bucket"),
+        )
+
+    corpus_f = feats(docs)
+    target_f = feats(target)
+    rc = corpus_f.groupBy("bucket").agg(F.count("*").alias("__r"))
+    tc = target_f.groupBy("bucket").agg(F.count("*").alias("__t"))
+    r_tot = corpus_f.agg(F.count("*").alias("__rtot"))
+    t_tot = target_f.agg(F.count("*").alias("__ttot"))
+    # identical double-arithmetic shape on both engines: (t+1)*(R+nb) /
+    # ((r+1)*(T+nb)) as double products (exact-integer products can pass
+    # 2^63 at corpus scale), ln, scale, round half-away-from-zero
+    ratio = (
+        (F.col("__t") + F.lit(1)).cast("double")
+        * (F.col("__rtot") + F.lit(nb)).cast("double")
+    ) / (
+        (F.col("__r") + F.lit(1)).cast("double")
+        * (F.col("__ttot") + F.lit(nb)).cast("double")
+    )
+    weights = (
+        rc.join(tc, "bucket", "left")
+        .na.fill({"__t": 0})
+        .crossJoin(r_tot)  # 1-row frames: the quality.py scalar-attach idiom
+        .crossJoin(t_tot)
+        .select(
+            "bucket",
+            F.round(F.log(ratio) * F.lit(int(quantum)), 0).cast("long").alias("__w"),
+        )
+    )
+    scores = (
+        corpus_f.join(F.broadcast(weights), "bucket")
+        .groupBy("__fid")
+        .agg(F.sum("__w").alias("__score"))
+    )
+    all_scores = (
+        docs.select(F.col(id_col))
+        .join(scores, F.col(id_col) == F.col("__fid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__score"), F.lit(0)).alias("score_micro_nats"),
+        )
+    )
+    top = (
+        all_scores.orderBy(F.desc("score_micro_nats"), F.col(id_col))
+        .limit(int(top_k))
+        .select(F.col(id_col).alias("__kid"), F.lit(1).alias("__kept"))
+    )
+    return (
+        all_scores.join(F.broadcast(top), F.col(id_col) == F.col("__kid"), "left")
+        .select(
+            F.col(id_col),
+            "score_micro_nats",
+            F.coalesce(F.col("__kept"), F.lit(0)).alias("kept"),
         )
     )

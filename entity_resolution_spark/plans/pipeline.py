@@ -117,10 +117,26 @@ def resolve(
 
     stage_secs: dict[str, float] = {}
 
+    # ERS_TRACE_RESOLVE=1: stamp every step boundary to stderr — localizes
+    # wall-clock that the stage timers don't attribute (plan analysis,
+    # lazy-build glue) without changing any plan
+    import os as _os
+    import sys as _sys
+
+    _trace_on = _os.environ.get("ERS_TRACE_RESOLVE", "") not in ("", "0")
+    _t_last = [time.time()]
+
+    def _trace(label: str) -> None:
+        if _trace_on:
+            now = time.time()
+            print(f"[resolve-trace] {label}: +{now - _t_last[0]:.1f}s", file=_sys.stderr)
+            _t_last[0] = now
+
     def _timed(name: str, thunk):
         t0 = time.time()
         r = thunk()
         stage_secs[name] = round(time.time() - t0, 3)
+        _trace(f"timed:{name}")
         return r
 
     def _stage(name: str, compute, partition_by=None) -> DataFrame:
@@ -143,6 +159,7 @@ def resolve(
 
     feat = _force("features", _stage("features", lambda: with_features(files, cfg)))
     reps, exact_edges = exact_duplicate_edges(feat)
+    _trace("build:exact_edges")
     reps = _force("exact_collapse", reps)
 
     keyed = with_block_keys(reps, cfg)
@@ -157,6 +174,7 @@ def resolve(
         ~F.col("block_key").startswith("sha:")
     ).persist()
 
+    _trace("build:blocks")
     pairs = _force("candidates", _stage("pairs", lambda: candidate_pairs(blocks, cfg)))
     scored = _force("scoring", _stage("scored", lambda: score_pairs(pairs, reps, cfg)))
     # the scored union is materialized (persisted count or StageStore
@@ -165,6 +183,7 @@ def resolve(
 
     release_phase1()
 
+    _trace("release_phase1")
     near_edges = matched_edges(scored, cfg)
     all_edges = near_edges.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -172,6 +191,7 @@ def resolve(
 
     components = _timed("clustering", lambda: connected_components(all_edges, cfg))
     clusters = _stage("clusters", lambda: assign_clusters(feat, components))
+    _trace("build:clusters")
 
     dropped = dropped_block_keys(blocks, cfg)
     metrics = _timed(
@@ -187,6 +207,7 @@ def resolve(
         store.write("metrics", metrics)
         store.write("lineage", scored)  # every pair decision, with block_key provenance
 
+    _trace("build:timing_union")
     return ResolutionResult(feat, scored, clusters, metrics, dropped, blocks)
 
 

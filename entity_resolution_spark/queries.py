@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "quantize_embeddings_int8",
     "semantic_dedup_embeddings",
     "sim_search_quantized_topk",
+    "leakage_safe_split",
+    "dsir_importance_sample",
     # round-1 row only; re-verify under the current engine
     "lang_id_heuristic",
     "text_quality_score",

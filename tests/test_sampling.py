@@ -137,3 +137,63 @@ def test_sequence_packing_contiguous(spark):
         for r in rows:
             assert r.seq_id * 64 + r.seq_offset == pos, (r, pos)
             pos += r.n_tokens
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Near-duplicate docs (one-word edits of a shared base) must land in
+    the same split; plain deterministic_split on doc_id scatters them."""
+    from entity_resolution_spark.operators.sampling import leakage_safe_split
+
+    rows = []
+    for g in range(8):
+        # distinct vocabulary per group so groups don't merge across
+        text = (f"word{g}a word{g}b word{g}c word{g}d word{g}e word{g}f " * 12)
+        for v in range(3):  # 3 near-identical variants per group
+            rows.append((g * 10 + v, text + (" tail" if v else "")))
+    for i in range(40):  # unrelated singletons
+        rows.append((1000 + i, f"completely different text number {i} " + "xyz " * (i % 7 + 3)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs, min_jaccard=0.5).collect()
+    assert len(out) == len(rows)
+    by_canon = {}
+    for r in out:
+        by_canon.setdefault(r.canonical_id, set()).add(r.split)
+    # every component is assigned exactly one split label
+    assert all(len(s) == 1 for s in by_canon.values())
+    # the variant groups actually formed components (test isn't vacuous)
+    grouped = [c for c, _ in by_canon.items() if sum(1 for r in out if r.canonical_id == c) >= 3]
+    assert len(grouped) >= 8
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """Docs sharing the target's vocabulary must outscore disjoint ones,
+    and exactly top_k rows are kept."""
+    from entity_resolution_spark.operators.sampling import dsir_importance_sample
+
+    target_vocab = "alpha beta gamma delta epsilon zeta eta theta "
+    other_vocab = "one two three four five six seven eight "
+    rows = [(i, target_vocab * 4) for i in range(10)]  # target-like
+    rows += [(100 + i, other_vocab * 4) for i in range(10)]  # off-target
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 5)  # a subset of the target-like docs
+    out = {r.doc_id: r for r in dsir_importance_sample(docs, target, top_k=10).collect()}
+    assert len(out) == 20
+    assert sum(r.kept for r in out.values()) == 10
+    worst_target_like = min(out[i].score_micro_nats for i in range(10))
+    best_off_target = max(out[100 + i].score_micro_nats for i in range(10))
+    assert worst_target_like > best_off_target
+    assert all(out[i].kept == 1 for i in range(10))
+
+
+def test_dsir_empty_and_short_docs_score_zero(spark):
+    from entity_resolution_spark.operators.sampling import dsir_importance_sample
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, ""), (2, None), (3, "a proper document with text " * 3)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_importance_sample(docs, docs.limit(1), top_k=2).collect()}
+    assert len(out) == 4
+    assert out[0].score_micro_nats == 0  # shorter than shingle_k
+    assert out[1].score_micro_nats == 0
+    assert out[2].score_micro_nats == 0
