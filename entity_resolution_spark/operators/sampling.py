@@ -292,9 +292,12 @@ def dsir_importance_sample(
     Output: (id_col, score_micro_nats, kept) — one row per corpus doc,
     ``kept`` = 1 for the top_k by (score desc, id).
 
-    Scale shape: one Arrow pass per frame for bucket ids, bucket counts
-    aggregate to <= n_buckets rows with map-side combine, the weight table
-    is broadcast (n_buckets rows), the per-doc score is one shuffle on the
+    Scale shape: one Arrow pass per frame emits per-doc bucket HISTOGRAMS
+    (<= n_buckets rows per doc, not one row per shingle — a 100 KB doc
+    explodes to <= 512 rows, not ~10^5), bucket counts aggregate to
+    <= n_buckets rows with map-side combine, the distribution totals are
+    derived from those counts (no extra corpus pass), the weight table is
+    broadcast (n_buckets rows), the per-doc score is one shuffle on the
     id, and top-k is a distributed TakeOrdered — no window over a single
     partition, no driver materialization.
     """
@@ -308,8 +311,14 @@ def dsir_importance_sample(
     k = int(shingle_k)
     nb = int(n_buckets)
 
-    @pandas_udf(T.ArrayType(T.IntegerType()))
-    def buckets_udf(texts: pd.Series) -> pd.Series:
+    @pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [T.StructField("bucket", T.IntegerType()), T.StructField("cnt", T.LongType())]
+            )
+        )
+    )
+    def hist_udf(texts: pd.Series) -> pd.Series:
         import numpy as np
 
         from ..functions.minhash import P32
@@ -328,21 +337,27 @@ def dsir_importance_sample(
                 continue
             win = np.lib.stride_tricks.sliding_window_view(data.astype(np.uint64), k)
             h = (win * powers).sum(axis=1) % P32  # multiplicity kept (vs MinHash)
-            out.append((h % np.uint64(nb)).astype(np.int32).tolist())
+            counts = np.bincount((h % np.uint64(nb)).astype(np.int64), minlength=nb)
+            nz = np.flatnonzero(counts)
+            out.append(
+                [{"bucket": int(b), "cnt": int(counts[b])} for b in nz]
+            )
         return pd.Series(out)
 
     def feats(frame: DataFrame) -> DataFrame:
         return frame.select(
             F.col(id_col).alias("__fid"),
-            F.explode(buckets_udf(norm_content_col(F.col(text_col)))).alias("bucket"),
-        )
+            F.explode(hist_udf(norm_content_col(F.col(text_col)))).alias("__h"),
+        ).select("__fid", F.col("__h.bucket").alias("bucket"), F.col("__h.cnt").alias("cnt"))
 
     corpus_f = feats(docs)
     target_f = feats(target)
-    rc = corpus_f.groupBy("bucket").agg(F.count("*").alias("__r"))
-    tc = target_f.groupBy("bucket").agg(F.count("*").alias("__t"))
-    r_tot = corpus_f.agg(F.count("*").alias("__rtot"))
-    t_tot = target_f.agg(F.count("*").alias("__ttot"))
+    rc = corpus_f.groupBy("bucket").agg(F.sum("cnt").alias("__r"))
+    tc = target_f.groupBy("bucket").agg(F.sum("cnt").alias("__t"))
+    # coalesce: an empty frame sums to NULL, but the distribution totals
+    # must be 0 there (the oracle's COUNT(*) convention)
+    r_tot = rc.agg(F.coalesce(F.sum("__r"), F.lit(0)).alias("__rtot"))
+    t_tot = tc.agg(F.coalesce(F.sum("__t"), F.lit(0)).alias("__ttot"))
     # identical double-arithmetic shape on both engines: (t+1)*(R+nb) /
     # ((r+1)*(T+nb)) as double products (exact-integer products can pass
     # 2^63 at corpus scale), ln, scale, round half-away-from-zero
@@ -366,7 +381,7 @@ def dsir_importance_sample(
     scores = (
         corpus_f.join(F.broadcast(weights), "bucket")
         .groupBy("__fid")
-        .agg(F.sum("__w").alias("__score"))
+        .agg(F.sum(F.col("cnt") * F.col("__w")).alias("__score"))
     )
     all_scores = (
         docs.select(F.col(id_col))

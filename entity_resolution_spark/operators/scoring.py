@@ -223,24 +223,55 @@ def score_pairs(
     # lengths are equal), so the tail sample supplies the divergence signal
     # the head cannot see. lev_ratio for truncated pairs is an approximation
     # by construction; the min errs toward NOT matching. Untruncated pairs
-    # keep the bit-exact fuzz.ratio — the tail operands collapse to ""/"",
-    # the kernel's O(1) fast path, so phase-2 CPU is unchanged for them.
+    # keep the bit-exact fuzz.ratio.
+    #
+    # BOTH ratios come from ONE struct-returning pandas UDF: a second UDF
+    # call was a second Arrow round trip of the content columns over every
+    # survivor pair — measured ~2x scoring-stage wall-clock at 15.26M pairs
+    # even though every tail operand was empty. Inside the batch the tail
+    # kernel runs only on the truncated subset (usually none).
     truncated = (F.col("l_full") > cfg.lev_max_chars) | (F.col("r_full") > cfg.lev_max_chars)
     full_ub = 200.0 * F.least("l_full", "r_full") / (F.col("l_full") + F.col("r_full"))
-    raw_ratio = _lev_udf(F.col("l_norm"), F.col("r_norm"))
-    # per-pair tail operands: an under-cap side compares its WHOLE text
-    # (its head == full string) against the long side's tail sample; empty
-    # only when the pair needs no tail check at all
-    l_tail_eff = F.when(
-        truncated, F.when(F.col("l_full") > cfg.lev_max_chars, F.col("l_tail")).otherwise(F.col("l_norm"))
-    ).otherwise(F.lit(""))
-    r_tail_eff = F.when(
-        truncated, F.when(F.col("r_full") > cfg.lev_max_chars, F.col("r_tail")).otherwise(F.col("r_norm"))
-    ).otherwise(F.lit(""))
-    tail_ratio = _lev_udf(l_tail_eff, r_tail_eff)
+    cap = int(cfg.lev_max_chars)
+
+    @pandas_udf(
+        T.StructType(
+            [T.StructField("raw", T.IntegerType()), T.StructField("tail", T.IntegerType())]
+        )
+    )
+    def _lev_pair_udf(
+        l_norm: pd.Series, r_norm: pd.Series, l_tail: pd.Series, r_tail: pd.Series,
+        l_full: pd.Series, r_full: pd.Series,
+    ) -> pd.DataFrame:
+        import numpy as np
+
+        from ..functions.similarity import batch_fuzz_ratio
+
+        raw = batch_fuzz_ratio(l_norm, r_norm)
+        tail = np.zeros(len(raw), dtype=np.int32)
+        lf = l_full.to_numpy()
+        rf = r_full.to_numpy()
+        trunc = (lf > cap) | (rf > cap)
+        if trunc.any():
+            # an under-cap side compares its WHOLE text (head == full
+            # string) against the long side's tail sample
+            ln = l_norm.to_numpy(dtype=object)
+            rn = r_norm.to_numpy(dtype=object)
+            lt = l_tail.to_numpy(dtype=object)
+            rt = r_tail.to_numpy(dtype=object)
+            ta = np.where(lf > cap, lt, ln)[trunc]
+            tb = np.where(rf > cap, rt, rn)[trunc]
+            tail[trunc] = batch_fuzz_ratio(pd.Series(ta), pd.Series(tb))
+        return pd.DataFrame({"raw": raw, "tail": tail})
+
+    lev = _lev_pair_udf(
+        F.col("l_norm"), F.col("r_norm"), F.col("l_tail"), F.col("r_tail"),
+        F.col("l_full"), F.col("r_full"),
+    )
     scored2 = (
-        heavy.withColumn("raw_ratio", raw_ratio)
-        .withColumn("tail_ratio", tail_ratio)
+        heavy.withColumn("__lev", lev)
+        .withColumn("raw_ratio", F.col("__lev.raw"))
+        .withColumn("tail_ratio", F.col("__lev.tail"))
         .withColumn(
             "lev_ratio",
             F.when(

@@ -221,11 +221,18 @@ def _build_metrics(spark, files, pairs, scored, clusters, cfg, blocks=None) -> D
         F.coalesce(F.sum((F.col("score") >= cfg.similarity_threshold).cast("long")), F.lit(0)).alias("m"),
     ).collect()[0]
     n_clusters = clusters.select("cluster_id").distinct().count()
+    # whether the compiled LCS/JW kernel loaded (driver probe; workers share
+    # the same fs + content-addressed .so). A silent fallback to the pure-
+    # Python kernel is ~8x slower scoring — this row makes slow samples
+    # attributable instead of mysterious.
+    from ..functions._lcs_native import get_lib
+
     rows = [
         ("input", "rows", float(n_files)),
         ("candidates", "pairs", float(n_pairs)),
         ("scoring", "scored_pairs", float(agg["n"])),
         ("scoring", "matched_pairs", float(agg["m"])),
+        ("scoring", "native_kernel", 1.0 if get_lib() is not None else 0.0),
         ("clustering", "clusters", float(n_clusters)),
     ]
     if blocks is not None:

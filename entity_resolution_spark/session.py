@@ -74,7 +74,17 @@ def get_spark(
     coalescing, which is enabled) — in local mode 200 default partitions
     just add scheduling overhead.
     """
-    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores or '*'}]")
+    # Respect an externally-supplied master (spark-submit --master / cluster
+    # deploy) when the caller didn't pin cores: SparkConf sees the submit
+    # conf via JVM system properties, and overriding it with local[*] here
+    # would silently turn a cluster job into a single-node one.
+    from pyspark import SparkConf
+
+    submit_master = SparkConf().get("spark.master", None)
+    if cores is None and submit_master and "SPARK_GRAFT_MASTER" not in os.environ:
+        master = submit_master
+    else:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores or '*'}]")
     if cores is None:
         cores = os.cpu_count() or 8
     builder = (
