@@ -51,6 +51,14 @@ from ..config import PipelineConfig
 
 _OUT_COLS = ["left_id", "right_id", "block_key", "lev_ratio", "token_jaccard", "path_jw", "score"]
 
+# wall-clock of the most recent phase-1 eager cache fill (see score_pairs);
+# read by plans/pipeline.py into the stage-timing metrics
+_P1_FILL_SECS: list[float] = [0.0]
+
+
+def last_p1_fill_seconds() -> float:
+    return _P1_FILL_SECS[0]
+
 # phase-1 frames persisted by score_pairs, released either explicitly
 # (release_phase1, called by the pipeline once the scored union is
 # materialized) or implicitly at the NEXT score_pairs call — so repeated
@@ -158,7 +166,14 @@ def score_pairs(
     # one session: lazy 107.6/31.6/19.6 s vs forced 44.7/15.8/17.2 s —
     # the forced fill wins every adjacent pair. Same dependency-order rule
     # the pipeline applies to its own multi-reader stages (pipeline.py).
+    # The fill runs at plan-BUILD time, outside the caller's stage timers —
+    # record it so resolve() can attribute it (it is most of the "missing"
+    # wall-clock in scaling-run decompositions).
+    import time as _time
+
+    _t0 = _time.time()
     p1.count()
+    _P1_FILL_SECS[0] = round(_time.time() - _t0, 3)
     # lev_ratio is banker's-rounded to an int, so the true blend can exceed
     # the unrounded length bound by up to w_content*0.5 — widen the gate by
     # that slack so "bound misses threshold" really means "can never match"

@@ -177,6 +177,11 @@ def resolve(
     _trace("build:blocks")
     pairs = _force("candidates", _stage("pairs", lambda: candidate_pairs(blocks, cfg)))
     scored = _force("scoring", _stage("scored", lambda: score_pairs(pairs, reps, cfg)))
+    # the eager phase-1 fill inside score_pairs runs at build time, before
+    # _force's timer starts — surface it as its own stage row
+    from ..operators.scoring import last_p1_fill_seconds
+
+    stage_secs["scoring_p1_fill"] = last_p1_fill_seconds()
     # the scored union is materialized (persisted count or StageStore
     # write) — phase-1's internal cache is no longer needed
     from ..operators.scoring import release_phase1

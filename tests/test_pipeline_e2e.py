@@ -87,6 +87,10 @@ def test_metrics_emitted(result):
     assert m[("candidates", "pairs")] > 0
     assert m[("scoring", "matched_pairs")] > 0
     assert m[("clustering", "clusters")] > 0
+    # observability rows: compiled-kernel probe and the eager phase-1 fill
+    # (build-time work the stage timers alone would miss)
+    assert m[("scoring", "native_kernel")] in (0.0, 1.0)
+    assert m[("scoring_p1_fill", "seconds")] >= 0.0
     assert result.dropped_keys.count() == 0  # no stop-keys at this scale
 
 
