@@ -83,13 +83,6 @@ class PipelineConfig:
     # under the cap (everything in the reference's domain) are bit-exact
     # fuzz.ratio. Worst-case kernel cost becomes ~1e7 word-ops (~ms).
     lev_max_chars: int = 25_000
-    # phase-1 JW dedup guard: the scorer computes Jaro-Winkler once per
-    # DISTINCT (l_base, r_base) combination and broadcast-joins it back
-    # (candidate pairs repeat basename combinations massively — the main
-    # key family blocks on the normalized basename). If a corpus somehow
-    # produces more distinct combinations than this, the scorer falls back
-    # to the inline per-pair UDF instead of broadcasting an oversized map.
-    jw_distinct_limit: int = 2_000_000
     # clustering
     cc_max_iterations: int = 50
     # checkpointing / resume

@@ -11,11 +11,8 @@ Execution shape — the part that must survive 100 TB:
 **Phase 1 (light).** Pairs join only per-file *light* features: basename,
 sorted int64 token hashes, normalized-content length (~1 KB/side). The
 token-Jaccard is computed JVM-side (``array_intersect``/``size`` — no
-Python, no Arrow transfer of token arrays); Jaro-Winkler runs once per
-DISTINCT basename pair and is broadcast-joined back — blocked pairs repeat
-basename combinations massively (the main key family blocks on the
-normalized basename itself), so the Arrow transfer is O(distinct basename
-pairs), not O(candidate pairs); a length-based upper bound on the edit
+Python, no Arrow transfer of token arrays); Jaro-Winkler runs in a tiny
+Arrow UDF over short basenames; a length-based upper bound on the edit
 ratio closes the blend bound:
 
     bound = w_c * ub_lev(len_l, len_r) + w_j * 100*jaccard + w_p * 100*jw
@@ -135,80 +132,48 @@ def score_pairs(
     inter = F.size(F.array_intersect("l_tokens", "r_tokens"))
     union_sz = F.size("l_tokens") + F.size("r_tokens") - inter
     jac = F.when(union_sz > 0, inter.cast("double") / union_sz).otherwise(F.lit(0.0))
+    jw = _jw_udf(F.col("l_base"), F.col("r_base"))
     ub = F.when(
         (F.col("l_n") > 0) & (F.col("r_n") > 0),
         200.0 * F.least("l_n", "r_n") / (F.col("l_n") + F.col("r_n")),
     ).otherwise(F.lit(0.0))
 
-    p0 = p.select(
+    p1 = p.select(
         "left_id",
         "right_id",
         "block_key",
-        "l_base",
-        "r_base",
         jac.alias("token_jaccard"),
+        jw.alias("path_jw"),
         ub.alias("ub"),
+    ).withColumn(
+        "base_score",
+        cfg.w_jaccard * 100.0 * F.col("token_jaccard") + cfg.w_path * 100.0 * F.col("path_jw"),
     )
-    # the union below reads phase 1 through two branches (rejected +
-    # survivors); without a materialization boundary each branch would
-    # re-run the phase-1 joins — persist is that boundary (columnar and
-    # prunable; an eager localCheckpoint was measured ~70% slower).
+    # the union below reads p1 through two branches (rejected + survivors);
+    # without a materialization boundary each branch would re-run the
+    # phase-1 joins and the JW UDF — persist is that boundary (columnar
+    # and prunable; an eager localCheckpoint was measured ~70% slower).
     # The cache is tracked and released via release_phase1() / the next
     # call, so repeated score_pairs calls never leak executor memory. (A
     # StageStore write plays this role on a cluster.)
     release_phase1()
-    p0 = p0.persist()
-    _PHASE1_CACHE.append(p0)
-    # Fill the cache NOW, before the union job runs: the union reads the
-    # cache through two concurrent branches, and concurrent readers of an
-    # unfilled cache each recompute its lineage (the phase-1 joins, twice).
-    # Measured A/B at 973k pairs / local[8], alternating in one session:
-    # lazy 107.6/31.6/19.6 s vs forced 44.7/15.8/17.2 s — the forced fill
-    # wins every adjacent pair. Same dependency-order rule the pipeline
-    # applies to its own multi-reader stages (pipeline.py).
+    p1 = p1.persist()
+    _PHASE1_CACHE.append(p1)
+    # Fill the cache NOW, before the union job runs: the union reads p1
+    # through two concurrent branches, and concurrent readers of an
+    # unfilled cache each recompute its lineage (phase-1 joins + the JW
+    # UDF, twice). Measured A/B at 973k pairs / local[8], alternating in
+    # one session: lazy 107.6/31.6/19.6 s vs forced 44.7/15.8/17.2 s —
+    # the forced fill wins every adjacent pair. Same dependency-order rule
+    # the pipeline applies to its own multi-reader stages (pipeline.py).
     # The fill runs at plan-BUILD time, outside the caller's stage timers —
     # record it so resolve() can attribute it (it is most of the "missing"
     # wall-clock in scaling-run decompositions).
     import time as _time
 
     _t0 = _time.time()
-    p0.count()
+    p1.count()
     _P1_FILL_SECS[0] = round(_time.time() - _t0, 3)
-
-    # Jaro-Winkler over basenames, deduplicated: blocked pairs overwhelmingly
-    # repeat the same (l_base, r_base) combinations — the dominant key family
-    # blocks on the normalized basename itself, so a corpus with B distinct
-    # basenames yields O(B^2)-bounded (and in practice ~B) distinct pairs
-    # against tens of millions of candidate pairs. Running the JW kernel once
-    # per DISTINCT basename pair and broadcast-joining the result back
-    # removes a full-corpus Arrow round trip (2 string cols x |pairs| each
-    # way) from phase 1; the distinct itself is a map-side-combined scan of
-    # two dictionary-encoded cache columns. Guard: if the distinct blows past
-    # jw_distinct_limit (adversarial corpus where every pair has unique
-    # basenames), fall back to the inline per-pair UDF — never worse than
-    # the pre-optimization plan.
-    n_distinct_bases = None
-    jw_pairs = (
-        p0.select("l_base", "r_base")
-        .where(F.col("l_base").isNotNull() & F.col("r_base").isNotNull())
-        .distinct()
-    )
-    limit = int(getattr(cfg, "jw_distinct_limit", 2_000_000))
-    n_distinct_bases = jw_pairs.limit(limit + 1).count()
-    if n_distinct_bases <= limit:
-        jw_map = jw_pairs.withColumn("__jw", _jw_udf(F.col("l_base"), F.col("r_base")))
-        p1 = p0.join(F.broadcast(jw_map), ["l_base", "r_base"], "left").withColumn(
-            "path_jw",
-            F.when(
-                F.col("l_base").isNull() | F.col("r_base").isNull(), F.lit(0.0)
-            ).otherwise(F.coalesce(F.col("__jw"), F.lit(0.0))),
-        )
-    else:  # pragma: no cover - adversarial-cardinality fallback
-        p1 = p0.withColumn("path_jw", _jw_udf(F.col("l_base"), F.col("r_base")))
-    p1 = p1.withColumn(
-        "base_score",
-        cfg.w_jaccard * 100.0 * F.col("token_jaccard") + cfg.w_path * 100.0 * F.col("path_jw"),
-    ).drop("l_base", "r_base", "__jw")
     # lev_ratio is banker's-rounded to an int, so the true blend can exceed
     # the unrounded length bound by up to w_content*0.5 — widen the gate by
     # that slack so "bound misses threshold" really means "can never match"
