@@ -530,6 +530,18 @@ def dup_span_stats(spark, sf_dir):
     return duplicate_span_stats(d)
 
 
+@query("dedup_remove_spans", _sql.remove_spans_sql())
+def dedup_remove_spans(spark, sf_dir):
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2022): corpus-
+    duplicated winnowing spans are cut from every document's text. The
+    oracle replicates the positional kernel, the df census, the island
+    merge, and the string surgery term-for-term (sql_kernels.remove_spans_sql)."""
+    from ..operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d)
+
+
 # The incremental plan's oracle is the BATCH SQL program over the full
 # corpus: resolve() on 3/4 of the docs, resolve_incremental() folds in the
 # remaining 1/4, and the result must equal batch clusters on the union

@@ -492,6 +492,80 @@ FROM __p
 """
 
 
+def remove_spans_sql(
+    k: int = 8,
+    window: int = 16,
+    min_docs: int = 2,
+    min_span_chars: int = 40,
+    gap: int | None = None,
+) -> str:
+    """Oracle for ``dedup.remove_duplicate_spans``: positional winnowing
+    picks (first-occurrence window argmin, position-deduped — NOT the
+    value-deduped pick list of fingerprints_sql), corpus df census,
+    gaps-and-islands span merge, and the same cut-the-spans string surgery.
+    ASCII corpora only, docs shorter than k pass through unchanged."""
+    gap = window if gap is None else gap
+    gap = max(gap, k)
+    w = window
+    return f"""
+WITH __t AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+__h AS (
+  SELECT doc_id,
+         [({_rolling_hash_terms(k)}) % {P32} FOR i IN range(1, n - {k} + 2)] AS hashes
+  FROM __t WHERE n >= {k}
+),
+__wp AS (
+  SELECT doc_id, hashes,
+         CASE WHEN len(hashes) <= {w}
+              THEN [list_position(hashes, list_min(hashes)) - 1]
+              ELSE [i - 1 + list_position(hashes[i:i+{w - 1}], list_min(hashes[i:i+{w - 1}])) - 1
+                    FOR i IN range(1, len(hashes) - {w} + 2)]
+         END AS wp
+  FROM __h
+),
+__picks AS (
+  SELECT doc_id, hashes,
+         [wp[i] FOR i IN range(1, len(wp) + 1) IF i = 1 OR wp[i] != wp[i-1]] AS ps
+  FROM __wp
+),
+__marked AS (
+  SELECT doc_id, unnest(ps) AS pos, unnest(list_transform(ps, p -> hashes[p + 1])) AS fp
+  FROM __picks
+),
+__dupf AS (SELECT fp FROM __marked GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}),
+__mp AS (SELECT m.doc_id, m.pos FROM __marked m JOIN __dupf USING (fp)),
+__lag AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM __mp),
+__isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {gap} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM __lag
+),
+__spans AS (
+  SELECT doc_id, min(pos) AS st, max(pos) + {k} AS fin
+  FROM __isl GROUP BY doc_id, isl
+  HAVING max(pos) + {k} - min(pos) >= {min_span_chars}
+),
+__segs AS (
+  SELECT sp.doc_id, sp.st AS ord,
+         t.s[coalesce(lag(sp.fin) OVER (PARTITION BY sp.doc_id ORDER BY sp.st), 0) + 1 : sp.st] AS seg
+  FROM __spans sp JOIN __t t USING (doc_id)
+  UNION ALL
+  SELECT mx.doc_id, 2147483647 AS ord, t.s[mx.mx + 1 : t.n] AS seg
+  FROM (SELECT doc_id, max(fin) AS mx FROM __spans GROUP BY 1) mx JOIN __t t USING (doc_id)
+),
+__clean AS (SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text FROM __segs GROUP BY doc_id),
+__agg AS (SELECT doc_id, count(*) AS n_spans, sum(fin - st) AS rm FROM __spans GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(c.clean_text, d.text) AS clean_text,
+       CAST(coalesce(a.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(a.rm, 0) AS INT) AS n_chars_removed
+FROM documents d
+LEFT JOIN __clean c USING (doc_id)
+LEFT JOIN __agg a USING (doc_id)
+"""
+
+
 def quality_expr(text: str = "text") -> str:
     """DuckDB expression replicating ``functions/text.py:quality_score_col``
     exactly: 0.4·min(len/500,1) + 0.4·alpha_ratio + 0.2·word-shape, rounded

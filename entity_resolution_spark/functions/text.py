@@ -236,6 +236,54 @@ def batch_fingerprint(texts: pd.Series, k: int = 8, window: int = 16) -> pd.Seri
     return pd.Series([fingerprint(t, k, window) for t in texts.to_numpy(dtype=object)])
 
 
+def fingerprint_positions(
+    text: str | None, k: int = 8, window: int = 16
+) -> list[tuple[int, int]]:
+    """Winnowing picks WITH their k-gram start positions: per sliding window
+    of k-gram rolling hashes, the first-occurrence minimum; consecutive
+    windows re-selecting the same position emit once. Returns
+    ``[(pos, fp), ...]`` with 0-based char positions, ascending (window-min
+    positions are provably non-decreasing under first-occurrence argmin:
+    an earlier equal-or-smaller hash inside the next window would already
+    have been this window's pick).
+
+    Unlike :func:`fingerprint` (which dedups by VALUE and shrinks k for
+    short docs), this kernel returns [] for docs shorter than k chars —
+    the same convention as the DuckDB oracle — and dedups by POSITION,
+    because its consumer marks char ranges, not hash sets. ASCII corpora
+    only (hashes are over UTF-8 bytes, positions are used as char offsets;
+    same guard as the fingerprint oracle)."""
+    data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if data.size < k:
+        return []
+    P = np.uint64(4294967291)
+    powers = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        powers[i] = acc
+        acc = (acc * np.uint64(257)) % P
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    hashes = (windows * powers).sum(axis=1) % P
+    if hashes.size <= window:
+        p = int(hashes.argmin())
+        return [(p, int(hashes[p]))]
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    pos = sw.argmin(axis=1) + np.arange(sw.shape[0])
+    keep = np.empty(pos.shape[0], dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]
+    ps = pos[keep]
+    return [(int(p), int(hashes[p])) for p in ps]
+
+
+def batch_fingerprint_positions(
+    texts: pd.Series, k: int = 8, window: int = 16
+) -> pd.Series:
+    return pd.Series(
+        [fingerprint_positions(t, k, window) for t in texts.to_numpy(dtype=object)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) over identifier tokens
 # ---------------------------------------------------------------------------

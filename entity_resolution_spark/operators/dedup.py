@@ -19,7 +19,7 @@ left_id < right_id pairs or cluster assignments.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -573,3 +573,116 @@ def duplicate_span_stats(
         ).alias("dup_frac"),
     )
     return out
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    min_docs: int = 2,
+    min_span_chars: int = 40,
+    gap: int | None = None,
+) -> DataFrame:
+    """Exact-substring deduplication as a TRANSFORM (Lee et al. 2022's
+    second method): cut from every document the char spans whose content
+    also appears in >= ``min_docs`` documents — license headers, boilerplate,
+    quoted passages — instead of only reporting them (duplicate_span_stats).
+
+    Approximation contract: a duplicated run of length >= window + k - 1
+    chars contains at least one winnowing pick (Schleimer et al. guarantee),
+    so its fingerprint lands in the corpus df table; every picked position
+    whose fingerprint is corpus-duplicated marks chars [pos, pos+k).
+    Marks within ``gap`` chars of each other merge into one span
+    (successive picks inside one duplicated run are at most ``window``
+    apart); merged spans shorter than ``min_span_chars`` are kept (tiny
+    incidental overlaps are not boilerplate). 32-bit fingerprint collisions
+    can spuriously mark a k-gram — deterministic, and bounded by the
+    min_span_chars filter.
+
+    Output: one row per input doc — (id, clean_text, n_spans,
+    n_chars_removed); docs with no duplicated spans (or shorter than k)
+    pass through unchanged.
+
+    Scale shape: one Arrow kernel pass for positional fingerprints, one
+    hash-aggregate df census on the 32-bit fingerprint, one shuffle-hash
+    join back, a lag/sum window over (doc, pos) rows for the island merge
+    (linear, partitioned by doc), and the text surgery is a pure-JVM
+    higher-order aggregate over the span array — the content column
+    crosses Arrow once (into the fingerprint kernel), never again. No
+    self-join anywhere: corpus-wide boilerplate grows the df table
+    linearly, exactly like duplicate_span_stats.
+    """
+    from ..session import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    gap = window if gap is None else gap
+    # disjoint-span guarantee for the surgery below: islands separated by
+    # > gap >= k cannot overlap after each extends k-1 chars right
+    gap = max(gap, k)
+
+    @pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("fp", T.LongType()),
+    ])))
+    def pos_fp_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.text import batch_fingerprint_positions
+
+        return batch_fingerprint_positions(texts, k=k, window=window).apply(
+            lambda xs: [{"pos": int(p), "fp": int(f)} for p, f in xs]
+        )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    fps = base.select(
+        "id", F.explode(pos_fp_udf(F.col("text"))).alias("pf")
+    ).select("id", F.col("pf.pos").alias("pos"), F.col("pf.fp").alias("fp"))
+    # one kernel pass feeds BOTH the df census and the position join
+    fps = fps.localCheckpoint(eager=True)
+
+    dup_fps = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    marked = fps.join(dup_fps.hint("shuffle_hash"), "fp").select("id", "pos")
+
+    # gaps-and-islands: a new span starts where the position jumps by > gap
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        marked.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > gap)).cast("int"),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+    )
+    spans = (
+        isl.groupBy("id", "__isl")
+        .agg(F.min("pos").alias("start"), (F.max("pos") + k).alias("fin"))
+        .filter(F.col("fin") - F.col("start") >= min_span_chars)
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("start", "fin"))).alias("spans")
+    )
+
+    out = base.join(per_doc.hint("shuffle_hash"), "id", "left")
+    # pure-JVM surgery: walk the sorted disjoint spans with a (cursor, acc)
+    # aggregate, keeping the text between/after them. substring() is
+    # 1-based; greatest() guards are belt-and-braces (spans are disjoint
+    # by construction).
+    cut = F.expr(
+        "aggregate(spans, named_struct('cur', 0, 'acc', ''), "
+        " (s, sp) -> named_struct("
+        "   'cur', greatest(sp.fin, s.cur), "
+        "   'acc', concat(s.acc, substring(text, s.cur + 1, greatest(sp.start - s.cur, 0)))), "
+        " s -> concat(s.acc, substring(text, s.cur + 1, greatest(length(text) - s.cur, 0))))"
+    )
+    removed = F.expr("aggregate(spans, 0, (a, sp) -> a + sp.fin - sp.start)")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("spans").isNull(), F.col("text")).otherwise(cut).alias("clean_text"),
+        F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(removed, F.lit(0)).alias("n_chars_removed"),
+    )

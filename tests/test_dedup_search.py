@@ -368,3 +368,54 @@ def test_quantized_topk_tracks_float_search(spark):
     for r in qtop:
         if r.vec_id in fcos:
             assert abs(r.cosine - fcos[r.vec_id]) < 0.02
+
+
+def test_remove_duplicate_spans(spark):
+    from entity_resolution_spark.operators.dedup import remove_duplicate_spans
+
+    header = (
+        "LICENSE: this file is distributed under the apache license "
+        "version 2.0 terms apply to all copies. "
+    )
+    rows = [
+        (1, header + "unique body alpha with its own words and numbers 12345"),
+        (2, header + "completely different tail content for document beta 99"),
+        (3, "no shared content at all in this one, just original prose xyz"),
+        (4, "sh"),  # shorter than k -> passthrough
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+
+    # the shared header loses a span in BOTH carriers; unique docs untouched
+    for i in (1, 2):
+        assert out[i].n_spans == 1
+        assert out[i].n_chars_removed >= 40
+        # cut chars come out of the shared header region, the unique tail
+        # survives verbatim
+        assert rows[i - 1][1][len(header):] in out[i].clean_text
+        # length bookkeeping: removed + kept == original
+        assert len(out[i].clean_text) + out[i].n_chars_removed == len(rows[i - 1][1])
+        # both docs cut the IDENTICAL header span -> identical removed width
+    assert out[1].n_chars_removed == out[2].n_chars_removed
+    for i in (3, 4):
+        assert out[i].n_spans == 0 and out[i].n_chars_removed == 0
+        assert out[i].clean_text == rows[i - 1][1]
+
+
+def test_remove_duplicate_spans_merges_interrupted_runs(spark):
+    """Two shared blocks separated by > gap unique chars in the SAME doc
+    become two spans, not one merged over the unique middle."""
+    from entity_resolution_spark.operators.dedup import remove_duplicate_spans
+
+    block_a = "shared preamble block with stable tokens one two three four five six. "
+    block_b = "another shared trailer block with stable tokens seven eight nine ten. "
+    mid = "THE-UNIQUE-MIDDLE-SECTION-OF-DOCUMENT-ONE-9f8e7d6c5b4a3210-KEEP-ME "
+    rows = [
+        (1, block_a + mid + block_b),
+        (2, block_a + "totally different middle for the second document " + block_b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+    assert out[1].n_spans == 2
+    assert "KEEP-ME" in out[1].clean_text
+    assert len(out[1].clean_text) + out[1].n_chars_removed == len(rows[0][1])
