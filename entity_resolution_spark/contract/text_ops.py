@@ -317,6 +317,38 @@ def doc_repetition_stats(spark, sf_dir):
     return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
+# Within-document duplicate-line removal: keep a line iff it is shorter
+# than 30 chars (document structure) or it is its first occurrence. The
+# oracle replicates the first-occurrence check with list_position.
+@query(
+    "doc_line_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+    ),
+    k AS (
+      SELECT doc_id, text, lines,
+             [lines[i] FOR i IN range(1, len(lines) + 1)
+              IF length(lines[i]) < 30 OR list_position(lines, lines[i]) = i] AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE array_to_string(kept, chr(10)) END AS clean_text,
+           CAST(CASE WHEN text IS NULL THEN 0 ELSE len(lines) END AS INT) AS n_lines,
+           CAST(CASE WHEN text IS NULL THEN 0
+                ELSE len(lines) - len(kept) END AS INT) AS n_removed
+    FROM k
+    """,
+)
+def doc_line_dedup(spark, sf_dir):
+    from ..functions.text import line_dedup_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = line_dedup_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
 # --- PII redaction (functions/text.py) -------------------------------------
 # Email spans -> <EMAIL>, digits -> '#'; patterns restricted to syntax with
 # identical Java-regex/RE2 semantics so the oracle is byte-for-byte.

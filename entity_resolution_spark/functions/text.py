@@ -236,6 +236,33 @@ def batch_fingerprint(texts: pd.Series, k: int = 8, window: int = 16) -> pd.Seri
     return pd.Series([fingerprint(t, k, window) for t in texts.to_numpy(dtype=object)])
 
 
+def line_dedup_cols(text: Column, min_line_chars: int = 30) -> dict[str, Column]:
+    """Within-document duplicate-line removal (crawl-cleaning transform:
+    repeated nav/menu/footer lines) as pure Column expressions — no Python,
+    no shuffle, single codegen'd projection like repetition_stats_cols.
+
+    A line is kept iff it is shorter than ``min_line_chars`` (blank lines,
+    bullets, code braces — document STRUCTURE, never collapsed) or it is
+    the line's first occurrence in the document. First-occurrence checks
+    are O(lines^2) within a doc — constant per row, the right trade against
+    shuffling the corpus through an explode/window/re-agg.
+
+    Returns columns keyed: clean_text, n_lines, n_removed. NULL text maps
+    to (NULL, 0, 0)."""
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(x) < min_line_chars)
+        | (F.array_position(lines, x) == i.cast("long") + 1),
+    )
+    n = F.size(lines)
+    return {
+        "clean_text": F.array_join(kept, "\n"),
+        "n_lines": F.when(text.isNull(), F.lit(0)).otherwise(n),
+        "n_removed": F.when(text.isNull(), F.lit(0)).otherwise(n - F.size(kept)),
+    }
+
+
 def fingerprint_positions(
     text: str | None, k: int = 8, window: int = 16
 ) -> list[tuple[int, int]]:

@@ -124,3 +124,27 @@ def test_segmented_sessionize_equals_plain(spark):
             for r in sessionize(both).collect()
         }
         assert a == b, chunk
+
+
+def test_line_dedup(spark):
+    from entity_resolution_spark.functions.text import line_dedup_cols
+
+    nav = "Home | Products | About Us | Contact | Careers | Legal Notice"
+    body1 = "This paragraph is the actual unique content of the first page."
+    body2 = "Different unique content appears on the second page right here."
+    doc = "\n".join([nav, "", body1, "", nav, "-", body2, nav])
+    rows = [(1, doc), (2, "short\nshort\nshort"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = line_dedup_cols(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    # repeated nav line collapses to its first occurrence; blanks and the
+    # "-" separator (structure, < 30 chars) survive every occurrence
+    assert out[1].n_lines == 8 and out[1].n_removed == 2
+    assert out[1].clean_text == "\n".join([nav, "", body1, "", "-", body2])
+    # short repeated lines are never deduped
+    assert out[2].n_removed == 0 and out[2].clean_text == "short\nshort\nshort"
+    # NULL text passes through as (NULL, 0, 0)
+    assert out[3].clean_text is None and out[3].n_lines == 0 and out[3].n_removed == 0
