@@ -148,3 +148,18 @@ def test_curation_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "sha2" in plan  # the window partition key is the digest
     assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_line_dedup_stays_whole_stage_codegen(spark):
+    """Duplicate-line removal is pure column expressions: no Python, no
+    shuffle, single JVM projection over the scan (same gate as the
+    repetition stats — HOF lambdas evaluate in a Project outside WSCG)."""
+    from entity_resolution_spark.functions.text import line_dedup_cols
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    cols = line_dedup_cols(F.col("text"))
+    df = d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "(3) Project" in plan and "(4)" not in plan
