@@ -148,11 +148,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "a5_jaccard_sets",
         "token_count_ws",
         # round-3 operators: SemDeDup over the embedding table, int8-code
-        # ANN, distributed table-vs-table kNN join, RAG chunking
+        # ANN, distributed table-vs-table kNN join, RAG chunking,
+        # exact-substring span removal, within-doc line dedup
         "semantic_dedup_embeddings",
         "sim_search_quantized_topk",
         "knn_join_topk",
         "chunk_documents_sliding",
+        "dedup_remove_spans",
+        "doc_line_dedup",
     ]:
         if name not in SPARK_QUERIES:
             continue
