@@ -349,6 +349,43 @@ def doc_line_dedup(spark, sf_dir):
     return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
+# C4 page cleaning (Raffel et al. 2020 §2.2): line retention + page drop
+# rules, replicated with list comprehensions and the same precedence.
+@query(
+    "c4_page_filter",
+    """
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+    l AS (
+      SELECT doc_id, s,
+             [x FOR x IN string_split(s, chr(10))
+              IF right(trim(x), 1) IN ('.', '!', '?', '"')
+                 AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                 AND NOT contains(lower(x), 'javascript')] AS kl
+      FROM t
+    ),
+    sel AS (
+      SELECT doc_id, kl, len(kl) AS nk,
+             CASE WHEN contains(lower(s), 'lorem ipsum') THEN 'lorem_ipsum'
+                  WHEN contains(lower(s), '{') THEN 'brace'
+                  WHEN len(kl) < 3 THEN 'too_few_sentences' END AS reason
+      FROM l
+    )
+    SELECT doc_id,
+           CASE WHEN reason IS NULL THEN array_to_string(kl, chr(10)) END AS clean_text,
+           CAST(nk AS INT) AS n_lines_kept,
+           CAST(reason IS NULL AS INT) AS kept,
+           reason AS drop_reason
+    FROM sel
+    """,
+)
+def c4_page_filter(spark, sf_dir):
+    from ..functions.text import c4_filter_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = c4_filter_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
 # --- PII redaction (functions/text.py) -------------------------------------
 # Email spans -> <EMAIL>, digits -> '#'; patterns restricted to syntax with
 # identical Java-regex/RE2 semantics so the oracle is byte-for-byte.

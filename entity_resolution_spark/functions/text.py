@@ -263,6 +263,52 @@ def line_dedup_cols(text: Column, min_line_chars: int = 30) -> dict[str, Column]
     }
 
 
+def c4_filter_cols(text: Column) -> dict[str, Column]:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2) as pure Column
+    expressions — single JVM projection, no Python, no shuffle.
+
+    Line rules (a line is RETAINED iff all hold):
+      - ends in a terminal punctuation mark (``.``, ``!``, ``?``, ``"``),
+      - contains at least 5 whitespace words,
+      - does not contain "javascript" (case-insensitive).
+    Page rules (the document is KEPT iff all hold, checked in this order so
+    ``drop_reason`` is deterministic):
+      - does not contain "lorem ipsum" (case-insensitive) → ``lorem_ipsum``,
+      - does not contain ``{`` (code/templating on a prose page) → ``brace``,
+      - at least 3 retained lines → ``too_few_sentences``.
+    NULL text is treated as the empty page. Outputs: clean_text (retained
+    lines joined, NULL for dropped pages), n_lines_kept, kept (INT for the
+    driver canonicalizer), drop_reason (NULL when kept)."""
+    t = F.coalesce(text, F.lit(""))
+    lines = F.split(t, "\n")
+
+    def _line_ok(x):
+        trimmed = F.trim(x)
+        last = F.substring(trimmed, -1, 1)
+        n_words = F.size(F.split(trimmed, r"\s+"))
+        return (
+            last.isin(".", "!", "?", '"')
+            & (n_words >= 5)
+            & ~F.contains(F.lower(x), F.lit("javascript"))
+        )
+
+    kept_lines = F.filter(lines, _line_ok)
+    n_kept = F.size(kept_lines)
+    lower = F.lower(t)
+    reason = (
+        F.when(F.contains(lower, F.lit("lorem ipsum")), F.lit("lorem_ipsum"))
+        .when(F.contains(lower, F.lit("{")), F.lit("brace"))
+        .when(n_kept < 3, F.lit("too_few_sentences"))
+    )
+    kept = reason.isNull()
+    return {
+        "clean_text": F.when(kept, F.array_join(kept_lines, "\n")),
+        "n_lines_kept": n_kept,
+        "kept": kept.cast("int"),
+        "drop_reason": reason,
+    }
+
+
 def fingerprint_positions(
     text: str | None, k: int = 8, window: int = 16
 ) -> list[tuple[int, int]]:

@@ -148,3 +148,37 @@ def test_line_dedup(spark):
     assert out[2].n_removed == 0 and out[2].clean_text == "short\nshort\nshort"
     # NULL text passes through as (NULL, 0, 0)
     assert out[3].clean_text is None and out[3].n_lines == 0 and out[3].n_removed == 0
+
+
+def test_c4_page_filter(spark):
+    from entity_resolution_spark.functions.text import c4_filter_cols
+
+    good = "\n".join(
+        [
+            "This is the first real sentence of the page, nicely terminated.",
+            "Here is another full sentence with plenty of words in it.",
+            "And a third complete sentence so the page clears the bar.",
+            "short line",  # dropped: no terminal punctuation / < 5 words
+            "Click here to enable JavaScript in your browser settings.",  # dropped
+        ]
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nlorem ipsum dolor sit amet."),
+        (3, good + "\nfunction f() { return 1; }"),
+        (4, "One sentence only, which is not enough for a page."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = c4_filter_cols(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    assert out[1].kept == 1 and out[1].drop_reason is None
+    assert out[1].n_lines_kept == 3  # short + javascript lines removed
+    assert "JavaScript" not in out[1].clean_text and "short line" not in out[1].clean_text
+    assert out[2].kept == 0 and out[2].drop_reason == "lorem_ipsum"
+    assert out[3].kept == 0 and out[3].drop_reason == "brace"
+    assert out[4].kept == 0 and out[4].drop_reason == "too_few_sentences"
+    assert out[5].kept == 0 and out[5].clean_text is None
