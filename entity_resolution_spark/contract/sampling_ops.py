@@ -140,3 +140,26 @@ def dsir_importance_sample(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return op(d, d.filter(F.col("source") == "src0"), top_k=100)
+
+
+def _shuffle_shards_sql(n_shards: int = 8, seed: int = 42) -> str:
+    seed_c = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    return f"""
+WITH __m0 AS (SELECT doc_id, xor(doc_id::UBIGINT, {seed_c}::UBIGINT) AS h FROM documents),
+{_sql._splitmix64_ctes("__m0", "doc_id")},
+__k AS (SELECT doc_id, (h >> 1)::BIGINT AS k FROM __mixed)
+SELECT doc_id,
+       CAST(k % {n_shards} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY k % {n_shards} ORDER BY k, doc_id) - 1 AS INT) AS pos
+FROM __k
+"""
+
+
+# Seeded global shuffle + shard layout (training-data write order); the
+# oracle reuses the MinHash kernel's splitmix64 UHUGEINT replica.
+@query("shuffle_shards_layout", _shuffle_shards_sql())
+def shuffle_shards_layout(spark, sf_dir):
+    from ..operators.sampling import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_shards(d)

@@ -404,3 +404,55 @@ def dsir_importance_sample(
             F.coalesce(F.col("__kept"), F.lit(0)).alias("kept"),
         )
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the final
+    layout step before writing training shards: every row gets a
+    ``(shard, pos)`` coordinate from a seeded splitmix64 order, so the
+    written corpus order is reproducible across runs, partitionings, and
+    cluster sizes, and changing ``seed`` yields an independent permutation.
+
+    The order key is ``splitmix64(id XOR seed*GOLDEN) >> 1`` (same seeded
+    mix + SQL replica as the MinHash kernel, sql_kernels._splitmix64_ctes;
+    the >> 1 keeps the key non-negative so signed/unsigned mod and ORDER BY
+    agree between Spark longs and the DuckDB UBIGINT oracle). ``shard`` is
+    the key mod n_shards (~uniform), ``pos`` the row_number within the
+    shard ordered by (key, id) — ties broken by id, so the layout is total.
+
+    Scale shape: one narrow Arrow pass over the id column for the mix (the
+    only Python; numpy-vectorized), one shuffle on ``shard``, one in-shard
+    sort for the row_number — exactly the sort a shard writer needs anyway.
+    Non-negative ids assumed by the SQL oracle (the engine itself wraps
+    negative ids mod 2^64 like any uint64 reinterpret).
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    seed_c = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    @pandas_udf(T.LongType())
+    def mix_udf(ids: pd.Series) -> pd.Series:
+        from ..functions.text import _splitmix64
+
+        h = ids.to_numpy(dtype=np.int64).astype(np.uint64) ^ seed_c
+        return pd.Series((_splitmix64(h) >> np.uint64(1)).astype(np.int64))
+
+    keyed = docs.select(F.col(id_col), mix_udf(F.col(id_col)).alias("__k"))
+    shard = F.pmod(F.col("__k"), F.lit(int(n_shards))).cast("int")
+    w = Window.partitionBy("__shard").orderBy("__k", id_col)
+    return (
+        keyed.withColumn("__shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+        .select(F.col(id_col), F.col("__shard").alias("shard"), "pos")
+    )

@@ -197,3 +197,34 @@ def test_dsir_empty_and_short_docs_score_zero(spark):
     assert out[0].score_micro_nats == 0  # shorter than shingle_k
     assert out[1].score_micro_nats == 0
     assert out[2].score_micro_nats == 0
+
+
+def test_shuffle_shards_layout(spark):
+    from entity_resolution_spark.operators.sampling import shuffle_shards
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(docs, n_shards=4, seed=42)
+    rows = out.collect()
+    assert len(rows) == 1000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # every shard's positions tile 0..size-1 exactly
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # ~uniform shard sizes (hash balance; 1000/4 = 250 +- 20%)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 200 and sizes[-1] < 300, sizes
+    # deterministic under repartitioning
+    again = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shuffle_shards(docs.repartition(13), n_shards=4, seed=42).collect()
+    }
+    assert again == {r.doc_id: (r.shard, r.pos) for r in rows}
+    # a different seed is a different permutation
+    other = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_shards(docs, n_shards=4, seed=7).collect()
+    }
+    assert other != again
