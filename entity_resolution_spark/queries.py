@@ -60,6 +60,10 @@ _DRIVER_PRIORITY = [
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",
     "pipeline_clusters",
+    "dedup_remove_spans",
+    "doc_line_dedup",
+    "c4_page_filter",
+    "shuffle_shards_layout",
     # reworked in round 3 (distributed kNN joins) — must re-verify
     "knn_join_topk",
     "ivf_knn_join_full_probe",
