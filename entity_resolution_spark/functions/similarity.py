@@ -199,19 +199,43 @@ def batch_fuzz_ratio(a: pd.Series, b: pd.Series) -> np.ndarray:
 def batch_jaro_winkler(a: pd.Series, b: pd.Series) -> np.ndarray:
     """Jaro-Winkler per pair; compiled kernel when available (bit-identical
     to the Python implementation — None maps to "" whose conventions give
-    the same 0.0/1.0 results), pure-Python fallback otherwise."""
+    the same 0.0/1.0 results), pure-Python fallback otherwise.
+
+    Batches are first collapsed to DISTINCT (a, b) pairs: blocking emits
+    candidate pairs grouped by shared basename, so a scoring batch of 10k
+    pairs usually carries only hundreds of distinct operand pairs — the
+    kernel runs once per distinct pair and the results scatter back
+    (bit-identical by construction; same value for the same operands).
+    """
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    n = len(av)
+    if n >= 256:
+        ca, ua = pd.factorize(av, use_na_sentinel=False)
+        cb, ub = pd.factorize(bv, use_na_sentinel=False)
+        pair = ca.astype(np.int64) * np.int64(len(ub)) + cb
+        upair, inv = np.unique(pair, return_inverse=True)
+        if len(upair) <= n // 2:
+            ia = (upair // len(ub)).astype(np.int64)
+            ib = (upair % len(ub)).astype(np.int64)
+            out_u = _jw_batch_direct(
+                np.asarray(ua, dtype=object)[ia], np.asarray(ub, dtype=object)[ib]
+            )
+            return out_u[inv]
+    return _jw_batch_direct(av, bv)
+
+
+def _jw_batch_direct(av: np.ndarray, bv: np.ndarray) -> np.ndarray:
     from ._lcs_native import jw_batch_native
 
     native = jw_batch_native(av, bv)
     if native is not None:
-        # Python kernel returns 0.0 for None inputs; "" vs "" gives 1.0 —
-        # restore the None convention explicitly
-        for i in range(len(native)):
-            if av[i] is None or bv[i] is None:
-                native[i] = 0.0
+        # native kernel maps None to "" ("" vs "" gives 1.0) — restore the
+        # Python convention (None scores 0.0) with a vectorized mask
+        mask = pd.isnull(av) | pd.isnull(bv)
+        if mask.any():
+            native[mask] = 0.0
         return native
-    out = np.zeros(len(a), dtype=np.float64)
+    out = np.zeros(len(av), dtype=np.float64)
     for i in range(len(out)):
         out[i] = jaro_winkler(av[i], bv[i])
     return out
