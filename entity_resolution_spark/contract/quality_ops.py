@@ -1,0 +1,91 @@
+"""Driver-contract batch: corpus-statistics quality operators (round 3).
+
+Corpus-level boilerplate removal (operators/boilerplate.py) and bigram
+LM perplexity scoring (operators/lm.py) — both fully SQL-expressible, so
+each carries a complete DuckDB value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from ..queries import _t, query
+
+# 8-word segments; boilerplate = a segment appearing in >= 2 distinct docs.
+_SEG = 8
+
+
+@query(
+    "boilerplate_segment_removal",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+{_SEG - 1}], ' ')
+              FOR i IN generate_series(1, len(w), {_SEG})] AS segs
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, unnest(segs) AS seg,
+             unnest(generate_series(1, len(segs))) AS pos
+      FROM s
+    ),
+    bp AS (SELECT seg FROM e GROUP BY seg HAVING count(DISTINCT doc_id) > 1),
+    kept AS (SELECT e.doc_id, e.seg, e.pos FROM e ANTI JOIN bp USING (seg)),
+    r AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(s.segs) AS INT) AS n_segments,
+           CAST(len(s.segs) - coalesce(r.n_kept, 0) AS INT) AS n_removed
+    FROM s LEFT JOIN r USING (doc_id)
+    """,
+)
+def boilerplate_segment_removal(spark, sf_dir):
+    """Corpus-frequent segment removal (RefinedWeb-style boilerplate)."""
+    from ..operators.boilerplate import remove_boilerplate_segments
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(d, seg_words=_SEG, max_doc_freq=1)
+
+
+@query(
+    "bigram_lm_perplexity",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(w[1:len(w) - 1]) AS w1,
+             unnest(w[2:len(w)]) AS w2
+      FROM t WHERE len(w) >= 2
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS v FROM (SELECT unnest(w) AS u FROM t)),
+    sc AS (
+      SELECT p.doc_id,
+             log2((bi.c12 + 1.0) / (ctx.c1 + 1.0 * v.v)) AS lp
+      FROM p JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+    ),
+    d AS (SELECT doc_id, count(*) AS n, -avg(lp) AS h FROM sc GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(coalesce(d.n, 0) AS INT) AS n_bigrams,
+           round(d.h, 4) AS cross_entropy,
+           round(pow(2.0, d.h), 4) AS perplexity
+    FROM t LEFT JOIN d USING (doc_id)
+    """,
+)
+def bigram_lm_perplexity(spark, sf_dir):
+    """Self-fit bigram LM cross-entropy / perplexity (CCNet-style filter)."""
+    from ..operators.lm import bigram_lm_cross_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_cross_entropy(d)

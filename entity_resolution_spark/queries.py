@@ -36,6 +36,7 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from .contract import (  # noqa: E402,F401
     core_ops,
     dedup_ops,
+    quality_ops,
     sampling_ops,
     stream_ops,
     text_ops,
@@ -64,6 +65,8 @@ _DRIVER_PRIORITY = [
     "doc_line_dedup",
     "c4_page_filter",
     "shuffle_shards_layout",
+    "boilerplate_segment_removal",
+    "bigram_lm_perplexity",
     # reworked in round 3 (distributed kNN joins) — must re-verify
     "knn_join_topk",
     "ivf_knn_join_full_probe",

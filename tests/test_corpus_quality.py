@@ -1,0 +1,140 @@
+"""Unit semantics for operators/boilerplate.py and operators/lm.py."""
+
+import math
+
+from pyspark.sql import Row
+
+from entity_resolution_spark.operators.boilerplate import (
+    boilerplate_segments,
+    remove_boilerplate_segments,
+)
+from entity_resolution_spark.operators.lm import (
+    bigram_lm_cross_entropy,
+    fit_bigram_lm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# --- boilerplate -----------------------------------------------------------
+
+
+def test_boilerplate_census_finds_cross_doc_segments(spark):
+    # 'cookie banner' (2 words/segment) appears in docs 0 and 1; unique text
+    # does not survive the census.
+    d = _docs(
+        spark,
+        [
+            (0, "cookie banner alpha beta"),
+            (1, "cookie banner gamma delta"),
+            (2, "epsilon zeta eta theta"),
+        ],
+    )
+    bp = boilerplate_segments(d, seg_words=2, max_doc_freq=1).collect()
+    assert {(r.segment, r.doc_freq) for r in bp} == {("cookie banner", 2)}
+
+
+def test_boilerplate_removal_preserves_order_and_counts(spark):
+    d = _docs(
+        spark,
+        [
+            (0, "cookie banner keep one keep two"),
+            (1, "keep three cookie banner keep four"),
+            (2, "cookie banner cookie banner"),  # fully boilerplate
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(d, seg_words=2, max_doc_freq=1).collect()
+    }
+    assert out[0].clean_text == "keep one keep two"
+    assert (out[0].n_segments, out[0].n_removed) == (3, 1)
+    # removal keeps the surviving segments in original position order
+    assert out[1].clean_text == "keep three keep four"
+    assert out[1].n_removed == 1
+    # everything removed -> empty text, all segments counted
+    assert out[2].clean_text == ""
+    assert (out[2].n_segments, out[2].n_removed) == (2, 2)
+
+
+def test_boilerplate_null_and_empty_text_total(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=None), Row(doc_id=1, text="")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_segments(d).collect()}
+    # NULL and '' both degrade to the single '' segment, which the census
+    # then flags (2 docs share it) -> removed, clean_text ''.
+    for i in (0, 1):
+        assert out[i].n_segments == 1
+        assert out[i].clean_text == ""
+
+
+def test_boilerplate_plan_has_no_python(spark):
+    d = _docs(spark, [(0, "a b"), (1, "a b")])
+    plan = remove_boilerplate_segments(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+# --- bigram LM -------------------------------------------------------------
+
+
+def test_fit_bigram_lm_counts(spark):
+    d = _docs(spark, [(0, "a b a b"), (1, "b c")])
+    bi, ctx, vocab = fit_bigram_lm(d)
+    counts = {(r.w1, r.w2): r.c12 for r in bi.collect()}
+    assert counts == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+    assert {r.w1: r.c1 for r in ctx.collect()} == {"a": 2, "b": 2}
+    assert vocab.collect()[0].v == 3
+
+
+def test_cross_entropy_hand_computed(spark):
+    # Corpus: one doc "a b a b". Bigrams: (a,b)x2, (b,a)x1.
+    # V=2, alpha=1. P(b|a)=(2+1)/(2+2)=0.75, P(a|b)=(1+1)/(1+2)=2/3.
+    d = _docs(spark, [(0, "a b a b")])
+    r = bigram_lm_cross_entropy(d).collect()[0]
+    expected_h = -(2 * math.log2(0.75) + math.log2(2 / 3)) / 3
+    assert r.n_bigrams == 3
+    assert abs(r.cross_entropy - round(expected_h, 4)) < 1e-9
+    assert abs(r.perplexity - round(2**expected_h, 4)) < 1e-9
+
+
+def test_lm_short_and_null_docs_get_null_entropy(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text="solo"), Row(doc_id=1, text=None), Row(doc_id=2, text="a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_cross_entropy(d).collect()}
+    assert out[0].n_bigrams == 0 and out[0].cross_entropy is None
+    assert out[1].n_bigrams == 0 and out[1].perplexity is None
+    assert out[2].n_bigrams == 1 and out[2].cross_entropy is not None
+
+
+def test_lm_unseen_bigram_backoff(spark):
+    # Model fit on doc A only; score doc B containing an unseen bigram.
+    model = _docs(spark, [(0, "a b a b")])
+    score = _docs(spark, [(1, "c d")])  # neither context nor bigram seen
+    r = bigram_lm_cross_entropy(score, model_docs=model).collect()[0]
+    # backoff: P = alpha / (0 + alpha*V) = 1/2 -> H = 1 bit
+    assert r.n_bigrams == 1
+    assert abs(r.cross_entropy - 1.0) < 1e-9
+    assert abs(r.perplexity - 2.0) < 1e-9
+
+
+def test_lm_min_count_prunes_to_backoff(spark):
+    # (b,a) has c12=1 and is pruned at min_count=2; its probability falls
+    # back to alpha/(c1 + alpha*V) with the PRE-pruning context mass of
+    # 'b' as a LEFT context: c1 = 1 (only bigram (b,a)), V = 2.
+    model = _docs(spark, [(0, "a b a b")])
+    score = _docs(spark, [(1, "b a")])
+    r = bigram_lm_cross_entropy(score, model_docs=model, min_count=2).collect()[0]
+    expected_h = -math.log2(1.0 / (1 + 2))
+    assert abs(r.cross_entropy - round(expected_h, 4)) < 1e-9
+
+
+def test_lm_plan_has_no_python(spark):
+    d = _docs(spark, [(0, "a b c"), (1, "b c d")])
+    plan = bigram_lm_cross_entropy(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
