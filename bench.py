@@ -156,6 +156,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "chunk_documents_sliding",
         "dedup_remove_spans",
         "doc_line_dedup",
+        # corpus-statistics quality ops: cross-document boilerplate
+        # removal, bigram-LM perplexity scoring
+        "boilerplate_segment_removal",
+        "bigram_lm_perplexity",
     ]:
         if name not in SPARK_QUERIES:
             continue
