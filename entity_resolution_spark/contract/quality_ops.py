@@ -89,3 +89,29 @@ def bigram_lm_perplexity(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return bigram_lm_cross_entropy(d)
+
+
+def _register_cross_corpus():
+    from .sql_kernels import cross_corpus_pairs_sql
+
+    @query(
+        "cross_corpus_neardup",
+        cross_corpus_pairs_sql(0.7, "{id} % 10 < 2", "{id} % 10 >= 2"),
+    )
+    def cross_corpus_neardup(spark, sf_dir):
+        """New-snapshot-vs-standing-corpus near-dup pairs: docs with
+        doc_id % 10 < 2 play the new crawl, the rest the reference corpus
+        (operators/cross_corpus.py)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.cross_corpus import cross_corpus_minhash_pairs
+
+        d = _t(spark, sf_dir, "documents")
+        return cross_corpus_minhash_pairs(
+            d.filter(F.col("doc_id") % 10 < 2),
+            d.filter(F.col("doc_id") % 10 >= 2),
+            min_jaccard=0.7,
+        )
+
+
+_register_cross_corpus()

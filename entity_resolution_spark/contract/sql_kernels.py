@@ -164,6 +164,46 @@ SELECT left_id, right_id, est_jaccard FROM __pairs
 """
 
 
+def cross_corpus_pairs_sql(
+    min_jaccard: float,
+    new_pred: str,
+    ref_pred: str,
+    cfg: MinHashConfig | None = None,
+) -> str:
+    """Full oracle for operators/cross_corpus.cross_corpus_minhash_pairs:
+    the same signature/band CTEs, but candidates pair a NEW-side doc
+    (``new_pred`` over a.doc_id) with a REFERENCE-side doc (``ref_pred``
+    over b.doc_id) — never new-vs-new or ref-vs-ref, and no doc-id
+    ordering constraint (the sides are the ordering)."""
+    cfg = cfg or MinHashConfig()
+    m, r = cfg.num_hashes, cfg.rows_per_band
+    return f"""
+WITH {minhash_signature_ctes(cfg)},
+__sigs AS (
+  SELECT doc_id, list(value ORDER BY slot) AS sig FROM __sig GROUP BY doc_id
+),
+__bands AS (
+  SELECT doc_id, b.band,
+         array_to_string(sig[b.band * {r} + 1 : (b.band + 1) * {r}], ',') AS bk
+  FROM __sigs, (SELECT unnest(range(0, {cfg.bands})) AS band) b
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+  FROM __bands a JOIN __bands b ON a.band = b.band AND a.bk = b.bk
+  WHERE ({new_pred.format(id="a.doc_id")}) AND ({ref_pred.format(id="b.doc_id")})
+),
+__est AS (
+  SELECT c.new_id, c.ref_id,
+         round(len(list_filter(range(1, {m} + 1), i -> sa.sig[i] = sb.sig[i]))
+               / {m}.0, 6) AS est_jaccard
+  FROM __cand c
+  JOIN __sigs sa ON sa.doc_id = c.new_id
+  JOIN __sigs sb ON sb.doc_id = c.ref_id
+)
+SELECT new_id, ref_id, est_jaccard FROM __est WHERE est_jaccard >= {min_jaccard}
+"""
+
+
 def leakage_safe_split_sql(
     min_jaccard: float,
     bounds: dict[str, str],

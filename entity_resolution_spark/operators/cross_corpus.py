@@ -1,0 +1,159 @@
+"""Cross-corpus near-duplicate detection (fold a new snapshot against a
+standing corpus).
+
+The production shape for continuously-grown training sets: a new crawl
+snapshot must be deduplicated against the corpus that is ALREADY trained
+on / stored, without re-pairing the standing corpus against itself (that
+is `operators/dedup.py:minhash_lsh_pairs`' job, done once). Both sides are
+sketched with the SAME seeded MinHash kernel, so signatures and band keys
+are directly comparable across corpora and across runs.
+
+Reference scope note: the reference engine resolves one frame pair at a
+time (entity_resolution.py:213 `find_similar_columns(df1, df2)`) — this op
+is the corpus-scale analogue of its two-sided comparison, specialized to
+near-duplicate text.
+
+Scale shape (delta-proportional, like plans/incremental.py):
+
+  sketch     one Arrow pass per side (new side is delta-sized)
+  census     band-key frequency on the REFERENCE side only
+  salt       hot ref bands split into g groups; new-side rows replicate
+             across the g groups (classic A x B skew pattern: salt the
+             big side, explode the small side)
+  join       band-key equi-join, never a self-join, never all-pairs
+  verify     full-signature agreement >= min_jaccard
+
+Reference bands larger than ``drop_limit`` are boilerplate stop-keys and
+are removed (their members are still reachable through their other, more
+selective bands — the same convention as `_capped_block_pairs`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..functions.minhash import MinHashConfig
+from .dedup import _MH_EMPTY_SENTINEL
+
+
+def _sketches(
+    docs: DataFrame, cfg: MinHashConfig, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sig, bands) — one UDF computes the signature and folds its band
+    keys (same single-kernel convention as dedup.minhash_lsh_pairs); empty
+    documents (sentinel signature) are excluded."""
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("sig", T.ArrayType(T.LongType())),
+                T.StructField("bands", T.ArrayType(T.StringType())),
+            ]
+        )
+    )
+    def sketch_udf(texts: pd.Series) -> pd.DataFrame:
+        from ..functions.minhash import band_keys_from_signature, hash_params, minhash_signature
+
+        params = hash_params(cfg)
+        sigs, bands = [], []
+        for t in texts.to_numpy(dtype=object):
+            s = minhash_signature(t, cfg, params)
+            sigs.append([int(v) for v in s])
+            bands.append(band_keys_from_signature(s, cfg))
+        return pd.DataFrame({"sig": sigs, "bands": bands})
+
+    from ..functions.text import norm_content_col
+
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), sketch_udf(norm_content_col(F.col(text_col))).alias("sk")
+        )
+        .select("id", F.col("sk.sig").alias("sig"), F.col("sk.bands").alias("bands"))
+        .filter(F.element_at("sig", 1) != F.lit(_MH_EMPTY_SENTINEL))
+    )
+
+
+def cross_corpus_minhash_pairs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    cfg: MinHashConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+    max_band_size: int = 2000,
+    max_salt_groups: int = 64,
+    drop_limit: int = 100_000,
+) -> DataFrame:
+    """(new_id, ref_id, est_jaccard) for new documents near-duplicating a
+    reference document (>= 1 shared LSH band, full-signature agreement >=
+    ``min_jaccard``). Never pairs new-vs-new or ref-vs-ref."""
+    cfg = cfg or MinHashConfig()
+
+    new_b = _sketches(new_docs, cfg, id_col, text_col).select(
+        F.col("id").alias("new_id"), F.col("sig").alias("l_sig"), F.explode("bands").alias("bk")
+    )
+    ref_b = _sketches(ref_docs, cfg, id_col, text_col).select(
+        F.col("id").alias("ref_id"), F.col("sig").alias("r_sig"), F.explode("bands").alias("bk")
+    )
+
+    # census on the reference side (the big side); stop-key removal +
+    # salt-group sizing both derive from it. Inner-joining the census onto
+    # the new side also prunes new bands with no reference partner at all.
+    census = ref_b.groupBy("bk").agg(F.count("*").alias("bs"))
+    g = F.least(
+        F.lit(max_salt_groups), F.ceil(F.col("bs") / max_band_size)
+    ).cast("int")
+
+    ref_s = (
+        ref_b.join(census.hint("shuffle_hash"), "bk")
+        .filter(F.col("bs") <= drop_limit)
+        .select(
+            "bk", "ref_id", "r_sig",
+            F.pmod(F.xxhash64("ref_id"), g).cast("int").alias("salt"),
+        )
+    )
+    new_s = (
+        new_b.join(census.hint("shuffle_hash"), "bk")
+        .filter(F.col("bs") <= drop_limit)
+        .select(
+            "bk", "new_id", "l_sig",
+            F.explode(F.sequence(F.lit(0), g - 1)).alias("salt"),
+        )
+    )
+
+    pairs = (
+        new_s.join(ref_s.hint("shuffle_hash"), ["bk", "salt"])
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("l_sig", "r_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("l_sig")
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("new_id", "ref_id", "est_jaccard")
+    )
+
+
+def novel_documents(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    cfg: MinHashConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """New documents with NO near-duplicate in the reference corpus — the
+    rows safe to fold into the training set. Anti-join on the matched new
+    ids (delta-sized frame, broadcastable)."""
+    matched = cross_corpus_minhash_pairs(
+        new_docs, ref_docs, cfg, id_col, text_col, min_jaccard, **kwargs
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(F.broadcast(matched), id_col, "left_anti")

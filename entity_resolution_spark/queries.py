@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "shuffle_shards_layout",
     "boilerplate_segment_removal",
     "bigram_lm_perplexity",
+    "cross_corpus_neardup",
     # reworked in round 3 (distributed kNN joins) — must re-verify
     "knn_join_topk",
     "ivf_knn_join_full_probe",
