@@ -91,6 +91,66 @@ def bigram_lm_perplexity(spark, sf_dir):
     return bigram_lm_cross_entropy(d)
 
 
+@query(
+    "bpe_top_merges",
+    """
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT word, count(*) AS n FROM w WHERE length(word) >= 2 GROUP BY word
+    ),
+    p AS (
+      SELECT unnest([word[i:i+1] FOR i IN generate_series(1, length(word) - 1)]) AS pair,
+             n
+      FROM wc
+    ),
+    c AS (SELECT pair, sum(n) AS cnt FROM p GROUP BY pair)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM c ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def bpe_top_merges(spark, sf_dir):
+    """Top-50 BPE merge candidates: frequency-weighted adjacent character
+    pairs inside words (operators/tokenize.py — the distributed counting
+    pass of BPE tokenizer training)."""
+    from ..operators.tokenize import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, k=50)
+
+
+def _register_source_overlap():
+    from .sql_kernels import minhash_edge_ctes
+
+    @query(
+        "source_overlap_matrix",
+        f"""
+    WITH {minhash_edge_ctes(0.7)},
+    __lab AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM __pairs p
+      JOIN documents da ON da.doc_id = p.left_id
+      JOIN documents db ON db.doc_id = p.right_id
+    )
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM __lab GROUP BY 1, 2
+    """,
+    )
+    def source_overlap_matrix(spark, sf_dir):
+        """Inter-source near-duplicate counts (operators/dedup.py) — the
+        input to source mixing/weighting decisions."""
+        from ..operators.dedup import source_overlap_matrix as op
+
+        d = _t(spark, sf_dir, "documents")
+        return op(d, min_jaccard=0.7)
+
+
+_register_source_overlap()
+
+
 def _register_cross_corpus():
     from .sql_kernels import cross_corpus_pairs_sql
 

@@ -686,3 +686,51 @@ def remove_duplicate_spans(
         F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
         F.coalesce(removed, F.lit(0)).alias("n_chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. Source overlap matrix (inter-source near-duplicate rates)
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    src_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+    cfg: MinHashConfig | None = None,
+) -> DataFrame:
+    """(src_a, src_b, n_pairs) — how many near-duplicate pairs straddle
+    each pair of corpus sources (src_a <= src_b lexicographically, so the
+    matrix is upper-triangular with the within-source rate on the
+    diagonal). The standard input to source mixing/weighting decisions:
+    two crawls that near-duplicate each other heavily should not both get
+    full weight.
+
+    Scale: rides minhash_lsh_pairs (banded, skew-capped — never
+    all-pairs); the two source lookups join back on ids against a
+    2-column projection of the corpus, and the final aggregate is at most
+    |sources|^2 rows — tiny by construction.
+    """
+    pairs = minhash_lsh_pairs(docs, cfg, id_col, text_col, min_jaccard)
+    src = docs.select(F.col(id_col).alias("__sid"), F.col(src_col).alias("__src"))
+    labeled = (
+        pairs.join(
+            src.hint("shuffle_hash"),
+            pairs.left_id == F.col("__sid"),
+        )
+        .select("left_id", "right_id", F.col("__src").alias("l_src"))
+        .join(
+            src.hint("shuffle_hash").withColumnRenamed("__src", "r_src"),
+            F.col("right_id") == F.col("__sid"),
+        )
+    )
+    return (
+        labeled.select(
+            F.least("l_src", "r_src").alias("src_a"),
+            F.greatest("l_src", "r_src").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

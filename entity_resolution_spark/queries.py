@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "boilerplate_segment_removal",
     "bigram_lm_perplexity",
     "cross_corpus_neardup",
+    "bpe_top_merges",
+    "source_overlap_matrix",
     # reworked in round 3 (distributed kNN joins) — must re-verify
     "knn_join_topk",
     "ivf_knn_join_full_probe",

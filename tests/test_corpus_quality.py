@@ -138,3 +138,57 @@ def test_lm_plan_has_no_python(spark):
     d = _docs(spark, [(0, "a b c"), (1, "b c d")])
     plan = bigram_lm_cross_entropy(d)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# --- BPE pair mining ---------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from entity_resolution_spark.operators.tokenize import bpe_pair_counts
+
+    # words: "abab" x2, "ab" x1, "z" (no pair) -> ab:2*2+1=5, ba:2*1=2
+    d = _docs(spark, [(0, "abab ab z"), (1, "abab")])
+    got = [(r.pair, r.cnt) for r in bpe_pair_counts(d, k=10).collect()]
+    assert got == [("ab", 5), ("ba", 2)]
+
+
+def test_bpe_tiebreak_is_lexicographic(spark):
+    from entity_resolution_spark.operators.tokenize import bpe_pair_counts
+
+    d = _docs(spark, [(0, "xy qr")])  # both pairs count 1
+    got = [r.pair for r in bpe_pair_counts(d, k=10).collect()]
+    assert got == ["qr", "xy"]
+
+
+# --- source overlap matrix ---------------------------------------------------
+
+
+def test_source_overlap_matrix_counts_cross_and_within(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.dedup import source_overlap_matrix
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz in the evening light and the crowd watches quietly "
+        "from the wooden benches near the river bank under the old bridge"
+    )
+    other = (
+        "distributed query engines shuffle partitions across executors "
+        "with adaptive execution and broadcast joins for small dimension "
+        "tables while large fact tables stay hash partitioned on the key"
+    )
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="crawl_a", text=base),
+            Row(doc_id=1, source="crawl_b", text=base),          # cross-source dup
+            Row(doc_id=2, source="crawl_a", text=base + " tail"),  # near-dup, a-vs-a and a-vs-b
+            Row(doc_id=3, source="crawl_b", text=other),          # unrelated
+        ]
+    )
+    got = {
+        (r.src_a, r.src_b): r.n_pairs
+        for r in source_overlap_matrix(d, min_jaccard=0.7).collect()
+    }
+    # pairs: (0,1) a-b, (0,2) a-a, (1,2) a-b
+    assert got == {("crawl_a", "crawl_b"): 2, ("crawl_a", "crawl_a"): 1}
