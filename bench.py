@@ -160,6 +160,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # removal, bigram-LM perplexity scoring
         "boilerplate_segment_removal",
         "bigram_lm_perplexity",
+        "cross_corpus_neardup",
     ]:
         if name not in SPARK_QUERIES:
             continue
