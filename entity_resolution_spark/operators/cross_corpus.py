@@ -40,12 +40,18 @@ from ..functions.minhash import MinHashConfig
 from .dedup import _MH_EMPTY_SENTINEL
 
 
-def _sketches(
-    docs: DataFrame, cfg: MinHashConfig, id_col: str, text_col: str
+def sketch_documents(
+    docs: DataFrame,
+    cfg: MinHashConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """(id, sig, bands) — one UDF computes the signature and folds its band
     keys (same single-kernel convention as dedup.minhash_lsh_pairs); empty
-    documents (sentinel signature) are excluded."""
+    documents (sentinel signature) are excluded. Parquet-persistable: the
+    streaming dedup gate stores these as its standing-corpus state so later
+    batches never re-sketch the corpus."""
+    cfg = cfg or MinHashConfig()
 
     @pandas_udf(
         T.StructType(
@@ -78,8 +84,8 @@ def _sketches(
 
 
 def cross_corpus_minhash_pairs(
-    new_docs: DataFrame,
-    ref_docs: DataFrame,
+    new_docs: DataFrame | None,
+    ref_docs: DataFrame | None,
     cfg: MinHashConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -87,16 +93,27 @@ def cross_corpus_minhash_pairs(
     max_band_size: int = 2000,
     max_salt_groups: int = 64,
     drop_limit: int = 100_000,
+    new_sketches: DataFrame | None = None,
+    ref_sketches: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, est_jaccard) for new documents near-duplicating a
     reference document (>= 1 shared LSH band, full-signature agreement >=
-    ``min_jaccard``). Never pairs new-vs-new or ref-vs-ref."""
+    ``min_jaccard``). Never pairs new-vs-new or ref-vs-ref.
+
+    Either side may be supplied pre-sketched (``new_sketches`` /
+    ``ref_sketches``, the sketch_documents shape) — the streaming gate
+    passes its persisted corpus sketches so only the delta pays the kernel.
+    """
     cfg = cfg or MinHashConfig()
 
-    new_b = _sketches(new_docs, cfg, id_col, text_col).select(
+    if new_sketches is None:
+        new_sketches = sketch_documents(new_docs, cfg, id_col, text_col)
+    if ref_sketches is None:
+        ref_sketches = sketch_documents(ref_docs, cfg, id_col, text_col)
+    new_b = new_sketches.select(
         F.col("id").alias("new_id"), F.col("sig").alias("l_sig"), F.explode("bands").alias("bk")
     )
-    ref_b = _sketches(ref_docs, cfg, id_col, text_col).select(
+    ref_b = ref_sketches.select(
         F.col("id").alias("ref_id"), F.col("sig").alias("r_sig"), F.explode("bands").alias("bk")
     )
 
