@@ -53,6 +53,13 @@ def sketch_documents(
     batches never re-sketch the corpus."""
     cfg = cfg or MinHashConfig()
 
+    # vanilla sessions (the external driver's) must ship the package zip
+    # BEFORE the UDF below is created — PySpark snapshots python-includes
+    # at UDF creation time
+    from ..session import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+
     @pandas_udf(
         T.StructType(
             [
