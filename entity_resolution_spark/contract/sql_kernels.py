@@ -242,6 +242,64 @@ SELECT doc_id, canonical_id, {case} AS split FROM __lab
 """
 
 
+def dedup_gate_sql(
+    min_jaccard: float,
+    phase1_pred: str,
+    phase2_pred: str,
+    cfg: MinHashConfig | None = None,
+) -> str:
+    """Full oracle for streaming/dedup_gate.run_dedup_gate fed two drops
+    (phase 1 = rows satisfying ``phase1_pred``, phase 2 = ``phase2_pred``,
+    both templated over ``{id}``). Replicates the gate's greedy semantics
+    exactly: within each phase, CC over that phase's internal near-dup
+    pairs keeps the component-min representative; phase-2 representatives
+    are additionally rejected iff they near-dup a phase-1 ACCEPTED doc
+    (rejected phase-1 docs leave no sketch in state, so pairs to them do
+    not block admission). Docs too short to sketch never pair and pass
+    through — same as the engine's sentinel exclusion."""
+    p1a, p1b = phase1_pred.format(id="d1.a"), phase1_pred.format(id="d1.b")
+    p2a, p2b = phase2_pred.format(id="d2.a"), phase2_pred.format(id="d2.b")
+    return f"""
+WITH RECURSIVE {minhash_edge_ctes(min_jaccard, cfg)},
+__dir AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM __pairs
+  UNION SELECT right_id, left_id FROM __pairs
+),
+__dir1 AS (SELECT a, b FROM __dir d1 WHERE ({p1a}) AND ({p1b})),
+__reach1(a, b) AS (
+  SELECT a, b FROM __dir1
+  UNION SELECT r.a, d.b FROM __reach1 r JOIN __dir1 d ON r.b = d.a
+),
+__canon1 AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM __reach1 GROUP BY a),
+__acc1 AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN __canon1 c USING (doc_id)
+  WHERE ({phase1_pred.format(id="d.doc_id")})
+    AND coalesce(c.cid, d.doc_id) = d.doc_id
+),
+__dir2 AS (SELECT a, b FROM __dir d2 WHERE ({p2a}) AND ({p2b})),
+__reach2(a, b) AS (
+  SELECT a, b FROM __dir2
+  UNION SELECT r.a, d.b FROM __reach2 r JOIN __dir2 d ON r.b = d.a
+),
+__canon2 AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM __reach2 GROUP BY a),
+__reps2 AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN __canon2 c USING (doc_id)
+  WHERE ({phase2_pred.format(id="d.doc_id")})
+    AND coalesce(c.cid, d.doc_id) = d.doc_id
+),
+__acc2 AS (
+  SELECT r.doc_id FROM __reps2 r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM __dir p JOIN __acc1 a1 ON p.b = a1.doc_id
+    WHERE p.a = r.doc_id
+  )
+)
+SELECT doc_id, CAST(1 AS INT) AS phase FROM __acc1
+UNION ALL
+SELECT doc_id, CAST(2 AS INT) AS phase FROM __acc2
+"""
+
+
 def dsir_sql(
     target_pred: str,
     shingle_k: int = 5,

@@ -140,3 +140,55 @@ def stream_interval_join_q(spark, sf_dir):
         purchases, clicks, on="user_id", left_ts="ts", right_ts="cts", upper="1 hour"
     )
     return out.select("purchase_id", "click_id")
+
+
+# --- streaming ingestion dedup gate (streaming/dedup_gate.py) ---------------
+# The REAL Structured-Streaming gate (file source, foreachBatch, versioned
+# sketch state, stream checkpoint) run over two deterministic drops of the
+# documents table; the oracle replicates the greedy two-phase semantics
+# with per-phase recursive-CTE closures over the exact minhash band CTEs.
+def _register_dedup_gate():
+    from .sql_kernels import dedup_gate_sql
+
+    @query(
+        "stream_dedup_gate",
+        dedup_gate_sql(0.7, "{id} % 3 != 0", "{id} % 3 = 0"),
+    )
+    def stream_dedup_gate_q(spark, sf_dir):
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ..streaming.dedup_gate import (
+            _committed_versions,
+            run_dedup_gate,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        base = tempfile.mkdtemp(prefix="ers_gate_")
+        inp = os.path.join(base, "in")
+        state = os.path.join(base, "state")
+        ckpt = os.path.join(base, "ckpt")
+        os.makedirs(inp)
+        ts = F.timestamp_seconds(F.lit(1_700_000_000))
+        # one file per drop -> exactly one micro-batch per gate run
+        d.filter(F.col("doc_id") % 3 != 0).withColumn("event_time", ts).repartition(
+            1
+        ).write.mode("append").parquet(inp)
+        run_dedup_gate(spark, inp, state, ckpt)
+        d.filter(F.col("doc_id") % 3 == 0).withColumn("event_time", ts).repartition(
+            1
+        ).write.mode("append").parquet(inp)
+        run_dedup_gate(spark, inp, state, ckpt)
+
+        out = None
+        for phase, v in enumerate(_committed_versions(state), start=1):
+            part = spark.read.parquet(os.path.join(state, f"v{v}", "accepted")).select(
+                "doc_id", F.lit(phase).cast("int").alias("phase")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+
+_register_dedup_gate()

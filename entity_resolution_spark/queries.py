@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "cross_corpus_neardup",
     "bpe_top_merges",
     "source_overlap_matrix",
+    "stream_dedup_gate",
     # reworked in round 3 (distributed kNN joins) — must re-verify
     "knn_join_topk",
     "ivf_knn_join_full_probe",

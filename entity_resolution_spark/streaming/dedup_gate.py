@@ -116,6 +116,12 @@ def run_dedup_gate(
     standing corpus."""
     cfg = cfg or MinHashConfig()
 
+    # vanilla sessions must ship the package zip before any sketch UDF is
+    # created (PySpark snapshots python-includes at UDF creation time)
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+
     def gate(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
