@@ -1,0 +1,239 @@
+"""Driver-contract batch: round-3 corpus-composition + embedding-mining
+operators. Every query carries a full DuckDB value-hash oracle.
+
+Covers: CCNet per-language perplexity buckets (operators/lm.py), the
+corpus composition / mixture-weight report (operators/stats.py), exact
+proportional stratified sampling (operators/sampling.py), embedding-level
+test-set decontamination (operators/decontam.py), vocabulary/OOV coverage
+(operators/terms.py), and contrastive training-pair mining
+(operators/contrastive.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..queries import _t, query
+
+# Shared bigram-LM CTE chain (identical to bigram_lm_perplexity's oracle in
+# quality_ops.py — the fitted model and per-doc perplexity definitions must
+# stay in lockstep with operators/lm.py).
+_PPL_CTES = """
+    t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(w[1:len(w) - 1]) AS w1,
+             unnest(w[2:len(w)]) AS w2
+      FROM t WHERE len(w) >= 2
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS v FROM (SELECT unnest(w) AS u FROM t)),
+    sc AS (
+      SELECT p.doc_id,
+             log2((bi.c12 + 1.0) / (ctx.c1 + 1.0 * v.v)) AS lp
+      FROM p JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+    ),
+    d AS (SELECT doc_id, count(*) AS n, -avg(lp) AS h FROM sc GROUP BY 1),
+    pp AS (
+      SELECT t.doc_id,
+             CAST(coalesce(d.n, 0) AS INT) AS n_bigrams,
+             round(pow(2.0, d.h), 4) AS perplexity
+      FROM t LEFT JOIN d USING (doc_id)
+    )
+"""
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH {_PPL_CTES},
+    j AS (
+      SELECT docs.lang, pp.doc_id, pp.n_bigrams, pp.perplexity
+      FROM documents docs JOIN pp USING (doc_id)
+    ),
+    s AS (
+      SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY perplexity, doc_id) AS tt
+      FROM j WHERE perplexity IS NOT NULL
+    )
+    SELECT doc_id, lang, n_bigrams, perplexity,
+           CASE tt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM s
+    UNION ALL
+    SELECT doc_id, lang, n_bigrams, perplexity, 'unscored' AS bucket
+    FROM j WHERE perplexity IS NULL
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """Per-language head/middle/tail perplexity terciles (CCNet §4.3),
+    exact NTILE plan (operators/lm.py:perplexity_buckets)."""
+    from ..operators.lm import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d, exact=True)
+
+
+@query(
+    "corpus_stats_report",
+    """
+    WITH g AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(len(list_filter(
+                 string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                 x -> x <> ''))) AS BIGINT) AS total_tokens,
+             CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+             round(avg(length(coalesce(text, ''))), 2) AS avg_chars,
+             quantile_cont(length(coalesce(text, '')), 0.5) AS p50_chars
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens, total_chars, avg_chars,
+           p50_chars,
+           round(pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER (), 6)
+             AS mix_weight
+    FROM g
+    """,
+)
+def corpus_stats_report(spark, sf_dir):
+    """Per-(source, lang) composition report + temperature-smoothed
+    mixture weights (operators/stats.py:corpus_report, alpha=0.5)."""
+    from ..operators.stats import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_report(d)
+
+
+@query(
+    "stratified_docs_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             sha256('strat:' || CAST(doc_id AS VARCHAR)) AS hh,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, source FROM r
+    WHERE rn <= greatest(1, CAST(floor(n * 0.2) AS BIGINT))
+    """,
+)
+def stratified_docs_sample(spark, sf_dir):
+    """Exact 20% proportional stratified sample by source
+    (operators/sampling.py:stratified_sample)."""
+    from ..operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, "source", "doc_id", 0.2)
+
+
+@query(
+    "embedding_decontamination",
+    """
+    WITH b AS (
+      SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 10 < 2
+    ),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 2),
+    s AS (
+      SELECT c.vec_id, b.bench_id,
+             list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM c CROSS JOIN b
+    ),
+    w AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+      FROM s
+    )
+    SELECT vec_id, bench_id, round(cos, 6) AS max_cosine,
+           round(cos, 6) >= 0.9 AS contaminated
+    FROM w WHERE rn = 1
+    """,
+)
+def embedding_decontamination(spark, sf_dir):
+    """Embedding-level decontamination: max benchmark cosine per corpus
+    vector (operators/decontam.py:embedding_contamination); rows with
+    vec_id % 10 < 2 stand in as the benchmark/eval embedding set."""
+    from ..operators.decontam import embedding_contamination
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 10 < 2).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") % 10 >= 2).select("vec_id", "embedding")
+    return embedding_contamination(
+        corpus, bench, id_col="vec_id", bench_id_col="bench_id", threshold=0.9
+    )
+
+
+@query(
+    "vocab_coverage_oov",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    cen AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+    voc AS (SELECT term FROM cen ORDER BY n DESC, term LIMIT 500),
+    per_doc AS (
+      SELECT tok.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN voc ON tok.term = voc.term
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+           round(n_oov / n_tokens, 6) AS oov_rate
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+)
+def vocab_coverage_oov(spark, sf_dir):
+    """Per-document OOV rate against the corpus's own top-500 token
+    vocabulary (operators/terms.py:vocab_coverage)."""
+    from ..operators.terms import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, vocab_size=500)
+
+
+@query(
+    "contrastive_pair_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    s AS (
+      SELECT q.qid,
+             CASE WHEN e.label = q.ql THEN 'positive' ELSE 'negative' END AS side,
+             e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    w AS (
+      SELECT *, row_number() OVER (PARTITION BY qid, side ORDER BY cos DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, side, vec_id, round(cos, 6) AS cosine
+    FROM w WHERE rn = 1
+    """,
+)
+def contrastive_pair_mining(spark, sf_dir):
+    """Hard positive/negative mining per query embedding (every 10th
+    vector queries the full corpus; operators/contrastive.py)."""
+    from ..operators.contrastive import contrastive_pairs
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return contrastive_pairs(q, e, id_col="vec_id")

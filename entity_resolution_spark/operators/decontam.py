@@ -81,3 +81,111 @@ def ngram_contamination(
             F.round(F.col("hit_grams") / F.col("total_grams"), 6),
         )
     )
+
+
+def embedding_contamination(
+    docs_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Semantic (embedding-level) test-set decontamination: for every
+    corpus document, its maximum cosine similarity against the benchmark
+    embedding set, the nearest benchmark id, and a contaminated flag at
+    ``threshold``. Catches paraphrased eval leakage the n-gram protocol
+    (``ngram_contamination``) misses.
+
+    Scale shape mirrors ``similarity_search.knn_join`` with the roles
+    reversed: the CORPUS is the big side — bucketed once on a uniform
+    synthetic key and never replicated — while the benchmark set (eval
+    suites are MBs) is replicated to every bucket through a broadcast
+    cross-join. Each cogrouped bucket sees the FULL benchmark, so the
+    per-row argmax is final locally: one (bucket_rows x bench_rows)
+    float64 matmul per bucket, no merge window, nothing collects to the
+    driver. Winner cosines are re-scored with the JVM zip_with/aggregate
+    expression so reported values are bit-identical to the oracle path
+    (BLAS summation order differs in ulps). Ties on cosine break to the
+    smallest benchmark id.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = docs_emb.sparkSession
+    bench_vec_col = bench_vec_col or vec_col
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism * 4
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs_emb.schema[id_col].dataType),
+            T.StructField(bench_id_col, benchmark_emb.schema[bench_id_col].dataType),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    corpus_b = docs_emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("__b"),
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("__b"))
+    bench_r = benchmark_emb.select(
+        F.col(bench_id_col), F.col(bench_vec_col).alias("__bv")
+    ).crossJoin(F.broadcast(buckets))
+
+    def bucket_argmax(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cdf) or not len(bdf):
+            return pd.DataFrame({id_col: [], bench_id_col: [], "approx": []})
+        V = np.asarray(cdf["__v"].tolist(), dtype="float64")
+        B = np.asarray(bdf["__bv"].tolist(), dtype="float64")
+        bids = bdf[bench_id_col].to_numpy()
+        # sort benchmark by id so np.argmax's first-max tie rule == min id
+        order = np.argsort(bids, kind="stable")
+        B, bids = B[order], bids[order]
+        vn = np.linalg.norm(V, axis=1)
+        bn = np.linalg.norm(B, axis=1)
+        S = (V / np.maximum(vn, 1e-300)[:, None]) @ (B / np.maximum(bn, 1e-300)[:, None]).T
+        S[vn == 0, :] = -1.0
+        S[:, bn == 0] = -1.0
+        j = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: cdf[id_col].to_numpy(),
+                bench_id_col: bids[j],
+                "approx": S[np.arange(len(V)), j],
+            }
+        )
+
+    winners = (
+        corpus_b.groupBy("__b")
+        .cogroup(bench_r.groupBy("__b"))
+        .applyInPandas(bucket_argmax, out_schema)
+        .select(id_col, bench_id_col)
+    )
+    cv = docs_emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__cv"))
+    bv = benchmark_emb.select(
+        bench_id_col, F.col(bench_vec_col).cast("array<double>").alias("__bv")
+    )
+    from .similarity_search import _cosine_cols
+
+    # winners is corpus-sized (one row per doc): join it back co-keyed on
+    # the id (shuffle-hash, linear) — only the benchmark side broadcasts
+    return (
+        cv.join(winners.hint("shuffle_hash"), id_col)
+        .join(F.broadcast(bv), bench_id_col)
+        .select(
+            id_col,
+            bench_id_col,
+            F.round(_cosine_cols(F.col("__cv"), F.col("__bv")), 6).alias("max_cosine"),
+            (
+                F.round(_cosine_cols(F.col("__cv"), F.col("__bv")), 6)
+                >= F.lit(float(threshold))
+            ).alias("contaminated"),
+        )
+    )

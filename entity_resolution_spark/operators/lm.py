@@ -29,7 +29,7 @@ quadratic and nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,4 +125,81 @@ def bigram_lm_cross_entropy(
             F.round("__h", 4).alias("cross_entropy"),
             F.round(F.pow(F.lit(2.0), F.col("__h")), 4).alias("perplexity"),
         )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    model_docs: DataFrame | None = None,
+    alpha: float = 1.0,
+    min_count: int = 1,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet-style per-language quality buckets (Wenzek et al. 2020 §4.3):
+    rank each language's documents by LM perplexity and cut into terciles —
+    'head' (closest to the reference distribution), 'middle', 'tail'.
+    Documents with < 2 tokens get 'unscored'.
+
+    Returns (id_col, lang_col, n_bigrams, perplexity, bucket).
+
+    Two physical plans, identical semantics up to tie handling:
+
+    - ``exact=True``: integer NTILE(3) per language over
+      (perplexity, id) — bit-deterministic (SQL-standard bucket sizing,
+      no float cutoff compare), which is what makes the operator
+      oracle-checkable. Costs one range shuffle per language partition;
+      fine while no single language dominates an executor's sort budget.
+    - ``exact=False``: the 100 TB plan — per-language tercile cutoffs from
+      ``percentile_approx`` (a tiny map-side-combined aggregate, one row
+      per language), broadcast back and assigned with comparisons. No
+      per-language sort of the corpus; boundary docs may land one bucket
+      off versus the exact plan (the sketch's documented tolerance).
+    """
+    ppl = bigram_lm_cross_entropy(docs, id_col, text_col, model_docs, alpha, min_count)
+    base = docs.select(id_col, lang_col).join(ppl, id_col)
+    label = (
+        F.when(F.col("__t") == 1, F.lit("head"))
+        .when(F.col("__t") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    if exact:
+        # unscored rows must not occupy NTILE slots — bucket sizes are
+        # computed over every row in the window partition, so keep the
+        # window to scored rows only and union the unscored back.
+        w = Window.partitionBy(lang_col).orderBy("perplexity", id_col)
+        scored = base.filter(F.col("perplexity").isNotNull()).withColumn(
+            "__t", F.ntile(3).over(w)
+        )
+        out = scored.unionByName(
+            base.filter(F.col("perplexity").isNull()).withColumn(
+                "__t", F.lit(None).cast("int")
+            )
+        )
+    else:
+        cuts = (
+            base.filter(F.col("perplexity").isNotNull())
+            .groupBy(lang_col)
+            .agg(
+                F.percentile_approx(
+                    "perplexity", [1.0 / 3.0, 2.0 / 3.0], approx_accuracy
+                ).alias("__cuts")
+            )
+        )
+        out = base.join(F.broadcast(cuts), lang_col, "left").withColumn(
+            "__t",
+            F.when(F.col("perplexity").isNull(), F.lit(None))
+            .when(F.col("perplexity") <= F.col("__cuts")[0], F.lit(1))
+            .when(F.col("perplexity") <= F.col("__cuts")[1], F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+    return out.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "perplexity",
+        F.when(F.col("__t").isNull(), F.lit("unscored")).otherwise(label).alias("bucket"),
     )

@@ -456,3 +456,42 @@ def shuffle_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
         .select(F.col(id_col), F.col("__shard").alias("shard"), "pos")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fraction: float,
+    salt: str = "strat:",
+    min_per_stratum: int = 1,
+) -> DataFrame:
+    """Exact proportional stratified sample: from every stratum keep
+    ``max(min_per_stratum, floor(n_stratum * fraction))`` rows, chosen as
+    the smallest rows in (sha256(salt+key), key) order — the same
+    content-address convention as ``deterministic_split``/``per_source_cap``,
+    so the selection is seedless-deterministic and partition-invariant.
+
+    Unlike ``df.sampleBy`` (per-row Bernoulli — stratum sizes only hold in
+    expectation and change run-to-run), the quota is hit exactly. Plan: a
+    stratum census (hash aggregate, one row per stratum) joined back, then
+    one ``row_number`` window per stratum. For pathologically hot strata
+    the same hash-prefix prefilter as ``per_source_cap(prefilter_margin=)``
+    applies; here quotas are proportional, so the window input is already
+    a ``fraction`` of the corpus once AQE splits skewed partitions.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    quota = F.greatest(
+        F.lit(int(min_per_stratum)),
+        F.floor(F.col("__n") * F.lit(float(fraction))).cast("long"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(_HASH_COL, key_col)
+    return (
+        df.withColumn(_HASH_COL, _hash_hex(F.col(key_col), salt))
+        .join(counts, strata_col, "inner")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop(_HASH_COL, "__n", "__rn")
+    )

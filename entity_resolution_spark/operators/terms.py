@@ -62,3 +62,67 @@ def tfidf_top_terms(
         .filter(F.col("__rn") <= k)
         .select(F.col("id").alias(id_col), "term", "tfidf")
     )
+
+
+def top_vocabulary(
+    docs: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, n) — the ``vocab_size`` most frequent lowercase alphabetic
+    tokens across the corpus, ties broken lexicographically. The census is
+    one map-side-combined groupBy; the final cut is a bounded
+    TakeOrdered (vocab_size rows), never a full sort."""
+    counts = (
+        docs.select(F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("term")).limit(vocab_size)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against a token
+    vocabulary — the standard pre-tokenizer health check before committing
+    a corpus to a training run (a rising OOV rate flags encoding damage,
+    language drift, or boilerplate the tokenizer will shred).
+
+    ``vocab`` defaults to the corpus's own top-``vocab_size`` tokens
+    (``top_vocabulary``) so the operator is self-contained and
+    deterministic; pass a frame with a ``term`` column to check against a
+    real tokenizer's vocabulary.
+
+    Returns (id_col, n_tokens, n_oov, oov_rate round-6; NULL rate for
+    token-less docs). Scale shape: the vocabulary is bounded (rows =
+    vocab_size) and broadcast; the corpus side explodes once and
+    aggregates back per doc — linear, no corpus shuffle beyond the per-doc
+    combine.
+    """
+    if vocab is None:
+        vocab = top_vocabulary(docs, vocab_size, id_col, text_col)
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("term"))
+    flagged = exploded.join(
+        F.broadcast(vocab.select("term", F.lit(1).alias("__in"))), "term", "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -38,6 +38,7 @@ from .contract import (  # noqa: E402,F401
     dedup_ops,
     quality_ops,
     sampling_ops,
+    stats_ops,
     stream_ops,
     text_ops,
 )
@@ -57,6 +58,13 @@ _DRIVER_PRIORITY = [
     "multimodal_fake_features",
     "f_jw_levenshtein",
     "stream_interval_join",
+    # new in round 3 (later session)
+    "ccnet_perplexity_buckets",
+    "corpus_stats_report",
+    "stratified_docs_sample",
+    "embedding_decontamination",
+    "vocab_coverage_oov",
+    "contrastive_pair_mining",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

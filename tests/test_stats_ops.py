@@ -1,0 +1,202 @@
+"""Unit tests for the round-3 corpus-composition + embedding-mining
+operators: perplexity buckets, corpus report, stratified sampling,
+embedding decontamination, vocabulary coverage, contrastive mining."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.contrastive import contrastive_pairs
+from entity_resolution_spark.operators.decontam import embedding_contamination
+from entity_resolution_spark.operators.lm import perplexity_buckets
+from entity_resolution_spark.operators.sampling import stratified_sample
+from entity_resolution_spark.operators.stats import corpus_report
+from entity_resolution_spark.operators.terms import vocab_coverage
+from entity_resolution_spark.session import ensure_py_files
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _py_files(spark):
+    ensure_py_files(spark)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+# --- perplexity_buckets ----------------------------------------------------
+
+
+def test_perplexity_buckets_terciles_and_unscored(spark):
+    rows = [(i, f"alpha beta gamma token{i % 7} delta", "en", "s") for i in range(9)]
+    rows += [(100, "solo", "en", "s"), (101, None, "en", "s")]
+    out = perplexity_buckets(_docs(spark, rows)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    # 9 scored docs -> exactly 3 per tercile; <2-token docs are unscored
+    assert sorted(len(by_bucket[b]) for b in ("head", "middle", "tail")) == [3, 3, 3]
+    assert sorted(by_bucket["unscored"]) == [100, 101]
+
+
+def test_perplexity_buckets_head_is_lowest_ppl(spark):
+    rows = [(i, f"alpha beta gamma token{i % 7} delta", "en", "s") for i in range(9)]
+    out = perplexity_buckets(_docs(spark, rows))
+    rows_out = out.filter(F.col("bucket") != "unscored").collect()
+    head_max = max(r["perplexity"] for r in rows_out if r["bucket"] == "head")
+    tail_min = min(r["perplexity"] for r in rows_out if r["bucket"] == "tail")
+    assert head_max <= tail_min
+
+
+def test_perplexity_buckets_approx_path_monotone(spark):
+    # the 100TB (percentile-cutoff) plan: buckets must be monotone in
+    # perplexity and roughly balanced; exact per-doc agreement with NTILE
+    # is not guaranteed under ties (ties straddle NTILE bucket boundaries
+    # but a value cutoff puts them all on one side)
+    rows = [
+        (i, "the quick brown fox " + " ".join(f"tok{i}_{j}" for j in range(i)), "en", "s")
+        for i in range(30)
+    ]  # progressively more singleton bigrams -> 30 distinct perplexities
+    d = _docs(spark, rows)
+    out = perplexity_buckets(d, exact=False).collect()
+    ppls = {b: [r["perplexity"] for r in out if r["bucket"] == b] for b in ("head", "middle", "tail")}
+    assert all(ppls[b] for b in ppls)
+    assert max(ppls["head"]) <= min(ppls["middle"]) <= max(ppls["middle"]) <= min(ppls["tail"])
+
+
+# --- corpus_report ---------------------------------------------------------
+
+
+def test_corpus_report_counts_and_weights(spark):
+    rows = [(i, "a b c", "en", "s1") for i in range(4)] + [(10, "x y", "de", "s2")]
+    out = {(r["source"], r["lang"]): r for r in corpus_report(_docs(spark, rows)).collect()}
+    assert out[("s1", "en")]["n_docs"] == 4
+    assert out[("s1", "en")]["total_tokens"] == 12
+    assert out[("s2", "de")]["total_tokens"] == 2
+    assert out[("s1", "en")]["p50_chars"] == 5.0
+    # alpha=0.5: weights 2/(2+1) and 1/(2+1)
+    assert out[("s1", "en")]["mix_weight"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("s2", "de")]["mix_weight"] == pytest.approx(1 / 3, abs=1e-6)
+    total = sum(r["mix_weight"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+
+
+def test_corpus_report_null_text_counts_empty(spark):
+    rows = [(1, None, "en", "s"), (2, "one two", "en", "s")]
+    out = corpus_report(_docs(spark, rows)).collect()[0]
+    assert out["n_docs"] == 2 and out["total_tokens"] == 2 and out["total_chars"] == 7
+
+
+# --- stratified_sample -----------------------------------------------------
+
+
+def test_stratified_sample_exact_quotas(spark):
+    rows = [(i, "t", "en", f"s{i % 3}") for i in range(90)]  # 30 per stratum
+    out = stratified_sample(_docs(spark, rows), "source", "doc_id", 0.2)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 6, "s1": 6, "s2": 6}
+
+
+def test_stratified_sample_min_per_stratum_and_determinism(spark):
+    rows = [(i, "t", "en", "big") for i in range(50)] + [(100, "t", "en", "tiny")]
+    d = _docs(spark, rows)
+    out1 = sorted(r["doc_id"] for r in stratified_sample(d, "source", "doc_id", 0.1).collect())
+    out2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(d.repartition(7), "source", "doc_id", 0.1).collect()
+    )
+    assert out1 == out2  # partition-invariant
+    assert 100 in out1  # tiny stratum keeps min 1 row
+    assert len(out1) == 5 + 1
+
+
+# --- embedding_contamination ------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_contamination_flags_planted_duplicate(spark):
+    bench = _emb(spark, [(900, [1.0, 0.0, 0.0], 0), (901, [0.0, 1.0, 0.0], 0)]).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    corpus = _emb(
+        spark,
+        [
+            (1, [2.0, 0.0, 0.0], 0),   # same direction as bench 900 -> cos 1.0
+            (2, [0.0, 0.0, 5.0], 0),   # orthogonal to both -> cos 0.0
+        ],
+    ).select("vec_id", "embedding")
+    out = {r["vec_id"]: r for r in embedding_contamination(
+        corpus, bench, id_col="vec_id", bench_id_col="bench_id", threshold=0.95, n_buckets=4
+    ).collect()}
+    assert out[1]["bench_id"] == 900 and out[1]["max_cosine"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["max_cosine"] == 0.0 and not out[2]["contaminated"]
+
+
+def test_embedding_contamination_tie_breaks_to_min_bench_id(spark):
+    bench = _emb(spark, [(7, [1.0, 0.0], 0), (3, [1.0, 0.0], 0)]).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    corpus = _emb(spark, [(1, [3.0, 0.0], 0)]).select("vec_id", "embedding")
+    out = embedding_contamination(
+        corpus, bench, id_col="vec_id", bench_id_col="bench_id", n_buckets=2
+    ).collect()
+    assert out[0]["bench_id"] == 3
+
+
+# --- vocab_coverage ---------------------------------------------------------
+
+
+def test_vocab_coverage_hand_counts(spark):
+    rows = [
+        (1, "the the cat zzyzx", "en", "s"),
+        (2, "the dog", "en", "s"),
+        (3, "", "en", "s"),
+    ]
+    # top-2 vocab by freq: 'the' (3), then ties cat/dog/zzyzx (1 each) ->
+    # lexicographic: 'cat'
+    out = {r["doc_id"]: r for r in vocab_coverage(_docs(spark, rows), vocab_size=2).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1  # zzyzx OOV
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1  # dog OOV
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
+    assert out[1]["oov_rate"] == 0.25
+
+
+# --- contrastive_pairs -------------------------------------------------------
+
+
+def test_contrastive_pairs_picks_nearest_per_side(spark):
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 1),      # query
+            (1, [0.9, 0.1], 1),      # nearest same-label
+            (2, [0.0, 1.0], 1),      # far same-label
+            (3, [1.0, 0.05], 2),     # nearest diff-label
+            (4, [-1.0, 0.0], 2),     # far diff-label
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = {r["side"]: r for r in contrastive_pairs(q, corpus, id_col="vec_id", n_buckets=3).collect()}
+    assert out["positive"]["vec_id"] == 1
+    assert out["negative"]["vec_id"] == 3
+    assert out["positive"]["cosine"] <= 1.0
+
+
+def test_contrastive_pairs_excludes_self_and_handles_unique_label(spark):
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 1),  # query; no other label-1 row exists
+            (4, [0.5, 0.5], 2),
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    rows = contrastive_pairs(q, corpus, id_col="vec_id", n_buckets=2).collect()
+    assert {r["side"] for r in rows} == {"negative"}  # no positive candidate
+    assert rows[0]["vec_id"] == 4
