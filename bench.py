@@ -161,6 +161,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "boilerplate_segment_removal",
         "bigram_lm_perplexity",
         "cross_corpus_neardup",
+        # round-3 later-session ops: CCNet quality buckets, composition
+        # report, stratified sampling, embedding-level decontamination
+        "ccnet_perplexity_buckets",
+        "corpus_stats_report",
+        "stratified_docs_sample",
+        "embedding_decontamination",
     ]:
         if name not in SPARK_QUERIES:
             continue
