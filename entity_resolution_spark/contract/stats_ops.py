@@ -237,3 +237,48 @@ def contrastive_pair_mining(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
     return contrastive_pairs(q, e, id_col="vec_id")
+
+
+def _register_dedup_histogram():
+    # deferred import: sql_kernels pulls config at module load; keep the
+    # same registration pattern as quality_ops' banded oracles
+    from .sql_kernels import minhash_edge_ctes
+
+    @query(
+        "dedup_cluster_size_histogram",
+        f"""
+    WITH RECURSIVE {minhash_edge_ctes(0.7)},
+    __dir AS MATERIALIZED (
+      SELECT left_id AS a, right_id AS b FROM __pairs
+      UNION SELECT right_id, left_id FROM __pairs
+    ),
+    __reach(a, b) AS (
+      SELECT a, b FROM __dir
+      UNION
+      SELECT r.a, d.b FROM __reach r JOIN __dir d ON r.b = d.a
+    ),
+    __canon AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM __reach GROUP BY a),
+    __lab AS (
+      SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cid
+      FROM documents d LEFT JOIN __canon c USING (doc_id)
+    ),
+    __sizes AS (SELECT cid, count(*) AS cluster_size FROM __lab GROUP BY 1)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM __sizes GROUP BY cluster_size
+    """,
+    )
+    def dedup_cluster_size_histogram(spark, sf_dir):
+        """Near-dup component-size distribution incl. singletons
+        (operators/dedup.py:dedup_size_histogram) — the corpus dedup
+        report."""
+        from ..operators.dedup import dedup_size_histogram
+        from ..session import ensure_py_files
+
+        ensure_py_files(spark)
+        d = _t(spark, sf_dir, "documents")
+        return dedup_size_histogram(d, min_jaccard=0.7)
+
+
+_register_dedup_histogram()

@@ -734,3 +734,50 @@ def source_overlap_matrix(
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def dedup_size_histogram(
+    docs: DataFrame,
+    cfg: MinHashConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate cluster-size histogram: (cluster_size, n_clusters,
+    n_docs) over the MinHash-LSH component structure, singletons included —
+    the standard before/after dedup report (how much of the corpus sits in
+    2-dup pairs vs boilerplate mega-clusters decides which dedup knobs are
+    worth turning).
+
+    Scale shape: rides ``minhash_lsh_pairs``'s skew-capped band join and
+    ``connected_components``'s checkpointed star passes; the histogram
+    itself is two hash aggregates whose output is bounded by the number of
+    DISTINCT cluster sizes (<= sqrt(2 * corpus) — tiny), and the singleton
+    count is one left-anti aggregate, so nothing here adds a corpus-scale
+    shuffle beyond what dedup already does.
+    """
+    from .clustering import connected_components
+
+    pairs = minhash_lsh_pairs(docs, cfg, id_col, text_col, min_jaccard)
+    comp = connected_components(
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    singles = (
+        docs.select(F.col(id_col).alias("file_id"))
+        .join(comp.select("file_id"), "file_id", "left_anti")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
+        .filter(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

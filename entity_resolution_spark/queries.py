@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "embedding_decontamination",
     "vocab_coverage_oov",
     "contrastive_pair_mining",
+    "dedup_cluster_size_histogram",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

@@ -200,3 +200,20 @@ def test_contrastive_pairs_excludes_self_and_handles_unique_label(spark):
     rows = contrastive_pairs(q, corpus, id_col="vec_id", n_buckets=2).collect()
     assert {r["side"] for r in rows} == {"negative"}  # no positive candidate
     assert rows[0]["vec_id"] == 4
+
+
+# --- dedup_size_histogram -----------------------------------------------------
+
+
+def test_dedup_size_histogram_counts_singletons(spark):
+    from entity_resolution_spark.operators.dedup import dedup_size_histogram
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, text_a, "en", "s"),
+        (2, text_a, "en", "s"),          # exact dup of 1 -> one size-2 cluster
+        (3, "completely different content about distributed query engines and shuffles", "en", "s"),
+    ]
+    out = {r["cluster_size"]: r for r in dedup_size_histogram(_docs(spark, rows), min_jaccard=0.7).collect()}
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 1 and out[1]["n_docs"] == 1
