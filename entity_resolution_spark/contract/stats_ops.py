@@ -282,3 +282,45 @@ def _register_dedup_histogram():
 
 
 _register_dedup_histogram()
+
+
+@query(
+    "token_drift_report",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    r AS (SELECT term, count(*) AS c_ref FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+    n AS (SELECT term, count(*) AS c_new FROM tok WHERE doc_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT coalesce(r.term, n.term) AS term,
+             coalesce(c_ref, 0) AS c_ref, coalesce(c_new, 0) AS c_new
+      FROM r FULL OUTER JOIN n ON r.term = n.term
+    ),
+    t AS (SELECT sum(c_ref) AS n_ref, sum(c_new) AS n_new, count(*) AS v FROM j),
+    s AS (
+      SELECT term, c_ref, c_new,
+             round((c_ref + 1.0) / (n_ref + 1.0 * v), 8) AS p_ref,
+             round((c_new + 1.0) / (n_new + 1.0 * v), 8) AS p_new,
+             round(log2(((c_new + 1.0) / (n_new + 1.0 * v))
+                        / ((c_ref + 1.0) / (n_ref + 1.0 * v))), 6) AS log_ratio,
+             round(((c_new + 1.0) / (n_new + 1.0 * v))
+                   * log2(((c_new + 1.0) / (n_new + 1.0 * v))
+                          / ((c_ref + 1.0) / (n_ref + 1.0 * v))), 6) AS drift
+      FROM j CROSS JOIN t
+    )
+    SELECT term, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_new AS BIGINT) AS c_new,
+           p_ref, p_new, log_ratio, drift
+    FROM s ORDER BY abs(drift) DESC, term LIMIT 50
+    """,
+)
+def token_drift_report(spark, sf_dir):
+    """Top-50 drifted tokens between two corpus snapshots (even doc_ids =
+    reference, odd = new crawl; operators/stats.py:token_drift)."""
+    from ..operators.stats import token_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return token_drift(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )

@@ -62,3 +62,64 @@ def corpus_report(
             6,
         ),
     )
+
+
+def token_drift(
+    docs_ref: DataFrame,
+    docs_new: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus drift report: the ``k`` tokens whose frequency shifted most
+    between a reference snapshot and a new one — the crawl-monitoring
+    check run before a new dump is admitted into a training mixture
+    (encoding damage, spam floods, and language drift all surface as
+    high-mass log-ratio outliers).
+
+    Each side's unigram distribution is add-alpha smoothed over the UNION
+    vocabulary: p = (c + alpha) / (N + alpha*V), so tokens absent from one
+    side get a finite floor instead of an infinite ratio. ``drift`` is the
+    token's contribution to KL(new || ref) in bits, q * log2(q/p); output
+    is the top-k by (|drift| desc, term asc) with p_ref/p_new rounded to 8
+    and drift/log_ratio to 6.
+
+    Scale shape: two map-side-combined token censuses (vocabulary-bounded,
+    Zipf-concentrated) full-outer-joined with a shuffle_hash hint; the
+    totals are 1-row aggregates cross-joined as scalars. The final cut is
+    a bounded TakeOrdered (k rows). No Python anywhere in the plan.
+    """
+
+    def census(docs: DataFrame, name: str) -> DataFrame:
+        toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        return (
+            docs.select(F.explode(toks).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(name))
+        )
+
+    ref = census(docs_ref, "c_ref")
+    new = census(docs_new, "c_new")
+    joined = ref.join(new.hint("shuffle_hash"), "term", "full_outer").select(
+        "term",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    totals = joined.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_new").alias("n_new"),
+        F.count("*").alias("v"),
+    )
+    a = F.lit(float(alpha))
+    p = (F.col("c_ref") + a) / (F.col("n_ref") + a * F.col("v"))
+    q = (F.col("c_new") + a) / (F.col("n_new") + a * F.col("v"))
+    scored = joined.crossJoin(totals).select(
+        "term",
+        "c_ref",
+        "c_new",
+        F.round(p, 8).alias("p_ref"),
+        F.round(q, 8).alias("p_new"),
+        F.round(F.log2(q / p), 6).alias("log_ratio"),
+        F.round(q * F.log2(q / p), 6).alias("drift"),
+    )
+    return scored.orderBy(F.abs(F.col("drift")).desc(), F.asc("term")).limit(k)

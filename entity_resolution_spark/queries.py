@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "vocab_coverage_oov",
     "contrastive_pair_mining",
     "dedup_cluster_size_histogram",
+    "token_drift_report",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

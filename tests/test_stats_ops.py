@@ -217,3 +217,29 @@ def test_dedup_size_histogram_counts_singletons(spark):
     out = {r["cluster_size"]: r for r in dedup_size_histogram(_docs(spark, rows), min_jaccard=0.7).collect()}
     assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
     assert out[1]["n_clusters"] == 1 and out[1]["n_docs"] == 1
+
+
+# --- token_drift ---------------------------------------------------------------
+
+
+def test_token_drift_flags_flooded_token(spark):
+    from entity_resolution_spark.operators.stats import token_drift
+
+    ref = _docs(spark, [(i, "the quick brown fox", "en", "s") for i in range(10)])
+    new = _docs(
+        spark,
+        [(i, "the quick brown fox", "en", "s") for i in range(9)]
+        + [(99, "spam spam spam spam spam spam", "en", "s")],
+    )
+    out = token_drift(ref, new, k=3).collect()
+    assert out[0]["term"] == "spam"
+    assert out[0]["c_ref"] == 0 and out[0]["c_new"] == 6
+    assert out[0]["log_ratio"] > 0 and out[0]["drift"] > 0
+
+
+def test_token_drift_identical_corpora_near_zero(spark):
+    from entity_resolution_spark.operators.stats import token_drift
+
+    d = _docs(spark, [(i, "alpha beta gamma", "en", "s") for i in range(5)])
+    out = token_drift(d, d, k=10).collect()
+    assert all(abs(r["drift"]) < 1e-9 for r in out)
