@@ -1012,3 +1012,64 @@ __labels AS (
 SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN __labels l USING (doc_id)
 """
+
+
+def kmeans_assign_sql(k: int, iters: int, scale: int = 10**6) -> str:
+    """Full oracle for operators/kmeans.kmeans_assign: fixed-point Lloyd
+    k-means with content-addressed init, unrolled to ``iters`` update
+    rounds plus the final labeling pass. Centroid state is an exact
+    BIGINT sum vector (order-independent), and the cosine is built
+    explicitly as dot/(sqrt(sa)*sqrt(sb)) from sequential
+    list_dot_product calls — the same op order as the engine's
+    F.aggregate/zip_with expression, so doubles match bit-for-bit even
+    past 2^53."""
+    d = "list_transform({}, x -> CAST(x AS DOUBLE))"
+    qd, cd = d.format("q.xq"), d.format("c.csum")
+    parts = [
+        f"""q AS (
+  SELECT vec_id AS id,
+         [CAST(round(x * {float(scale)}) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS xq
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell, xq AS csum
+  FROM (SELECT id, xq FROM q ORDER BY id LIMIT {k})
+)"""
+    ]
+    for t in range(1, iters + 2):  # iters updates + final labeling pass
+        parts.append(
+            f"""s{t} AS (
+  SELECT q.id, c.cell,
+         list_dot_product({qd}, {cd}) AS dot,
+         list_dot_product({qd}, {qd}) AS sa,
+         list_dot_product({cd}, {cd}) AS sb
+  FROM q CROSS JOIN c{t - 1} c
+),
+a{t} AS (
+  SELECT id, cell, cos FROM (
+    SELECT id, cell, cos,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rn
+    FROM (SELECT id, cell,
+                 CASE WHEN sa > 0 AND sb > 0 THEN dot / (sqrt(sa) * sqrt(sb))
+                      ELSE -1.0 END AS cos
+          FROM s{t})
+  ) WHERE rn = 1
+)"""
+        )
+        if t <= iters:
+            parts.append(
+                f"""c{t} AS (
+  SELECT cell, list(val ORDER BY pos) AS csum FROM (
+    SELECT cell, pos, CAST(sum(val) AS BIGINT) AS val
+    FROM (SELECT a.cell, unnest(q.xq) AS val,
+                 unnest(generate_series(1, len(q.xq))) AS pos
+          FROM a{t} a JOIN q USING (id))
+    GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+            )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT id AS vec_id, cell, round(cos, 6) AS cosine FROM a{iters + 1}
+"""

@@ -324,3 +324,22 @@ def token_drift_report(spark, sf_dir):
     return token_drift(
         d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
     )
+
+
+def _register_kmeans():
+    from .sql_kernels import kmeans_assign_sql
+
+    @query("kmeans_topic_assign", kmeans_assign_sql(k=8, iters=3))
+    def kmeans_topic_assign(spark, sf_dir):
+        """Fixed-point Lloyd k-means topic assignment over the embedding
+        table (operators/kmeans.py) — 8 cells, 3 update rounds,
+        content-addressed init; bit-deterministic for any partitioning."""
+        from ..operators.kmeans import kmeans_assign
+        from ..session import ensure_py_files
+
+        ensure_py_files(spark)
+        e = _t(spark, sf_dir, "embeddings")
+        return kmeans_assign(e, k=8, iters=3)
+
+
+_register_kmeans()

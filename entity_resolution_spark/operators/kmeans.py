@@ -1,0 +1,126 @@
+"""Distributed Lloyd k-means over an embedding column, bit-exactly
+reproducible across engines (engine-added training-data operator: topic
+bucketing / domain discovery over document embeddings, the clustering step
+of cluster-balanced sampling).
+
+Why this is oracle-able when textbook k-means is not: float centroid
+means depend on partition summation order, so two engines (or two runs at
+different parallelism) flip borderline assignments. Here every vector is
+first quantized to FIXED-POINT LONGS (round(x * scale)), so
+
+- centroid state is an exact integer sum vector + count — addition is
+  associative/commutative over longs, so the state is independent of
+  partition order, and
+- cosine(x, centroid) is scale-invariant, so assignment uses the raw sum
+  vector (no division), computed as a SEQUENTIAL index-order dot product
+  (`F.aggregate`/`zip_with`) — the identical op order DuckDB's
+  list_cosine_similarity uses, giving bit-identical doubles even where
+  the dot exceeds 2^53.
+
+Initialization is content-addressed (the k smallest ids seed cells
+0..k-1), never sampled — no RNG anywhere. Ties in assignment break to the
+smallest cell id; cells that lose all members drop out (k shrinks), same
+on both engines.
+
+Scale shape: per iteration, one broadcast of the k-row centroid table
+against the corpus (n x k rows through a per-id argmax window — k is
+bounded and small), then one (cell, pos)-keyed hash aggregate for the new
+sums — uniform keys, fan-out = k x dim, never skewed by cluster size.
+`localCheckpoint` between iterations cuts the growing lineage (the
+connected-components convention). Overflow headroom: |csum_i| <=
+scale x max|x| x n_members — int64 holds ~9.2e18, so ~1e10 members per
+cell at scale=1e6 and |x|<=1; shrink `scale` for bigger clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    xq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+    )
+    return emb.select(F.col(id_col).alias("__id"), xq.alias("__xq"))
+
+
+def _cos_int(a, b):
+    """Sequential-order cosine of two array<long> columns, math in double;
+    -1.0 when either side is the zero vector (same convention as
+    similarity_search._cosine_cols)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(-1.0))
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """(id_col, cell, cosine) — each vector's cluster after ``iters`` Lloyd
+    rounds from the content-addressed init, with its cosine to the final
+    centroid sum (round-6). Deterministic for any partitioning."""
+    q = _quantized(emb, id_col, vec_col, scale).localCheckpoint(eager=True)
+
+    w_init = Window.orderBy("__id")
+    cents = (
+        q.orderBy("__id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("int").alias("cell"),
+            F.col("__xq").alias("__csum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w_id = Window.partitionBy("__id").orderBy(F.desc("__cos"), F.asc("cell"))
+    assigned = None
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cents)).withColumn(
+            "__cos", _cos_int(F.col("__xq"), F.col("__csum"))
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w_id))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "cell", "__cos")
+            .localCheckpoint(eager=True)
+        )
+        sums = (
+            assigned.join(q, "__id")
+            .select("cell", F.posexplode("__xq").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("val"))
+        )
+        cents = (
+            sums.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("__csum")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # label each vector with its cosine to the FINAL centroids (one more
+    # assignment pass over the converged sums — what the caller consumes)
+    final = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__cos", _cos_int(F.col("__xq"), F.col("__csum")))
+        .withColumn("__rn", F.row_number().over(w_id))
+        .filter(F.col("__rn") == 1)
+    )
+    return final.select(
+        F.col("__id").alias(id_col),
+        "cell",
+        F.round("__cos", 6).alias("cosine"),
+    )

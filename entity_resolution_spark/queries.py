@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "contrastive_pair_mining",
     "dedup_cluster_size_histogram",
     "token_drift_report",
+    "kmeans_topic_assign",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

@@ -243,3 +243,32 @@ def test_token_drift_identical_corpora_near_zero(spark):
     d = _docs(spark, [(i, "alpha beta gamma", "en", "s") for i in range(5)])
     out = token_drift(d, d, k=10).collect()
     assert all(abs(r["drift"]) < 1e-9 for r in out)
+
+
+# --- kmeans_assign ---------------------------------------------------------------
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from entity_resolution_spark.operators.kmeans import kmeans_assign
+
+    # even ids point along x, odd ids along y — the content-addressed init
+    # (two smallest ids) seeds one cell in each group
+    rows = [(2 * i, [1.0 + 0.01 * i, 0.0], 0) for i in range(5)]
+    rows += [(2 * i + 1, [0.0, 1.0 + 0.01 * i], 0) for i in range(5)]
+    out = {r["vec_id"]: r["cell"] for r in kmeans_assign(_emb(spark, rows), k=2, iters=3).collect()}
+    group_a = {out[2 * i] for i in range(5)}
+    group_b = {out[2 * i + 1] for i in range(5)}
+    assert len(group_a) == 1 and len(group_b) == 1 and group_a != group_b
+
+
+def test_kmeans_partition_invariant(spark):
+    from entity_resolution_spark.operators.kmeans import kmeans_assign
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11), float(i % 5)], 0) for i in range(40)]
+    d = _emb(spark, rows)
+    a = sorted((r["vec_id"], r["cell"], r["cosine"]) for r in kmeans_assign(d, k=4, iters=2).collect())
+    b = sorted(
+        (r["vec_id"], r["cell"], r["cosine"])
+        for r in kmeans_assign(d.repartition(7), k=4, iters=2).collect()
+    )
+    assert a == b
