@@ -167,6 +167,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "corpus_stats_report",
         "stratified_docs_sample",
         "embedding_decontamination",
+        # embedding-mining + corpus-report ops added after the main
+        # round-3 evidence runs
+        "vocab_coverage_oov",
+        "contrastive_pair_mining",
+        "dedup_cluster_size_histogram",
+        "token_drift_report",
+        "kmeans_topic_assign",
+        "cluster_balanced_sample",
+        "balanced_token_shards",
+        "random_projection_reduce",
     ]:
         if name not in SPARK_QUERIES:
             continue

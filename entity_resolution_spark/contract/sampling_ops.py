@@ -163,3 +163,26 @@ def shuffle_shards_layout(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return shuffle_shards(d)
+
+
+@query(
+    "balanced_token_shards",
+    """
+    SELECT doc_id, weight,
+           CAST(CASE WHEN (gpos // 8) % 2 = 0 THEN gpos % 8
+                     ELSE 7 - gpos % 8 END AS INT) AS shard,
+           CAST(gpos // 8 AS INT) AS pos
+    FROM (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS gpos
+      FROM documents
+    )
+    """,
+)
+def balanced_token_shards(spark, sf_dir):
+    """Serpentine weight-balanced shard layout over the documents table
+    (operators/sampling.balanced_shards, n_chars as the work weight)."""
+    from ..operators.sampling import balanced_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return balanced_shards(d, weight_col="n_chars", n_shards=8)

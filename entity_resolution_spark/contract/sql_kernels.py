@@ -1073,3 +1073,39 @@ a{t} AS (
 WITH {body}
 SELECT id AS vec_id, cell, round(cos, 6) AS cosine FROM a{iters + 1}
 """
+
+
+def cluster_balanced_sample_sql(
+    per_cell: int, k: int, iters: int, keep: str = "prototypical", scale: int = 10**6
+) -> str:
+    """Oracle for operators/kmeans.cluster_balanced_sample: the k-means
+    replica wrapped in a per-cell window over the same (round-6 cosine,
+    id) order the engine ranks by."""
+    order = "cosine DESC" if keep == "prototypical" else "cosine ASC"
+    return f"""
+SELECT vec_id, cell, cosine, rank FROM (
+  SELECT vec_id, cell, cosine,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY {order}, vec_id) AS INT) AS rank
+  FROM ({kmeans_assign_sql(k=k, iters=iters, scale=scale)}) __km
+) WHERE rank <= {per_cell}
+"""
+
+
+def random_projection_sql(out_dim: int, dim: int, seed: int = 42) -> str:
+    """Oracle for operators/vectors.random_projection: the identical seeded
+    plane matrix inlined as list literals, dotted in the same sequential
+    index order (list_dot_product) and rounded to 6 places."""
+    from ..operators.vectors import random_projection_planes
+
+    planes = random_projection_planes(out_dim, dim, seed)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+    )
+    return f"""
+SELECT vec_id,
+       CAST(unnest(generate_series(0, {out_dim - 1})) AS INT) AS pos,
+       unnest([round(list_dot_product(x, p), 6) FOR p IN [{plane_lits}]]) AS coord
+FROM (SELECT vec_id,
+             list_transform(embedding::DOUBLE[], v -> v) AS x
+      FROM embeddings)
+"""

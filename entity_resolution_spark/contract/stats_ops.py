@@ -343,3 +343,41 @@ def _register_kmeans():
 
 
 _register_kmeans()
+
+
+def _register_cluster_balanced():
+    from .sql_kernels import cluster_balanced_sample_sql
+
+    @query(
+        "cluster_balanced_sample",
+        cluster_balanced_sample_sql(per_cell=5, k=8, iters=3, keep="prototypical"),
+    )
+    def cluster_balanced_sample_q(spark, sf_dir):
+        """Topic-balanced subsample: 5 exemplars per k-means cell
+        (operators/kmeans.cluster_balanced_sample, keep='prototypical' —
+        the Sorscher et al. 2022 cluster-pruning policies)."""
+        from ..operators.kmeans import cluster_balanced_sample
+        from ..session import ensure_py_files
+
+        ensure_py_files(spark)
+        e = _t(spark, sf_dir, "embeddings")
+        return cluster_balanced_sample(e, per_cell=5, k=8, iters=3, keep="prototypical")
+
+
+_register_cluster_balanced()
+
+
+def _register_random_projection():
+    from .sql_kernels import random_projection_sql
+
+    @query("random_projection_reduce", random_projection_sql(out_dim=16, dim=64))
+    def random_projection_reduce(spark, sf_dir):
+        """JL random projection of the 64-d embedding table to 16-d
+        (operators/vectors.random_projection), exploded to scalar rows."""
+        from ..operators.vectors import random_projection
+
+        e = _t(spark, sf_dir, "embeddings")
+        return random_projection(e, out_dim=16, seed=42)
+
+
+_register_random_projection()

@@ -124,3 +124,41 @@ def kmeans_assign(
         "cell",
         F.round("__cos", 6).alias("cosine"),
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cell: int,
+    k: int = 8,
+    iters: int = 3,
+    keep: str = "prototypical",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """(id_col, cell, cosine, rank) — up to ``per_cell`` vectors from each
+    k-means cell, i.e. a topic-balanced subsample of the embedding table.
+
+    ``keep`` picks which end of each cell survives, the two data-pruning
+    policies of Sorscher et al. 2022 ("Beyond neural scaling laws"):
+
+    - ``"prototypical"``: highest cosine to the cell centroid first —
+      cluster exemplars (labeling/inspection sets, cluster-balanced eval).
+    - ``"hard"``: lowest cosine first — the examples far from every
+      prototype, the ones worth keeping when data is abundant.
+
+    Ranking uses the round-6 cosine with the id as tiebreak, so the chosen
+    set is identical on any engine and partitioning. Scale shape: rides
+    `kmeans_assign` (broadcast centroids), then one window partitioned by
+    cell — k partitions of ~n/k rows; for very large corpora raise k
+    rather than per_cell (the window never sees more than one cell)."""
+    if keep not in ("prototypical", "hard"):
+        raise ValueError(f"keep must be 'prototypical' or 'hard', got {keep!r}")
+    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+    order = F.desc("cosine") if keep == "prototypical" else F.asc("cosine")
+    w = Window.partitionBy("cell").orderBy(order, F.asc(id_col))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cell)
+        .select(id_col, "cell", "cosine", "rank")
+    )

@@ -495,3 +495,55 @@ def stratified_sample(
         .filter(F.col("__rn") <= quota)
         .drop(_HASH_COL, "__n", "__rn")
     )
+
+
+def balanced_shards(
+    docs: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """(id_col, weight, shard, pos) — serpentine ("snake-draft")
+    weight-balanced shard assignment: rows sorted by (weight DESC, id) are
+    dealt 0..S-1 then S-1..0 alternately, so every shard's total weight
+    tracks the global mean to within roughly one largest item. The
+    equal-WORK counterpart to `shuffle_shards`' equal-COUNT layout — data
+    loaders reading token-balanced shards finish together instead of
+    waiting on whichever shard drew the long documents.
+
+    ``pos`` is the deal round (each shard receives exactly one row per
+    round), i.e. the row's position within its shard.
+
+    Scale shape: the global rank is NOT a single-partition window — the
+    frame range-repartitions on the sort key, ranks within each range
+    partition, and adds per-partition offsets from a partition census (a
+    numPartitions-row control-plane collect, same convention as the
+    pipeline's block census). One range exchange, one narrow census, no
+    global single-reducer sort anywhere.
+    """
+    sel = docs.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).repartitionByRange(F.desc("weight"), F.asc(id_col))
+    part = sel.withColumn("__p", F.spark_partition_id())
+    w = Window.partitionBy("__p").orderBy(F.desc("weight"), F.asc(id_col))
+    ranked = part.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = {r["__p"]: r["n"] for r in ranked.groupBy("__p").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_expr = F.lit(0)
+    for p, o in offsets.items():
+        off_expr = F.when(F.col("__p") == p, F.lit(o)).otherwise(off_expr)
+    s = int(n_shards)
+    pos = (off_expr + F.col("__rn") - 1).cast("long")
+    cycle = F.floor(pos / s).cast("long")
+    off = F.pmod(pos, F.lit(s)).cast("int")
+    shard = F.when(cycle % 2 == 0, off).otherwise(F.lit(s - 1) - off)
+    return ranked.select(
+        F.col(id_col),
+        "weight",
+        shard.cast("int").alias("shard"),
+        cycle.cast("int").alias("pos"),
+    )

@@ -99,3 +99,62 @@ def dequantize_cosine(codes_a, scale_a, codes_b, scale_b):
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(-1.0))
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, pos, coord) — Johnson-Lindenstrauss random projection of an
+    embedding column to ``out_dim`` dimensions (seeded Gaussian planes,
+    scaled 1/sqrt(out_dim) so pairwise distances are preserved in
+    expectation). The standard 100 TB cost-reducer in front of ANN /
+    clustering: a 64-d corpus projected to 16-d cuts every downstream
+    matmul, shuffle, and index 4x while keeping near-neighbor ranking
+    approximately intact (JL lemma).
+
+    Pure-JVM map-only projection: each output coordinate is a sequential
+    index-order dot product (`F.zip_with` + `F.aggregate`) against a plane
+    of inlined literals — no Python in the path, no shuffle, and the same
+    op order as DuckDB's list_dot_product, so the round-6 coords are
+    engine-independent. Output is exploded to scalar (id, pos, coord) rows
+    (the driver-hash convention for vector-valued results); reassemble
+    with collect_list over pos when an array column is wanted.
+    """
+    import numpy as np
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        return emb.sparkSession.createDataFrame([], f"{id_col} long, pos int, coord double")
+    dim = int(dim_row["d"])
+    planes = np.random.RandomState(seed).normal(size=(out_dim, dim)) / np.sqrt(out_dim)
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    coords = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec_d,
+                        F.array(*[F.lit(float(p)) for p in planes[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return emb.select(F.col(id_col), F.posexplode(coords).alias("pos", "coord"))
+
+
+def random_projection_planes(out_dim: int, dim: int, seed: int = 42):
+    """The exact plane matrix `random_projection` uses (for oracles/tests)."""
+    import numpy as np
+
+    return np.random.RandomState(seed).normal(size=(out_dim, dim)) / np.sqrt(out_dim)

@@ -68,6 +68,9 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_size_histogram",
     "token_drift_report",
     "kmeans_topic_assign",
+    "cluster_balanced_sample",
+    "balanced_token_shards",
+    "random_projection_reduce",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

@@ -228,3 +228,45 @@ def test_shuffle_shards_layout(spark):
         for r in shuffle_shards(docs, n_shards=4, seed=7).collect()
     }
     assert other != again
+
+
+# --- balanced_shards --------------------------------------------------------------
+
+
+def test_balanced_shards_serpentine_assignment(spark):
+    from entity_resolution_spark.operators.sampling import balanced_shards
+
+    # weights 16..1 over 16 docs, 4 shards: snake order means shard sums
+    # are exactly equal (16+9+8+1 = 15+10+7+2 = ...)
+    rows = [(i, 16 - i) for i in range(16)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    out = balanced_shards(d, weight_col="w", n_shards=4).collect()
+    sums = {}
+    for r in out:
+        sums[r["shard"]] = sums.get(r["shard"], 0) + r["weight"]
+    assert set(sums) == {0, 1, 2, 3}
+    assert len(set(sums.values())) == 1  # perfectly balanced for 16..1
+    # each shard got one row per deal round
+    rounds = {}
+    for r in out:
+        rounds.setdefault(r["pos"], set()).add(r["shard"])
+    assert all(s == {0, 1, 2, 3} for s in rounds.values())
+
+
+def test_balanced_shards_partition_invariant(spark):
+    from entity_resolution_spark.operators.sampling import balanced_shards
+
+    rows = [(i, (i * 37) % 101 + 1) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    a = sorted(map(tuple, balanced_shards(d, "w", n_shards=8).collect()))
+    b = sorted(map(tuple, balanced_shards(d.repartition(13), "w", n_shards=8).collect()))
+    assert a == b
+
+
+def test_balanced_shards_ties_break_by_id(spark):
+    from entity_resolution_spark.operators.sampling import balanced_shards
+
+    d = spark.createDataFrame([(i, 5) for i in range(6)], "doc_id long, w long")
+    out = {r["doc_id"]: (r["shard"], r["pos"]) for r in balanced_shards(d, "w", n_shards=3).collect()}
+    # all-equal weights: global order is doc_id asc -> snake 0,1,2,2,1,0
+    assert [out[i][0] for i in range(6)] == [0, 1, 2, 2, 1, 0]

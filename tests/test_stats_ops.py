@@ -272,3 +272,43 @@ def test_kmeans_partition_invariant(spark):
         for r in kmeans_assign(d.repartition(7), k=4, iters=2).collect()
     )
     assert a == b
+
+
+# --- cluster_balanced_sample -----------------------------------------------------
+
+
+def test_cluster_balanced_sample_caps_and_orders(spark):
+    from entity_resolution_spark.operators.kmeans import cluster_balanced_sample
+
+    # two obvious groups (x-axis / y-axis); ids 0 and 1 seed one cell each
+    rows = [(2 * i, [1.0 + 0.01 * i, 0.0], 0) for i in range(6)]
+    rows += [(2 * i + 1, [0.0, 1.0 + 0.01 * i], 0) for i in range(6)]
+    out = cluster_balanced_sample(_emb(spark, rows), per_cell=2, k=2, iters=2).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert len(by_cell) == 2
+    for rs in by_cell.values():
+        assert len(rs) == 2 and sorted(r["rank"] for r in rs) == [1, 2]
+        # prototypical order: rank 1 has the highest cosine
+        assert rs[0]["cosine"] >= rs[1]["cosine"] or rs[0]["rank"] > rs[1]["rank"]
+
+
+def test_cluster_balanced_sample_hard_is_reversed(spark):
+    from entity_resolution_spark.operators.kmeans import cluster_balanced_sample
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11), 1.0], 0) for i in range(20)]
+    proto = cluster_balanced_sample(_emb(spark, rows), per_cell=1, k=2, iters=2).collect()
+    hard = cluster_balanced_sample(
+        _emb(spark, rows), per_cell=1, k=2, iters=2, keep="hard"
+    ).collect()
+    p = {r["cell"]: r["cosine"] for r in proto}
+    h = {r["cell"]: r["cosine"] for r in hard}
+    assert all(h[c] <= p[c] for c in p)
+
+
+def test_cluster_balanced_sample_rejects_bad_keep(spark):
+    from entity_resolution_spark.operators.kmeans import cluster_balanced_sample
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(_emb(spark, [(1, [1.0], 0)]), per_cell=1, keep="nope")

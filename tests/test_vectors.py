@@ -80,3 +80,47 @@ def test_quantize_roundtrip_and_cosine(spark):
     va = np.array(rows[0][1]); vb = np.array(rows[1][1])
     fcos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
     assert abs(row.qcos - fcos) < 0.02
+
+
+def test_random_projection_matches_sequential_dot(spark):
+    import numpy as np
+
+    from entity_resolution_spark.operators.vectors import (
+        random_projection,
+        random_projection_planes,
+    )
+
+    rows = [(i, "x", [float((i * j) % 7) - 3.0 for j in range(8)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = {(r["vec_id"], r["pos"]): r["coord"] for r in random_projection(df, out_dim=4, seed=7).collect()}
+    planes = random_projection_planes(4, 8, seed=7)
+    for i, _, v in rows:
+        for j in range(4):
+            acc = 0.0
+            for a, b in zip(v, planes[j]):
+                acc += a * b
+            assert out[(i, j)] == round(acc, 6), (i, j)
+
+
+def test_random_projection_preserves_neighbor_ranking(spark):
+    import numpy as np
+
+    from entity_resolution_spark.operators.vectors import random_projection
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.05, size=64)
+    far = rng.normal(size=64)
+    rows = [(0, "x", base.tolist()), (1, "x", near.tolist()), (2, "x", far.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    red = random_projection(df, out_dim=16, seed=42).collect()
+    vecs = {}
+    for r in red:
+        vecs.setdefault(r["vec_id"], [0.0] * 16)[r["pos"]] = r["coord"]
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert cos(vecs[0], vecs[1]) > cos(vecs[0], vecs[2])
