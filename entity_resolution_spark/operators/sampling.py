@@ -529,15 +529,17 @@ def balanced_shards(
     w = Window.partitionBy("__p").orderBy(F.desc("weight"), F.asc(id_col))
     ranked = part.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
     counts = {r["__p"]: r["n"] for r in ranked.groupBy("__p").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for p in sorted(counts):
-        offsets[p] = acc
+        offsets.append((p, acc))
         acc += counts[p]
-    off_expr = F.lit(0)
-    for p, o in offsets.items():
-        off_expr = F.when(F.col("__p") == p, F.lit(o)).otherwise(off_expr)
+    # broadcast-joined offsets frame, NOT a chained F.when per partition —
+    # at cluster scale the range exchange has thousands of partitions and a
+    # thousands-deep when-tree breaks codegen
+    off_df = docs.sparkSession.createDataFrame(offsets or [(0, 0)], "__p int, __off long")
+    ranked = ranked.join(F.broadcast(off_df), "__p", "left")
     s = int(n_shards)
-    pos = (off_expr + F.col("__rn") - 1).cast("long")
+    pos = (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__rn") - 1).cast("long")
     cycle = F.floor(pos / s).cast("long")
     off = F.pmod(pos, F.lit(s)).cast("int")
     shard = F.when(cycle % 2 == 0, off).otherwise(F.lit(s - 1) - off)
