@@ -82,18 +82,29 @@ def kmeans_assign(
         .localCheckpoint(eager=True)
     )
 
-    w_id = Window.partitionBy("__id").orderBy(F.desc("__cos"), F.asc("cell"))
+    # per-id argmax over the k scored cells as a max(struct) aggregate —
+    # map-side partial-aggregated (the n x k intermediate collapses to n
+    # rows before the shuffle), unlike a row_number window which shuffles
+    # and sorts all n x k rows. Tie on cosine -> smallest cell, encoded as
+    # max of (cos, -cell): lexicographic struct order.
+    def _best(scored):
+        best = F.max(F.struct(F.col("__cos"), (-F.col("cell")).alias("__negcell"))).alias("__b")
+        return (
+            scored.groupBy("__id")
+            .agg(best)
+            .select(
+                "__id",
+                (-F.col("__b.__negcell")).cast("int").alias("cell"),
+                F.col("__b.__cos").alias("__cos"),
+            )
+        )
+
     assigned = None
     for _ in range(iters):
         scored = q.crossJoin(F.broadcast(cents)).withColumn(
             "__cos", _cos_int(F.col("__xq"), F.col("__csum"))
         )
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w_id))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "cell", "__cos")
-            .localCheckpoint(eager=True)
-        )
+        assigned = _best(scored).localCheckpoint(eager=True)
         sums = (
             assigned.join(q, "__id")
             .select("cell", F.posexplode("__xq").alias("pos", "val"))
@@ -113,11 +124,10 @@ def kmeans_assign(
 
     # label each vector with its cosine to the FINAL centroids (one more
     # assignment pass over the converged sums — what the caller consumes)
-    final = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("__cos", _cos_int(F.col("__xq"), F.col("__csum")))
-        .withColumn("__rn", F.row_number().over(w_id))
-        .filter(F.col("__rn") == 1)
+    final = _best(
+        q.crossJoin(F.broadcast(cents)).withColumn(
+            "__cos", _cos_int(F.col("__xq"), F.col("__csum"))
+        )
     )
     return final.select(
         F.col("__id").alias(id_col),
@@ -135,6 +145,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    n_salts: int = 32,
 ) -> DataFrame:
     """(id_col, cell, cosine, rank) — up to ``per_cell`` vectors from each
     k-means cell, i.e. a topic-balanced subsample of the embedding table.
@@ -149,16 +160,26 @@ def cluster_balanced_sample(
 
     Ranking uses the round-6 cosine with the id as tiebreak, so the chosen
     set is identical on any engine and partitioning. Scale shape: rides
-    `kmeans_assign` (broadcast centroids), then one window partitioned by
-    cell — k partitions of ~n/k rows; for very large corpora raise k
-    rather than per_cell (the window never sees more than one cell)."""
+    `kmeans_assign` (broadcast centroids), then distributed top-m per cell
+    in two phases — a salted local window (each task sorts ~n/(k·salts)
+    rows and keeps per_cell) followed by a final window over at most
+    k·salts·per_cell survivors. The global top-m of a cell is contained in
+    the union of its salted local top-ms, so the result is independent of
+    ``n_salts``; no task ever sorts a whole cell."""
     if keep not in ("prototypical", "hard"):
         raise ValueError(f"keep must be 'prototypical' or 'hard', got {keep!r}")
     assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
     order = F.desc("cosine") if keep == "prototypical" else F.asc("cosine")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salts)))
+    w_local = Window.partitionBy("cell", "__salt").orderBy(order, F.asc(id_col))
+    survivors = (
+        assigned.withColumn("__salt", salt)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= per_cell)
+    )
     w = Window.partitionBy("cell").orderBy(order, F.asc(id_col))
     return (
-        assigned.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= per_cell)
         .select(id_col, "cell", "cosine", "rank")
     )
