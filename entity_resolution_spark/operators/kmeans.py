@@ -23,9 +23,10 @@ smallest cell id; cells that lose all members drop out (k shrinks), same
 on both engines.
 
 Scale shape: per iteration, one broadcast of the k-row centroid table
-against the corpus (n x k rows through a per-id argmax window — k is
-bounded and small), then one (cell, pos)-keyed hash aggregate for the new
-sums — uniform keys, fan-out = k x dim, never skewed by cluster size.
+against the corpus; the per-id best cell is a max(struct) hash aggregate,
+so map-side combine collapses the n x k scored rows back to n before any
+shuffle. New sums are one (cell, pos)-keyed hash aggregate — uniform
+keys, fan-out = k x dim, never skewed by cluster size.
 `localCheckpoint` between iterations cuts the growing lineage (the
 connected-components convention). Overflow headroom: |csum_i| <=
 scale x max|x| x n_members — int64 holds ~9.2e18, so ~1e10 members per
