@@ -177,6 +177,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cluster_balanced_sample",
         "balanced_token_shards",
         "random_projection_reduce",
+        "embedding_drift_report",
     ]:
         if name not in SPARK_QUERIES:
             continue

@@ -1014,64 +1014,116 @@ FROM documents d LEFT JOIN __labels l USING (doc_id)
 """
 
 
-def kmeans_assign_sql(k: int, iters: int, scale: int = 10**6) -> str:
-    """Full oracle for operators/kmeans.kmeans_assign: fixed-point Lloyd
-    k-means with content-addressed init, unrolled to ``iters`` update
-    rounds plus the final labeling pass. Centroid state is an exact
-    BIGINT sum vector (order-independent), and the cosine is built
-    explicitly as dot/(sqrt(sa)*sqrt(sb)) from sequential
+_KM_D = "list_transform({}, x -> CAST(x AS DOUBLE))"
+
+
+def _km_label_ctes(src: str, cent: str, out: str) -> str:
+    """CTE pair labeling each row of ``src`` with its best cell in ``cent``
+    (cosine built as dot/(sqrt(sa)*sqrt(sb)) from sequential
     list_dot_product calls — the same op order as the engine's
     F.aggregate/zip_with expression, so doubles match bit-for-bit even
-    past 2^53."""
-    d = "list_transform({}, x -> CAST(x AS DOUBLE))"
-    qd, cd = d.format("q.xq"), d.format("c.csum")
-    parts = [
-        f"""q AS (
-  SELECT vec_id AS id,
-         [CAST(round(x * {float(scale)}) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS xq
-  FROM embeddings
-),
-c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell, xq AS csum
-  FROM (SELECT id, xq FROM q ORDER BY id LIMIT {k})
-)"""
-    ]
-    for t in range(1, iters + 2):  # iters updates + final labeling pass
-        parts.append(
-            f"""s{t} AS (
+    past 2^53)."""
+    qd, cd = _KM_D.format("q.xq"), _KM_D.format("c.csum")
+    return f"""__s_{out} AS (
   SELECT q.id, c.cell,
          list_dot_product({qd}, {cd}) AS dot,
          list_dot_product({qd}, {qd}) AS sa,
          list_dot_product({cd}, {cd}) AS sb
-  FROM q CROSS JOIN c{t - 1} c
+  FROM {src} q CROSS JOIN {cent} c
 ),
-a{t} AS (
+{out} AS (
   SELECT id, cell, cos FROM (
     SELECT id, cell, cos,
            row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rn
     FROM (SELECT id, cell,
                  CASE WHEN sa > 0 AND sb > 0 THEN dot / (sqrt(sa) * sqrt(sb))
                       ELSE -1.0 END AS cos
-          FROM s{t})
+          FROM __s_{out})
   ) WHERE rn = 1
 )"""
-        )
-        if t <= iters:
-            parts.append(
-                f"""c{t} AS (
+
+
+def _km_fit_ctes(k: int, iters: int, scale: int, src: str, where: str = "TRUE") -> list[str]:
+    """CTEs for the fixed-point Lloyd fit: quantized source ``src``
+    (filtered by ``where``), content-addressed init c0, and update rounds
+    up to c{iters}. Centroid state is an exact BIGINT sum vector
+    (order-independent)."""
+    parts = [
+        f"""{src} AS (
+  SELECT vec_id AS id,
+         [CAST(round(x * {float(scale)}) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS xq
+  FROM embeddings WHERE {where}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell, xq AS csum
+  FROM (SELECT id, xq FROM {src} ORDER BY id LIMIT {k})
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(_km_label_ctes(src, f"c{t - 1}", f"a{t}"))
+        parts.append(
+            f"""c{t} AS (
   SELECT cell, list(val ORDER BY pos) AS csum FROM (
     SELECT cell, pos, CAST(sum(val) AS BIGINT) AS val
     FROM (SELECT a.cell, unnest(q.xq) AS val,
                  unnest(generate_series(1, len(q.xq))) AS pos
-          FROM a{t} a JOIN q USING (id))
+          FROM a{t} a JOIN {src} q USING (id))
     GROUP BY cell, pos
   ) GROUP BY cell
 )"""
-            )
+        )
+    return parts
+
+
+def kmeans_assign_sql(k: int, iters: int, scale: int = 10**6) -> str:
+    """Full oracle for operators/kmeans.kmeans_assign: fixed-point Lloyd
+    k-means with content-addressed init, unrolled to ``iters`` update
+    rounds plus the final labeling pass."""
+    parts = _km_fit_ctes(k, iters, scale, "q")
+    parts.append(_km_label_ctes("q", f"c{iters}", "afinal"))
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT id AS vec_id, cell, round(cos, 6) AS cosine FROM a{iters + 1}
+SELECT id AS vec_id, cell, round(cos, 6) AS cosine FROM afinal
+"""
+
+
+def embedding_drift_sql(
+    k: int, iters: int, where_a: str, where_b: str, scale: int = 10**6
+) -> str:
+    """Oracle for operators/kmeans.embedding_drift: fit on the A-side
+    rows, label both sides with the final centroids, report per-cell
+    population shares and the share shift."""
+    parts = _km_fit_ctes(k, iters, scale, "qa", where=where_a)
+    parts.append(
+        f"""qb AS (
+  SELECT vec_id AS id,
+         [CAST(round(x * {float(scale)}) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS xq
+  FROM embeddings WHERE {where_b}
+)"""
+    )
+    parts.append(_km_label_ctes("qa", f"c{iters}", "la"))
+    parts.append(_km_label_ctes("qb", f"c{iters}", "lb"))
+    parts.append("ca AS (SELECT cell, count(*) AS n_a FROM la GROUP BY cell)")
+    parts.append("cb AS (SELECT cell, count(*) AS n_b FROM lb GROUP BY cell)")
+    parts.append(
+        "tot AS (SELECT (SELECT count(*) FROM qa) AS ta, (SELECT count(*) FROM qb) AS tb)"
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT cell, n_a, n_b,
+       round(share_a, 6) AS share_a,
+       round(share_b, 6) AS share_b,
+       round(share_b - share_a, 6) AS delta
+FROM (
+  SELECT cell,
+         coalesce(n_a, 0) AS n_a,
+         coalesce(n_b, 0) AS n_b,
+         CASE WHEN ta > 0 THEN coalesce(n_a, 0) / CAST(ta AS DOUBLE) ELSE 0.0 END AS share_a,
+         CASE WHEN tb > 0 THEN coalesce(n_b, 0) / CAST(tb AS DOUBLE) ELSE 0.0 END AS share_b
+  FROM ca FULL OUTER JOIN cb USING (cell) CROSS JOIN tot
+)
 """
 
 

@@ -381,3 +381,29 @@ def _register_random_projection():
 
 
 _register_random_projection()
+
+
+def _register_embedding_drift():
+    from .sql_kernels import embedding_drift_sql
+
+    @query(
+        "embedding_drift_report",
+        embedding_drift_sql(k=8, iters=2, where_a="vec_id % 2 = 0", where_b="vec_id % 2 = 1"),
+    )
+    def embedding_drift_report(spark, sf_dir):
+        """Embedding-distribution drift between two corpus snapshots
+        (operators/kmeans.embedding_drift): fit k-means on the standing
+        corpus (even vec_ids), label both snapshots with its centroids,
+        report per-cell share shift."""
+        from ..operators.kmeans import embedding_drift
+
+        e = _t(spark, sf_dir, "embeddings")
+        return embedding_drift(
+            e.filter(F.col("vec_id") % 2 == 0),
+            e.filter(F.col("vec_id") % 2 == 1),
+            k=8,
+            iters=2,
+        )
+
+
+_register_embedding_drift()

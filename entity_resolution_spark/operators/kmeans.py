@@ -59,6 +59,63 @@ def _cos_int(a, b):
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(-1.0))
 
 
+# per-id argmax over the k scored cells as a max(struct) aggregate —
+# map-side partial-aggregated (the n x k intermediate collapses to n
+# rows before the shuffle), unlike a row_number window which shuffles
+# and sorts all n x k rows. Tie on cosine -> smallest cell, encoded as
+# max of (cos, -cell): lexicographic struct order.
+def _label(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(__id, cell, __cos) — each row's best cell against `cents`."""
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__cos", _cos_int(F.col("__xq"), F.col("__csum"))
+    )
+    best = F.max(F.struct(F.col("__cos"), (-F.col("cell")).alias("__negcell"))).alias("__b")
+    return (
+        scored.groupBy("__id")
+        .agg(best)
+        .select(
+            "__id",
+            (-F.col("__b.__negcell")).cast("int").alias("cell"),
+            F.col("__b.__cos").alias("__cos"),
+        )
+    )
+
+
+def _lloyd(q: DataFrame, k: int, iters: int) -> DataFrame:
+    """(cell, __csum) — centroid sum vectors after ``iters`` Lloyd rounds
+    from the content-addressed init (k smallest ids)."""
+    w_init = Window.orderBy("__id")
+    cents = (
+        q.orderBy("__id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("int").alias("cell"),
+            F.col("__xq").alias("__csum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        sums = (
+            _label(q, cents).join(q, "__id")
+            .select("cell", F.posexplode("__xq").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("val"))
+        )
+        # checkpoint only the k-row centroid table per round — it both cuts
+        # the growing lineage and is the only state the next round reads
+        cents = (
+            sums.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("__csum")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -71,69 +128,59 @@ def kmeans_assign(
     rounds from the content-addressed init, with its cosine to the final
     centroid sum (round-6). Deterministic for any partitioning."""
     q = _quantized(emb, id_col, vec_col, scale).localCheckpoint(eager=True)
-
-    w_init = Window.orderBy("__id")
-    cents = (
-        q.orderBy("__id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w_init) - 1).cast("int").alias("cell"),
-            F.col("__xq").alias("__csum"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    # per-id argmax over the k scored cells as a max(struct) aggregate —
-    # map-side partial-aggregated (the n x k intermediate collapses to n
-    # rows before the shuffle), unlike a row_number window which shuffles
-    # and sorts all n x k rows. Tie on cosine -> smallest cell, encoded as
-    # max of (cos, -cell): lexicographic struct order.
-    def _best(scored):
-        best = F.max(F.struct(F.col("__cos"), (-F.col("cell")).alias("__negcell"))).alias("__b")
-        return (
-            scored.groupBy("__id")
-            .agg(best)
-            .select(
-                "__id",
-                (-F.col("__b.__negcell")).cast("int").alias("cell"),
-                F.col("__b.__cos").alias("__cos"),
-            )
-        )
-
-    assigned = None
-    for _ in range(iters):
-        scored = q.crossJoin(F.broadcast(cents)).withColumn(
-            "__cos", _cos_int(F.col("__xq"), F.col("__csum"))
-        )
-        assigned = _best(scored).localCheckpoint(eager=True)
-        sums = (
-            assigned.join(q, "__id")
-            .select("cell", F.posexplode("__xq").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("val"))
-        )
-        cents = (
-            sums.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("__csum")
-            )
-            .localCheckpoint(eager=True)
-        )
-
-    # label each vector with its cosine to the FINAL centroids (one more
-    # assignment pass over the converged sums — what the caller consumes)
-    final = _best(
-        q.crossJoin(F.broadcast(cents)).withColumn(
-            "__cos", _cos_int(F.col("__xq"), F.col("__csum"))
-        )
-    )
+    final = _label(q, _lloyd(q, k, iters))
     return final.select(
         F.col("__id").alias(id_col),
         "cell",
         F.round("__cos", 6).alias("cosine"),
+    )
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """(cell, n_a, n_b, share_a, share_b, delta) — embedding-distribution
+    drift between two corpus snapshots: fit k-means on snapshot A (the
+    standing corpus), label BOTH snapshots with A's final centroids, and
+    report each cell's population share on each side plus the share shift
+    ``delta = share_b - share_a`` (round-6). The embedding-space
+    counterpart of `stats.token_drift` — a new crawl whose mass moves into
+    different semantic cells than the standing corpus gets caught before
+    it trains.
+
+    Deterministic: the fit is `_lloyd`'s fixed-point integer state, labels
+    are exact-argmax, and shares are single double divisions of exact
+    longs. Cells that end empty on one side report share 0. Scale shape:
+    same as `kmeans_assign` (broadcast k-row centroids, partial-agg
+    argmax), plus two |cells|-row aggregates and a 1-row count broadcast
+    per side."""
+    qa = _quantized(emb_a, id_col, vec_col, scale).localCheckpoint(eager=True)
+    qb = _quantized(emb_b, id_col, vec_col, scale).localCheckpoint(eager=True)
+    cents = _lloyd(qa, k, iters)
+    ca = _label(qa, cents).groupBy("cell").agg(F.count("*").alias("n_a"))
+    cb = _label(qb, cents).groupBy("cell").agg(F.count("*").alias("n_b"))
+    tot_a = F.lit(qa.count()).cast("double")
+    tot_b = F.lit(qb.count()).cast("double")
+    joined = ca.join(cb, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    share_a = F.when(tot_a > 0, F.col("n_a") / tot_a).otherwise(F.lit(0.0))
+    share_b = F.when(tot_b > 0, F.col("n_b") / tot_b).otherwise(F.lit(0.0))
+    return joined.select(
+        "cell",
+        "n_a",
+        "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(share_b - share_a, 6).alias("delta"),
     )
 
 

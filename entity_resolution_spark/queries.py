@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "cluster_balanced_sample",
     "balanced_token_shards",
     "random_projection_reduce",
+    "embedding_drift_report",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

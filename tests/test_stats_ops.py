@@ -312,3 +312,34 @@ def test_cluster_balanced_sample_rejects_bad_keep(spark):
 
     with pytest.raises(ValueError):
         cluster_balanced_sample(_emb(spark, [(1, [1.0], 0)]), per_cell=1, keep="nope")
+
+
+# --- embedding_drift --------------------------------------------------------------
+
+
+def test_embedding_drift_flags_new_mass(spark):
+    from entity_resolution_spark.operators.kmeans import embedding_drift
+
+    # A: balanced x/y groups; B: all mass on the y direction
+    a = [(2 * i, [1.0 + 0.01 * i, 0.0], 0) for i in range(5)]
+    a += [(2 * i + 1, [0.0, 1.0 + 0.01 * i], 0) for i in range(5)]
+    b = [(100 + i, [0.0, 2.0 + 0.01 * i], 0) for i in range(6)]
+    out = embedding_drift(_emb(spark, a), _emb(spark, b), k=2, iters=2).collect()
+    by_cell = {r["cell"]: r for r in out}
+    assert len(by_cell) == 2
+    # shares sum to 1 on each side; one cell gained all of B's mass
+    assert abs(sum(r["share_a"] for r in out) - 1.0) < 1e-6
+    assert abs(sum(r["share_b"] for r in out) - 1.0) < 1e-6
+    gained = max(out, key=lambda r: r["delta"])
+    assert gained["share_b"] == 1.0 and gained["n_b"] == 6
+    lost = min(out, key=lambda r: r["delta"])
+    assert lost["n_b"] == 0 and lost["share_b"] == 0.0
+
+
+def test_embedding_drift_identical_snapshots_zero_delta(spark):
+    from entity_resolution_spark.operators.kmeans import embedding_drift
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11), 1.0], 0) for i in range(20)]
+    d = _emb(spark, rows)
+    out = embedding_drift(d, d, k=3, iters=2).collect()
+    assert all(r["delta"] == 0.0 and r["n_a"] == r["n_b"] for r in out)
