@@ -175,3 +175,37 @@ def _register_cross_corpus():
 
 
 _register_cross_corpus()
+
+
+@query(
+    "encode_documents_ids",
+    """
+    WITH counts AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    v AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS INT) AS tid
+      FROM (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 1000)
+    ),
+    t AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+             unnest(toks) AS term
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS toks
+            FROM documents)
+    )
+    SELECT t.doc_id, t.pos, CAST(coalesce(v.tid, 1000) AS INT) AS token_id
+    FROM t LEFT JOIN v USING (term)
+    """,
+)
+def encode_documents_ids(spark, sf_dir):
+    """Pretokenization to dense id streams against the corpus's own
+    top-1000 vocabulary (operators/tokenize.encode_documents)."""
+    from ..operators.tokenize import encode_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return encode_documents(d, vocab_size=1000)

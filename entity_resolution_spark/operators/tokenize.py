@@ -58,3 +58,48 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(k)
     )
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, pos, token_id) — the pretokenization pass: every document
+    encoded to a dense integer id stream (the materialized form training
+    shards actually store). Tokens are the lowercase alphabetic words the
+    rest of the vocabulary tooling uses; ids are the frequency rank in the
+    vocabulary (0 = most frequent, ties lexicographic — the conventional
+    BPE id order), OOV tokens map to ``vocab_size`` (the <unk> slot).
+
+    ``vocab`` defaults to the corpus's own top-``vocab_size`` tokens
+    (`terms.top_vocabulary`); pass a (term[, n]) frame to encode against a
+    fixed tokenizer vocabulary instead. ``pos`` is the 0-based token
+    position within the document, so ``collect_list`` over pos (or the
+    sequence packer downstream) reconstructs the stream.
+
+    Scale shape: the vocabulary is bounded and broadcast (its rank window
+    runs over vocab_size rows, never the corpus); the corpus side is one
+    posexplode + broadcast left join — linear, no corpus shuffle, all JVM.
+    """
+    from .terms import top_vocabulary
+
+    from pyspark.sql import Window
+
+    if vocab is None:
+        vocab = top_vocabulary(docs, vocab_size, id_col, text_col)
+    if "n" not in vocab.columns:
+        vocab = vocab.withColumn("n", F.lit(1))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ids = vocab.select(
+        "term", (F.row_number().over(w) - 1).cast("int").alias("__tid")
+    )
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    exploded = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+    return exploded.join(F.broadcast(ids), "term", "left").select(
+        id_col,
+        "pos",
+        F.coalesce("__tid", F.lit(int(vocab_size))).cast("int").alias("token_id"),
+    )

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "balanced_token_shards",
     "random_projection_reduce",
     "embedding_drift_report",
+    "encode_documents_ids",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

@@ -192,3 +192,47 @@ def test_source_overlap_matrix_counts_cross_and_within(spark):
     }
     # pairs: (0,1) a-b, (0,2) a-a, (1,2) a-b
     assert got == {("crawl_a", "crawl_b"): 2, ("crawl_a", "crawl_a"): 1}
+
+
+# --- encode_documents -------------------------------------------------------------
+
+
+def test_encode_documents_ids_by_frequency_rank(spark):
+    from entity_resolution_spark.operators.tokenize import encode_documents
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+    ]
+    out = encode_documents(_docs(spark, rows), vocab_size=100).collect()
+    enc = {}
+    for r in out:
+        enc.setdefault(r["doc_id"], {})[r["pos"]] = r["token_id"]
+    # 'the' appears 3x -> id 0; everything else 1x, lexicographic:
+    # cat=1, dog=2, mat=3, on=4, sat=5
+    assert [enc[1][p] for p in range(6)] == [0, 1, 5, 4, 0, 3]
+    assert [enc[2][p] for p in range(2)] == [0, 2]
+
+
+def test_encode_documents_oov_maps_to_unk(spark):
+    from entity_resolution_spark.operators.tokenize import encode_documents
+
+    corpus = _docs(spark, [(1, "alpha beta gamma")])
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], "term string")
+    out = {r["pos"]: r["token_id"] for r in encode_documents(corpus, vocab_size=2, vocab=vocab).collect()}
+    # vocab without counts ranks lexicographically: alpha=0, beta=1; gamma OOV -> 2
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_encode_documents_roundtrip_stream(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.tokenize import encode_documents
+
+    rows = [(i, "w%d x y z" % (i % 3)) for i in range(6)]
+    enc = encode_documents(_docs(spark, rows), vocab_size=50)
+    # every doc's positions tile 0..n-1 exactly
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    ).collect()
+    assert all(r["lo"] == 0 and r["hi"] == r["n"] - 1 for r in per_doc)
