@@ -209,3 +209,57 @@ def encode_documents_ids(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return encode_documents(d, vocab_size=1000)
+
+
+@query(
+    "pack_token_ids_stream",
+    """
+    WITH counts AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    v AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS INT) AS tid
+      FROM (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 1000)
+    ),
+    t AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+             unnest(toks) AS term
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS toks
+            FROM documents)
+    ),
+    e AS (
+      SELECT t.doc_id, t.pos, CAST(coalesce(v.tid, 1000) AS INT) AS token_id
+      FROM t LEFT JOIN v USING (term)
+    ),
+    n AS (SELECT doc_id, count(*) AS tok FROM e GROUP BY doc_id),
+    s AS (
+      SELECT d.source, d.doc_id, n.tok,
+             sha256('pack' || CAST(d.doc_id AS VARCHAR)) AS hx
+      FROM documents d JOIN n USING (doc_id)
+    ),
+    c AS (
+      SELECT source, doc_id,
+             sum(tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS strt
+      FROM s
+    )
+    SELECT c.source, e.doc_id,
+           CAST((c.strt + e.pos) // 512 AS BIGINT) AS seq_id,
+           CAST((c.strt + e.pos) % 512 AS BIGINT) AS seq_pos,
+           e.token_id
+    FROM e JOIN c USING (doc_id)
+    """,
+)
+def pack_token_ids_stream(spark, sf_dir):
+    """The fully materialized training stream: encode to ids, lay docs
+    end-to-end per source, place every token into its fixed-length
+    sequence (operators/tokenize.pack_token_ids, seq_len 512)."""
+    from ..operators.tokenize import pack_token_ids
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_token_ids(d, seq_len=512, vocab_size=1000)

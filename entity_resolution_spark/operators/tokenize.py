@@ -103,3 +103,56 @@ def encode_documents(
         "pos",
         F.coalesce("__tid", F.lit(int(vocab_size))).cast("int").alias("token_id"),
     )
+
+
+def pack_token_ids(
+    docs: DataFrame,
+    seq_len: int = 512,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "pack",
+) -> DataFrame:
+    """(source, id_col, seq_id, seq_pos, token_id) — the fully materialized
+    training stream: `encode_documents`' id stream laid end-to-end per
+    source in the same content-address order as
+    `sampling.pack_into_sequences`, with every token placed into its
+    fixed-length training sequence (``seq_id``) at offset ``seq_pos``.
+    This is the end of the pipeline: what a data loader reads back as
+    ``collect_list(token_id) OVER (seq_id ORDER BY seq_pos)``.
+
+    Deterministic for any partitioning (content-address order, exact
+    integer arithmetic). Scale shape: token counts come from the encoding
+    itself (one per-doc aggregate), the per-source cumsum window matches
+    pack_into_sequences (hot-source caveat documented there), and the
+    token stream joins its doc start offset on the doc key — co-keyed
+    shuffle join, all JVM.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import _hash_hex
+
+    enc = encode_documents(docs, vocab_size, id_col=id_col, text_col=text_col)
+    counts = enc.groupBy(id_col).agg(F.count("*").alias("__tok"))
+    w = Window.partitionBy(source_col).orderBy("__hx", id_col)
+    cum = F.sum("__tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    starts = (
+        docs.select(source_col, id_col)
+        .join(counts, id_col, "inner")
+        .withColumn("__hx", _hash_hex(F.col(id_col), salt))
+        .withColumn("__start", cum - F.col("__tok"))
+        .select(source_col, id_col, "__start")
+    )
+    offset = (F.col("__start") + F.col("pos")).alias("__off")
+    return (
+        enc.join(starts, id_col)
+        .select(source_col, id_col, "token_id", offset)
+        .select(
+            source_col,
+            id_col,
+            F.floor(F.col("__off") / F.lit(int(seq_len))).cast("long").alias("seq_id"),
+            F.pmod(F.col("__off"), F.lit(int(seq_len))).cast("long").alias("seq_pos"),
+            "token_id",
+        )
+    )

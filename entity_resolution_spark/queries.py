@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "random_projection_reduce",
     "embedding_drift_report",
     "encode_documents_ids",
+    "pack_token_ids_stream",
     # new in round 3
     "pipeline_resume_equivalence",
     "knn_join_topk_string_ids",

@@ -236,3 +236,40 @@ def test_encode_documents_roundtrip_stream(spark):
         F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
     ).collect()
     assert all(r["lo"] == 0 and r["hi"] == r["n"] - 1 for r in per_doc)
+
+
+def test_pack_token_ids_tiles_sequences(spark):
+    from pyspark.sql import Row, functions as F
+
+    from entity_resolution_spark.operators.tokenize import pack_token_ids
+
+    rows = [
+        Row(doc_id=i, text=" ".join("tok%d" % j for j in range(7)), source="s%d" % (i % 2))
+        for i in range(8)
+    ]
+    out = pack_token_ids(spark.createDataFrame(rows), seq_len=5, vocab_size=100)
+    df = out.collect()
+    # per source: token offsets tile 0..total-1 with no gaps
+    per_source = {}
+    for r in df:
+        per_source.setdefault(r["source"], []).append(r["seq_id"] * 5 + r["seq_pos"])
+    for offs in per_source.values():
+        assert sorted(offs) == list(range(len(offs)))
+    # each doc's 7 tokens are contiguous in the stream
+    per_doc = {}
+    for r in df:
+        per_doc.setdefault(r["doc_id"], []).append(r["seq_id"] * 5 + r["seq_pos"])
+    for offs in per_doc.values():
+        assert sorted(offs) == list(range(min(offs), min(offs) + 7))
+
+
+def test_pack_token_ids_partition_invariant(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.tokenize import pack_token_ids
+
+    rows = [Row(doc_id=i, text="a b c d e", source="s") for i in range(10)]
+    d = spark.createDataFrame(rows)
+    a = sorted(map(tuple, pack_token_ids(d, seq_len=4, vocab_size=10).collect()))
+    b = sorted(map(tuple, pack_token_ids(d.repartition(7), seq_len=4, vocab_size=10).collect()))
+    assert a == b
