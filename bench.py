@@ -178,6 +178,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "balanced_token_shards",
         "random_projection_reduce",
         "embedding_drift_report",
+        "encode_documents_ids",
+        "pack_token_ids_stream",
     ]:
         if name not in SPARK_QUERIES:
             continue
