@@ -343,3 +343,27 @@ def test_embedding_drift_identical_snapshots_zero_delta(spark):
     d = _emb(spark, rows)
     out = embedding_drift(d, d, k=3, iters=2).collect()
     assert all(r["delta"] == 0.0 and r["n_a"] == r["n_b"] for r in out)
+
+
+def test_kmeans_k_exceeds_n_and_zero_vectors(spark):
+    from entity_resolution_spark.operators.kmeans import kmeans_assign
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.0, 0.0], 0), (3, [1.0, 0.1], 0)]
+    out = {r["vec_id"]: r for r in kmeans_assign(_emb(spark, rows), k=8, iters=2).collect()}
+    # every vector labeled exactly once; zero vector scores -1 against every
+    # cell and ties to the smallest; k>n shrinks to at most n cells
+    assert len(out) == 3
+    assert out[2]["cosine"] == -1.0 and out[2]["cell"] == 0
+    assert all(0 <= r["cell"] < 3 for r in out.values())
+    # non-zero vectors keep their own seed cell (each seeded one)
+    assert out[1]["cosine"] == 1.0 and out[3]["cosine"] == 1.0
+
+
+def test_kmeans_all_identical_vectors_single_cell(spark):
+    from entity_resolution_spark.operators.kmeans import kmeans_assign
+
+    rows = [(i, [1.0, 2.0, 3.0], 0) for i in range(6)]
+    out = kmeans_assign(_emb(spark, rows), k=3, iters=2).collect()
+    # identical vectors: every id picks the same (tie -> smallest) cell
+    assert len({r["cell"] for r in out}) == 1
+    assert all(r["cosine"] == 1.0 for r in out)
