@@ -121,6 +121,59 @@ def bpe_top_merges(spark, sf_dir):
     return bpe_pair_counts(d, k=50)
 
 
+def _bpe_train_sql(n_merges: int, vocab_limit: int) -> str:
+    """Unrolled DuckDB replica of tokenize.bpe_train: one (pairs, best,
+    rewrite) CTE block per merge round. The rewrite is the same greedy
+    left-to-right fold the engine runs (list_reduce with a string
+    accumulator — verified char-for-char equivalent to Spark's aggregate()
+    on repeated-symbol runs)."""
+    parts = [
+        f"""WITH w0 AS (
+      SELECT word, n AS freq,
+             array_to_string(regexp_extract_all(word, '.'), ' ') AS sym
+      FROM (SELECT word, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                  FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT {vocab_limit})
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+      SELECT a, b, sum(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(list_slice(t, 1, len(t) - 1)) AS a,
+               unnest(list_slice(t, 2, len(t))) AS b
+        FROM (SELECT freq, string_split(sym, ' ') AS t FROM w{r - 1}))
+      GROUP BY 1, 2),
+    b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{r} AS (
+      SELECT w.word, w.freq,
+             CASE WHEN b.a IS NULL THEN w.sym
+                  ELSE list_reduce(string_split(w.sym, ' '), (acc, t) ->
+                    CASE WHEN (acc = b.a OR ends_with(acc, ' ' || b.a)) AND t = b.b
+                         THEN substring(acc, 1, length(acc) - length(b.a)) || b.a || b.b
+                         ELSE acc || ' ' || t END)
+             END AS sym
+      FROM w{r - 1} w LEFT JOIN b{r} b ON true)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return ",\n    ".join(parts) + f"\n    {selects}"
+
+
+@query("bpe_train_merges", _bpe_train_sql(n_merges=10, vocab_limit=100_000))
+def bpe_train_merges(spark, sf_dir):
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016): 10
+    merge rounds over the frequency-weighted word census; returns the
+    learned merge table (operators/tokenize.py:bpe_train)."""
+    from ..operators.tokenize import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=10)
+
+
 def _register_source_overlap():
     from .sql_kernels import minhash_edge_ctes
 

@@ -476,6 +476,64 @@ def tfidf_top_terms(spark, sf_dir):
     return op(d, k=3)
 
 
+# --- BM25 retrieval (query -> top-k documents) ------------------------------
+_BM25_QUERIES = [
+    ("q1", "slow customer join"),
+    ("q2", "window merge sort"),
+    ("q3", "spark stream batch vector"),
+]
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@query(
+    "bm25_search_topk",
+    f"""
+    WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+    qt AS (
+      SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '[a-z]+')) AS term
+      FROM q),
+    tf AS (
+      SELECT doc_id AS id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents) GROUP BY 1, 2),
+    dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+    consts AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl),
+    dfq AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+    contrib AS (
+      SELECT qt.query_id, m.id,
+             CAST(round(
+               ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * m.tf * (1.2 + 1.0)
+               / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))
+               * 1e6) AS BIGINT) AS micro
+      FROM tf m
+      JOIN qt ON m.term = qt.term
+      JOIN dfq d ON m.term = d.term
+      JOIN dl l ON m.id = l.id
+      CROSS JOIN consts c),
+    scored AS (
+      SELECT query_id, id, round(sum(micro) / 1e6, 6) AS score
+      FROM contrib GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+      FROM scored)
+    SELECT query_id, id AS doc_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_search_topk(spark, sf_dir):
+    """BM25 retrieval (Lucene idf variant): top-10 documents for three fixed
+    query strings, per-term contributions quantized to integer micro-units
+    so the score is partition-order-independent (operators/terms.py)."""
+    from ..operators.terms import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERIES, k=10)
+
+
 # Multimodal feature extraction (operators/multimodal.py): documents stand
 # in as opaque media payloads (UTF-8 bytes), kind cycles by doc_id. The
 # deterministic fake decoder derives each 16-dim vector from the payload's

@@ -64,6 +64,92 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """(query_id, id_col, score, rank) — BM25 retrieval: the ``k``
+    highest-scoring documents for each query string, Lucene's
+    non-negative idf variant::
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    summed over the *distinct* query terms (query-side multiplicity is
+    ignored, matching Lucene's default). Each per-term contribution is
+    quantized to integer micro-units before the sum (the DSIR pattern:
+    integer addition is order-independent, so the score — and therefore
+    the retrieved set — is identical on any engine and partitioning),
+    and ties break on ascending doc id.
+
+    Scale shape: the query set is tiny and broadcast; the corpus explodes
+    once into per-(doc, term) counts (the same single shuffle TF-IDF
+    pays), document length and the corpus constants (N, avgdl) come from
+    map-side-combined aggregates, and df is computed only for query terms
+    (bounded rows). The per-query top-k runs in two phases — a salted
+    local window then a final window over <= n_queries*n_salts*k
+    survivors — so one hot query never funnels corpus-scale rows through
+    a single task.
+    """
+    spark = docs.sparkSession
+    qterms = (
+        spark.createDataFrame(queries, "query_id string, qtext string")
+        .select("query_id", F.explode(F.expr("regexp_extract_all(lower(qtext), '[a-z]+', 0)")).alias("term"))
+        .distinct()
+    )
+    tf = term_counts(docs, id_col, text_col)
+    # dl counts ALL tokens of the doc (sum of tf), not just query matches.
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # Control-plane scalars: one tiny aggregate (decision constants, same
+    # convention as tfidf_top_terms's n_docs).
+    n_docs = docs.count()
+    avgdl_row = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"] or 0.0) or 1.0
+    # df per query term, from the per-(doc, term)-distinct tf frame — via
+    # the DISTINCT term list, so a term shared by two queries counts each
+    # doc once.
+    df_q = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    matched = tf.join(F.broadcast(qterms), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib_micro = F.round(
+        idf * F.col("tf") * F.lit(float(k1) + 1.0) / denom * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        matched.join(F.broadcast(df_q), "term")
+        .join(dl.hint("shuffle_hash"), "id")
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum(contrib_micro) / F.lit(1e6), 6).alias("score"))
+    )
+    salt = F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_salts)))
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(F.desc("score"), F.asc("id"))
+    survivors = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
+    )
+
+
 def top_vocabulary(
     docs: DataFrame,
     vocab_size: int,

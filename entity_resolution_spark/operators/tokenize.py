@@ -60,6 +60,87 @@ def bpe_pair_counts(
     )
 
 
+def _merge_fold(a: str, b: str):
+    """Column expr: apply merge (a, b) to the space-joined symbol string
+    ``sym`` with greedy left-to-right BPE semantics, as a string-accumulator
+    fold over the token list.
+
+    The accumulator is the rebuilt symbol string; a step merges the incoming
+    token ``t`` into the accumulator's LAST token iff that token is exactly
+    ``a`` and ``t = b``. Because the merged token (``ab``) is never equal to
+    ``a``'s boundary form again within the same pass, runs of a repeated
+    symbol merge every-other-pair — exactly Sennrich et al. 2016's
+    non-overlapping left-to-right application ("a a a a" + (a,a) -> "aa aa").
+    Map-only, all built-in JVM expressions, no shuffle.
+    """
+    # token strings are [a-z]+ so no escaping concerns
+    return F.expr(
+        "aggregate(split(sym, ' '), '', (acc, t) -> "
+        " CASE WHEN acc = '' THEN t "
+        f"      WHEN (acc = '{a}' OR endswith(acc, ' {a}')) AND t = '{b}' "
+        f"      THEN concat(substring(acc, 1, length(acc) - {len(a)}), '{a}', '{b}') "
+        "       ELSE concat(acc, ' ', t) END)"
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    vocab_limit: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a BPE tokenizer: the full iterative merge loop of Sennrich et
+    al. 2016, returning the learned merge table
+    (merge_rank, lhs, rhs, merged, pair_count) — the artifact a tokenizer ships.
+
+    Each word starts as its character sequence; every round counts adjacent
+    symbol pairs weighted by word frequency, picks the most frequent pair
+    (ties: lhs asc, rhs asc — engine-independent), and rewrites the symbol
+    sequences with the greedy left-to-right fold (`_merge_fold`). Stops
+    early when no pairs remain.
+
+    Scale shape: the corpus is shuffled ONCE into the distinct-word census
+    (Zipf-bounded; capped at ``vocab_limit`` most-frequent words by a
+    bounded TakeOrdered for determinism under the cap). Every training
+    round then runs over that bounded frame — one narrow pair explosion +
+    map-side-combined count + 1-row TakeOrdered, and a map-only rewrite.
+    The census is localCheckpoint'ed so round r's plan does not replay
+    rounds 1..r-1; per-round driver work is one 1-row collect (a decision
+    scalar, same convention as tfidf's n_docs).
+    """
+    wc = word_frequencies(docs, text_col)
+    census = wc.orderBy(F.desc("n"), F.asc("word")).limit(int(vocab_limit))
+    w = census.select(
+        "word",
+        F.col("n").alias("freq"),
+        F.array_join(F.split("word", ""), " ").alias("sym"),
+    ).localCheckpoint()
+
+    pair_expr = F.expr(
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "               i -> struct(t[i-1] AS a, t[i] AS b)) END"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        counts = (
+            w.select("freq", F.split("sym", " ").alias("t"))
+            .select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        w = w.select("word", "freq", _merge_fold(a, b).alias("sym")).localCheckpoint()
+
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
 def encode_documents(
     docs: DataFrame,
     vocab_size: int = 1000,

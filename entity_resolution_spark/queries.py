@@ -59,6 +59,8 @@ _DRIVER_PRIORITY = [
     "f_jw_levenshtein",
     "stream_interval_join",
     # new in round 3 (later session)
+    "bm25_search_topk",
+    "bpe_train_merges",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

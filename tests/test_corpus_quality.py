@@ -273,3 +273,51 @@ def test_pack_token_ids_partition_invariant(spark):
     a = sorted(map(tuple, pack_token_ids(d, seq_len=4, vocab_size=10).collect()))
     b = sorted(map(tuple, pack_token_ids(d.repartition(7), seq_len=4, vocab_size=10).collect()))
     assert a == b
+
+
+def test_bpe_train_hand_computed(spark):
+    """Two merge rounds over a corpus where the counts are hand-derivable,
+    including a rank-2 merge that consumes the rank-1 merged symbol."""
+    from entity_resolution_spark.operators.tokenize import bpe_train
+
+    # 'abab' x3, 'ab' x2: pairs round 1 -> (a,b): 3*2+2=8, (b,a): 3
+    d = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_train(d, n_merges=2).collect()]
+    assert out[0] == (1, "a", "b", "ab", 8)
+    # after merge 1: 'abab' -> [ab, ab] x3, 'ab' -> [ab] x2 -> (ab,ab): 3
+    assert out[1] == (2, "ab", "ab", "abab", 3)
+
+
+def test_bpe_train_repeated_symbol_run_merges_every_other(spark):
+    """'aaaa' + merge (a,a) must become [aa, aa] (greedy left-to-right),
+    feeding an (aa,aa) pair into round 2 — the overlap case a plain string
+    replace gets wrong."""
+    from entity_resolution_spark.operators.tokenize import bpe_train
+
+    d = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id long, text string")
+    out = [tuple(r) for r in bpe_train(d, n_merges=2).collect()]
+    # round 1: (a,a) count = 3 per word * 3 words = 9
+    assert out[0] == (1, "a", "a", "aa", 9)
+    # round 2 sees [aa, aa] per word -> (aa,aa) = 3, NOT (aa,a)
+    assert out[1] == (2, "aa", "aa", "aaaa", 3)
+
+
+def test_bpe_train_early_stop_no_pairs(spark):
+    """Single-character words carry no adjacent pairs: training stops
+    before n_merges and returns the empty merge table."""
+    from entity_resolution_spark.operators.tokenize import bpe_train
+
+    d = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    assert bpe_train(d, n_merges=5).count() == 0
+
+
+def test_bpe_train_partition_invariance(spark):
+    from entity_resolution_spark.operators.tokenize import bpe_train
+
+    rows = [(i, "stream streams streaming sort sorted") for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in bpe_train(d, n_merges=4).collect()]
+    b = [tuple(r) for r in bpe_train(d.repartition(7), n_merges=4).collect()]
+    assert a == b and len(a) == 4

@@ -38,3 +38,63 @@ def test_tfidf_plan_has_no_python(spark):
     docs = _corpus(spark)
     plan = tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_hand_computed(spark):
+    """Single-term query over a 3-doc corpus: verify the Lucene-idf BM25
+    score against a hand-derived value and the (score desc, id asc) order."""
+    import math
+
+    from entity_resolution_spark.operators.terms import bm25_topk
+
+    docs = _corpus(spark)
+    out = bm25_topk(docs, [("q", "spark")], k=10).collect()
+    # only doc 1 contains 'spark'
+    assert [(r["query_id"], r["doc_id"], r["rank"]) for r in out] == [("q", 1, 1)]
+    # hand computation: N=3, df=1, tf=3, dl=5, avgdl=(5+8+6)/3
+    idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    denom = 3 + 1.2 * (1 - 0.75 + 0.75 * 5 / (19 / 3))
+    expected = round(round(idf * 3 * 2.2 / denom * 1e6) / 1e6, 6)
+    assert abs(out[0]["score"] - expected) < 1e-9
+
+
+def test_bm25_multi_term_ranking_and_ties(spark):
+    """Multi-term query: docs matching more/rarer terms rank first; the
+    shared-term-only doc still appears; ranks are dense 1..n."""
+    from entity_resolution_spark.operators.terms import bm25_topk
+
+    docs = _corpus(spark)
+    out = bm25_topk(docs, [("q", "spark shuffle")], k=10).collect()
+    got = {r["doc_id"]: r["rank"] for r in out}
+    assert set(got) == {1, 2}  # doc 3 has neither term
+    assert got[1] == 1  # doc 1 matches both terms (incl. rare 'spark')
+    assert sorted(r["rank"] for r in out) == [1, 2]
+
+
+def test_bm25_term_shared_across_queries_df_not_doubled(spark):
+    """A term appearing in two queries must not double its df: both queries
+    see the same single-query score for the same doc."""
+    from entity_resolution_spark.operators.terms import bm25_topk
+
+    docs = _corpus(spark)
+    one = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs, [("a", "spark")], k=10).collect()
+    }
+    two = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs, [("a", "spark"), ("b", "spark words")], k=10).collect()
+    }
+    assert two[("a", 1)] == one[("a", 1)]
+
+
+def test_bm25_partition_invariance(spark):
+    """Quantized contributions make the score independent of partitioning."""
+    from entity_resolution_spark.operators.terms import bm25_topk
+
+    docs = _corpus(spark)
+    a = sorted(map(tuple, bm25_topk(docs, [("q", "the join words")], k=10).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(docs.repartition(7), [("q", "the join words")], k=10).collect())
+    )
+    assert a == b
