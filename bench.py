@@ -180,6 +180,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "embedding_drift_report",
         "encode_documents_ids",
         "pack_token_ids_stream",
+        # retrieval + tokenizer-training ops
+        "bm25_search_topk",
+        "bpe_train_merges",
     ]:
         if name not in SPARK_QUERIES:
             continue

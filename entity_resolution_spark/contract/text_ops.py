@@ -476,6 +476,76 @@ def tfidf_top_terms(spark, sf_dir):
     return op(d, k=3)
 
 
+# --- Gopher / MassiveWeb quality rules (Rae et al. 2021 A1.1) ---------------
+@query(
+    "gopher_quality_flags",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                    x -> x <> '') AS words,
+        list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                   x -> trim(x)),
+                    x -> x <> '') AS lines
+      FROM documents),
+    stats AS (
+      SELECT doc_id, text,
+        len(words) AS n,
+        coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS sum_len,
+        (length(coalesce(text,'')) - length(replace(coalesce(text,''), '#', ''))) / 1.0
+          + (length(coalesce(text,'')) - length(replace(coalesce(text,''), '...', ''))) / 3.0
+          + (length(coalesce(text,'')) - length(replace(coalesce(text,''), '…', ''))) / 1.0
+          AS n_symbols,
+        len(lines) AS n_lines,
+        len(list_filter(lines, x -> substring(x, 1, 1) IN ('•','‣','▪','-','*'))) AS bullet,
+        len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS ellipsis,
+        len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha_words,
+        (list_contains(list_transform(words, w -> lower(w)), 'the')::int
+         + list_contains(list_transform(words, w -> lower(w)), 'be')::int
+         + list_contains(list_transform(words, w -> lower(w)), 'to')::int
+         + list_contains(list_transform(words, w -> lower(w)), 'of')::int
+         + list_contains(list_transform(words, w -> lower(w)), 'and')::int
+         + list_contains(list_transform(words, w -> lower(w)), 'that')::int
+         + list_contains(list_transform(words, w -> lower(w)), 'have')::int
+         + list_contains(list_transform(words, w -> lower(w)), 'with')::int) AS n_stop
+      FROM base),
+    rounded AS (
+      SELECT doc_id, text, n, n_stop,
+        round(CASE WHEN n > 0 THEN sum_len / n ELSE 0.0 END, 6) AS mean_word_len,
+        round(CASE WHEN n > 0 THEN n_symbols / n ELSE 0.0 END, 6) AS symbol_word_ratio,
+        round(CASE WHEN n_lines > 0 THEN bullet / (n_lines * 1.0) ELSE 0.0 END, 6) AS frac_bullet_lines,
+        round(CASE WHEN n_lines > 0 THEN ellipsis / (n_lines * 1.0) ELSE 0.0 END, 6) AS frac_ellipsis_lines,
+        round(CASE WHEN n > 0 THEN alpha_words / (n * 1.0) ELSE 0.0 END, 6) AS frac_alpha_words
+      FROM stats)
+    SELECT doc_id,
+      CASE WHEN text IS NULL THEN NULL ELSE CAST(n AS BIGINT) END AS n_words,
+      CASE WHEN text IS NULL THEN NULL ELSE mean_word_len END AS mean_word_len,
+      CASE WHEN text IS NULL THEN NULL ELSE symbol_word_ratio END AS symbol_word_ratio,
+      CASE WHEN text IS NULL THEN NULL ELSE frac_bullet_lines END AS frac_bullet_lines,
+      CASE WHEN text IS NULL THEN NULL ELSE frac_ellipsis_lines END AS frac_ellipsis_lines,
+      CASE WHEN text IS NULL THEN NULL ELSE frac_alpha_words END AS frac_alpha_words,
+      CASE WHEN text IS NULL THEN NULL ELSE CAST(n_stop AS INT) END AS n_stop_words,
+      CASE WHEN text IS NULL THEN 0 ELSE
+        (n >= 50 AND n <= 100000
+         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         AND symbol_word_ratio <= 0.1
+         AND frac_bullet_lines <= 0.9
+         AND frac_ellipsis_lines <= 0.3
+         AND frac_alpha_words >= 0.8
+         AND n_stop >= 2)::int END AS passes_gopher
+    FROM rounded
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """The seven Gopher/MassiveWeb document-quality rules as one JVM
+    projection (functions/text.py:gopher_rules_cols)."""
+    from ..functions.text import gopher_rules_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = gopher_rules_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
 # --- BM25 retrieval (query -> top-k documents) ------------------------------
 _BM25_QUERIES = [
     ("q1", "slow customer join"),

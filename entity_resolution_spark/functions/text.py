@@ -309,6 +309,91 @@ def c4_filter_cols(text: Column) -> dict[str, Column]:
     }
 
 
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_rules_cols(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The Gopher / MassiveWeb document-quality rules (Rae et al. 2021
+    §A1.1) as pure Column expressions — one JVM projection, no Python, no
+    shuffle. A document PASSES iff all seven hold:
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio (``#`` / ``...`` / ``…``) <= 0.1
+      4. <= 90% of non-empty lines start with a bullet character
+      5. <= 30% of non-empty lines end with an ellipsis
+      6. >= 80% of words contain an alphabetic character
+      7. >= 2 distinct "required" stop words present (GOPHER_STOP_WORDS)
+
+    Fractions are rounded to 6 and every rule flag is computed FROM the
+    rounded value (the repetition_stats_cols convention), so any engine
+    replicating the arithmetic agrees exactly. NULL text yields NULL
+    stats and passes_gopher = 0. Flags are INTs for the driver
+    canonicalizer.
+    """
+    words = F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    n = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len = F.round(F.when(n > 0, sum_len / n).otherwise(F.lit(0.0)), 6)
+
+    def _count_occurrences(needle: str) -> Column:
+        return (F.length(text) - F.length(F.replace(text, F.lit(needle)))) / len(needle)
+
+    n_symbols = _count_occurrences("#") + _count_occurrences("...") + _count_occurrences("…")
+    symbol_ratio = F.round(F.when(n > 0, n_symbols / n).otherwise(F.lit(0.0)), 6)
+
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), F.trim), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(x, 1, 1).isin(*_GOPHER_BULLETS),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    frac_bullet = F.round(F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0)), 6)
+    frac_ellipsis = F.round(F.when(n_lines > 0, ellipsis / n_lines).otherwise(F.lit(0.0)), 6)
+
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    frac_alpha = F.round(F.when(n > 0, alpha_words / n).otherwise(F.lit(0.0)), 6)
+
+    words_l = F.transform(words, F.lower)
+    n_stop = sum(
+        (F.array_contains(words_l, s).cast("int") for s in GOPHER_STOP_WORDS),
+        start=F.lit(0),
+    )
+
+    passes = (
+        (n >= min_words) & (n <= max_words)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (frac_bullet <= 0.9)
+        & (frac_ellipsis <= 0.3)
+        & (frac_alpha >= 0.8)
+        & (n_stop >= 2)
+    )
+    notnull = text.isNotNull()
+    return {
+        "n_words": F.when(notnull, n.cast("long")),
+        "mean_word_len": F.when(notnull, mean_len),
+        "symbol_word_ratio": F.when(notnull, symbol_ratio),
+        "frac_bullet_lines": F.when(notnull, frac_bullet),
+        "frac_ellipsis_lines": F.when(notnull, frac_ellipsis),
+        "frac_alpha_words": F.when(notnull, frac_alpha),
+        "n_stop_words": F.when(notnull, n_stop.cast("int")),
+        "passes_gopher": F.coalesce(passes.cast("int"), F.lit(0)),
+    }
+
+
 def fingerprint_positions(
     text: str | None, k: int = 8, window: int = 16
 ) -> list[tuple[int, int]]:

@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = [
     # new in round 3 (later session)
     "bm25_search_topk",
     "bpe_train_merges",
+    "gopher_quality_flags",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

@@ -182,3 +182,74 @@ def test_c4_page_filter(spark):
     assert out[3].kept == 0 and out[3].drop_reason == "brace"
     assert out[4].kept == 0 and out[4].drop_reason == "too_few_sentences"
     assert out[5].kept == 0 and out[5].clean_text is None
+
+
+def _gopher(spark, text):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.functions.text import gopher_rules_cols
+
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    cols = gopher_rules_cols(F.col("text"))
+    return d.select(*[c.alias(k) for k, c in cols.items()]).collect()[0]
+
+
+def test_gopher_passing_document(spark):
+    """A plain prose doc satisfying all seven rules passes."""
+    text = " ".join(
+        ["the quick brown fox jumps over and over to the side of that lazy dog have with"] * 5
+    )
+    r = _gopher(spark, text)
+    assert r["n_words"] == 85 and r["passes_gopher"] == 1
+    assert r["n_stop_words"] >= 2 and r["frac_alpha_words"] == 1.0
+
+
+def test_gopher_word_count_and_mean_length_rules(spark):
+    # under 50 words -> fail
+    assert _gopher(spark, "the of short doc")["passes_gopher"] == 0
+    # 50 one-char words -> mean length 1 < 3 -> fail even with stop words
+    r = _gopher(spark, "the of " + "a " * 60)
+    assert r["n_words"] == 62 and r["mean_word_len"] < 3 and r["passes_gopher"] == 0
+
+
+def test_gopher_symbol_bullet_ellipsis_rules(spark):
+    base = "the of " + "word " * 60
+    # heavy '#' use -> symbol ratio > 0.1 -> fail
+    r = _gopher(spark, base + "#" * 20)
+    assert r["symbol_word_ratio"] > 0.1 and r["passes_gopher"] == 0
+    # every line a bullet -> frac_bullet_lines = 1 > 0.9 -> fail
+    bullets = "\n".join("- " + base for _ in range(3))
+    r = _gopher(spark, bullets)
+    assert r["frac_bullet_lines"] == 1.0 and r["passes_gopher"] == 0
+    # >30% of lines end with ellipsis -> fail; blank lines don't count
+    ell = base + "...\n\n" + base + "…\n" + base
+    r = _gopher(spark, ell)
+    assert abs(r["frac_ellipsis_lines"] - 2 / 3) < 1e-6 and r["passes_gopher"] == 0
+
+
+def test_gopher_alpha_and_stopword_rules(spark):
+    # 60 numeric words out of 62 -> frac_alpha < 0.8 -> fail
+    r = _gopher(spark, "the of " + "123 " * 60)
+    assert r["frac_alpha_words"] < 0.8 and r["passes_gopher"] == 0
+    # no stop words at all -> fail
+    r = _gopher(spark, "word " * 60)
+    assert r["n_stop_words"] == 0 and r["passes_gopher"] == 0
+
+
+def test_gopher_null_text(spark):
+    r = _gopher(spark, None)
+    assert r["n_words"] is None and r["passes_gopher"] == 0
+
+
+def test_gopher_plan_has_no_python(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.functions.text import gopher_rules_cols
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    cols = gopher_rules_cols(F.col("text"))
+    plan = (
+        d.select(*[c.alias(k) for k, c in cols.items()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
