@@ -165,6 +165,41 @@ def shuffle_shards_layout(spark, sf_dir):
     return shuffle_shards(d)
 
 
+def _weighted_sample_sql(k: int = 100, seed: int = 42) -> str:
+    seed_c = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    return f"""
+WITH __m0 AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         xor(doc_id::UBIGINT, {seed_c}::UBIGINT) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+{_sql._splitmix64_ctes("__m0", "doc_id, weight")},
+__k AS (
+  SELECT doc_id, weight,
+         (((h >> 1)::BIGINT >> 10) + 1) / 9007199254740992.0 AS u
+  FROM __mixed),
+__s AS (
+  SELECT doc_id, weight,
+         CAST(round(ln(u) / weight * 1e6) AS BIGINT) AS es_micro
+  FROM __k)
+SELECT doc_id, weight, es_micro,
+       CAST(row_number() OVER (ORDER BY es_micro DESC, doc_id) AS INT) AS rank
+FROM __s ORDER BY es_micro DESC, doc_id LIMIT {k}
+"""
+
+
+# A-ES weighted sampling without replacement; the oracle reuses the
+# MinHash kernel's splitmix64 UHUGEINT replica for the seeded uniform.
+@query("weighted_docs_sample", _weighted_sample_sql())
+def weighted_docs_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample (k=100, weight=n_chars):
+    seeded-uniform ln(u)/w keys quantized to micro-units, global
+    TakeOrdered — no corpus shuffle (operators/sampling.weighted_sample)."""
+    from ..operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, k=100, weight_col="n_chars")
+
+
 @query(
     "balanced_token_shards",
     """

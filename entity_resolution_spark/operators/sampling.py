@@ -458,6 +458,75 @@ def shuffle_shards(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement (A-ES,
+    Inf. Proc. Letters 2006): draw ``k`` rows with inclusion probability
+    proportional to ``weight_col``, deterministically.
+
+    Each row gets key ``ln(u) / w`` where ``u`` is a seeded uniform derived
+    from the id (splitmix64, same mix + SQL replica as shuffle_shards);
+    the sample is the k LARGEST keys. This is order-equivalent to the
+    paper's ``u^(1/w)`` formulation. ``u = ((mix >> 10) + 1) / 2^53`` —
+    the integer steps and the power-of-two division are exact in IEEE
+    doubles, so any engine reproduces ``u`` bit-for-bit; the key is then
+    quantized to integer micro-units (the DSIR convention) so the ln/÷
+    round-trip is engine-independent at the emitted precision, with id as
+    the final tiebreak.
+
+    Rows with non-positive or NULL weight are excluded (standard A-ES
+    domain). Scale shape: one narrow Arrow pass for the mix, a map-only
+    key projection, and a bounded global TakeOrdered(k) — no shuffle of
+    the corpus, no full sort. Non-negative ids assumed by the SQL oracle
+    (the engine wraps negative ids mod 2^64 like any uint64 reinterpret).
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    seed_c = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    @pandas_udf(T.LongType())
+    def mix_udf(ids: pd.Series) -> pd.Series:
+        from ..functions.text import _splitmix64
+
+        h = ids.to_numpy(dtype=np.int64).astype(np.uint64) ^ seed_c
+        return pd.Series((_splitmix64(h) >> np.uint64(1)).astype(np.int64))
+
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        docs.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            mix_udf(F.col(id_col)).alias("__mix"),
+        )
+    )
+    u = (F.shiftright(F.col("__mix"), 10) + F.lit(1)) / F.lit(float(1 << 53))
+    es_micro = F.round(F.log(u) / F.col("weight") * F.lit(1e6)).cast("long")
+    top = (
+        keyed.withColumn("es_micro", es_micro)
+        .orderBy(F.desc("es_micro"), F.asc(id_col))
+        .limit(int(k))
+    )
+    rank_w = Window.orderBy(F.desc("es_micro"), F.asc(id_col))
+    return top.select(
+        id_col,
+        "weight",
+        "es_micro",
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

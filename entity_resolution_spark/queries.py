@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = [
     "bm25_search_topk",
     "bpe_train_merges",
     "gopher_quality_flags",
+    "weighted_docs_sample",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

@@ -270,3 +270,40 @@ def test_balanced_shards_ties_break_by_id(spark):
     out = {r["doc_id"]: (r["shard"], r["pos"]) for r in balanced_shards(d, "w", n_shards=3).collect()}
     # all-equal weights: global order is doc_id asc -> snake 0,1,2,2,1,0
     assert [out[i][0] for i in range(6)] == [0, 1, 2, 2, 1, 0]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES inclusion is weight-proportional: with one row carrying ~99%
+    of total weight, k=1 picks it for the large majority of seeds."""
+    from entity_resolution_spark.operators.sampling import weighted_sample
+
+    rows = [(0, 2000)] + [(i, 2) for i in range(1, 11)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    wins = sum(
+        weighted_sample(d, k=1, weight_col="w", seed=s).collect()[0]["doc_id"] == 0
+        for s in range(20)
+    )
+    assert wins >= 15  # p(row0) ~ 0.99 per draw
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from entity_resolution_spark.operators.sampling import weighted_sample
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (5, 7)], "doc_id long, w long"
+    )
+    got = {r["doc_id"] for r in weighted_sample(d, k=10, weight_col="w").collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    from entity_resolution_spark.operators.sampling import weighted_sample
+
+    d = spark.createDataFrame([(i, 1 + i % 7) for i in range(200)], "doc_id long, w long")
+    a = [tuple(r) for r in weighted_sample(d, k=25, weight_col="w").collect()]
+    b = [tuple(r) for r in weighted_sample(d.repartition(9), k=25, weight_col="w").collect()]
+    assert a == b and len(a) == 25
+    assert [r[3] for r in a] == list(range(1, 26))  # dense ranks in key order
+    # different seed -> different sample (overwhelmingly)
+    c = [tuple(r) for r in weighted_sample(d, k=25, weight_col="w", seed=7).collect()]
+    assert c != a
