@@ -7,6 +7,8 @@ each carries a complete DuckDB value-hash oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..queries import _t, query
 
 # 8-word segments; boilerplate = a segment appearing in >= 2 distinct docs.
@@ -119,6 +121,65 @@ def bpe_top_merges(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return bpe_pair_counts(d, k=50)
+
+
+# --- blocking-scheme evaluation (Christen 2012 ch. 7) ------------------------
+@query(
+    "blocking_quality_report",
+    """
+    WITH e AS (
+      SELECT DISTINCT doc_id AS id,
+             lang || ':' || CAST(n_chars // 8 AS VARCHAR) AS b
+      FROM documents),
+    tr AS (SELECT doc_id AS id,
+                  sha256(coalesce(substr(text, 1, 40), '')) AS tc
+           FROM documents),
+    comp AS (
+      SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+      FROM (SELECT b, count(*) AS n FROM e GROUP BY 1)),
+    nrec AS (SELECT count(DISTINCT id) AS n FROM tr),
+    tpx AS (
+      SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+      FROM (SELECT tc, count(*) AS n FROM tr GROUP BY 1)),
+    et AS (SELECT e.id, e.b, tr.tc FROM e JOIN tr USING (id)),
+    cov AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT DISTINCT a.id AS i, c.id AS j
+        FROM et a JOIN et c ON a.b = c.b AND a.tc = c.tc AND a.id < c.id))
+    SELECT CAST(nrec.n AS BIGINT) AS n_records,
+           CAST(nrec.n * (nrec.n - 1) // 2 AS BIGINT) AS total_pairs,
+           comp.v AS comparisons,
+           tpx.v AS truth_pairs,
+           cov.v AS covered_true_pairs,
+           round(CASE WHEN nrec.n >= 2
+                      THEN 1.0 - comp.v / (nrec.n * (nrec.n - 1) // 2)
+                      ELSE 0.0 END, 6) AS reduction_ratio,
+           round(CASE WHEN tpx.v > 0 THEN cov.v / tpx.v ELSE 0.0 END, 6) AS pair_completeness,
+           round(CASE WHEN comp.v > 0 THEN cov.v / comp.v ELSE 0.0 END, 6) AS pair_quality
+    FROM nrec, comp, tpx, cov
+    """,
+)
+def blocking_quality_report(spark, sf_dir):
+    """Blocking-scheme evaluation over the documents table: a
+    (lang, length-band) key judged against exact-content ground truth —
+    reduction ratio, pair completeness, pair quality
+    (operators/quality.py:blocking_quality)."""
+    from ..operators.quality import blocking_quality
+
+    d = _t(spark, sf_dir, "documents")
+    blocks = d.select(
+        "doc_id",
+        F.concat_ws(
+            ":", "lang", F.floor(F.col("n_chars") / 8).cast("long").cast("string")
+        ).alias("block_key"),
+    )
+    # ground truth: documents sharing a 40-char prefix (the sf corpora
+    # carry no byte-exact dups, but prefix families exist at every scale)
+    truth = d.select(
+        "doc_id",
+        F.sha2(F.coalesce(F.substring("text", 1, 40), F.lit("")), 256).alias("cluster_id"),
+    )
+    return blocking_quality(blocks, truth)
 
 
 def _bpe_train_sql(n_merges: int, vocab_limit: int) -> str:

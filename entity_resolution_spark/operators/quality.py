@@ -71,3 +71,76 @@ def pairwise_cluster_metrics(
     result = result.localCheckpoint(eager=True)
     cont.unpersist()
     return result
+
+
+def blocking_quality(
+    blocks: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str = "block_key",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One row of blocking-scheme evaluation metrics (Christen 2012,
+    "Data Matching" ch. 7): how much work a blocking key saves and how
+    many true matches it keeps reachable.
+
+      comparisons        = sum_b C(n_b, 2)   (candidate comparisons the
+                           scheme generates; multi-block pairs count once
+                           per shared block — the COST metric)
+      total_pairs        = C(N, 2) over the labeled records
+      reduction_ratio    = 1 - comparisons / total_pairs
+      truth_pairs        = sum_t C(n_t, 2)
+      covered_true_pairs = DISTINCT same-truth pairs sharing >= 1 block
+      pair_completeness  = covered / truth_pairs     (blocking recall)
+      pair_quality       = covered / comparisons     (blocking precision)
+
+    Scale shape: comparisons / total_pairs / truth_pairs are C(n,2) sums
+    over hash-aggregated censuses — no pair materialization (quality.py's
+    `_c2` integer arithmetic). Only covered_true_pairs joins pairs out,
+    and only WITHIN (block, truth-cluster) intersections — bounded by the
+    labeled ground truth, which is eval-set-sized in practice; corpus-scale
+    blocks with no shared truth label never pair. Ratios round-6.
+    """
+    e = blocks.select(F.col(id_col).alias("id"), F.col(block_col).alias("b")).distinct()
+    t = truth.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("t"))
+
+    comparisons = (
+        e.groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.sum(_c2(F.col("n"))), F.lit(0)).alias("comparisons"))
+    )
+    n_records = t.select("id").distinct().agg(F.count("*").alias("n_records"))
+    truth_pairs = (
+        t.groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .agg(F.coalesce(F.sum(_c2(F.col("n"))), F.lit(0)).alias("truth_pairs"))
+    )
+    et = e.join(t.hint("shuffle_hash"), "id")
+    l = et.select(F.col("b"), F.col("t"), F.col("id").alias("i"))
+    r = et.select(F.col("b"), F.col("t"), F.col("id").alias("j"))
+    covered = (
+        l.join(r.hint("shuffle_hash"), ["b", "t"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+        .agg(F.count("*").alias("covered_true_pairs"))
+    )
+    out = n_records.crossJoin(comparisons).crossJoin(truth_pairs).crossJoin(covered)
+    total = _c2(F.col("n_records"))
+    rr = F.when(total > 0, 1.0 - F.col("comparisons") / total).otherwise(F.lit(0.0))
+    pc = F.when(
+        F.col("truth_pairs") > 0, F.col("covered_true_pairs") / F.col("truth_pairs")
+    ).otherwise(F.lit(0.0))
+    pq = F.when(
+        F.col("comparisons") > 0, F.col("covered_true_pairs") / F.col("comparisons")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("n_records").cast("long").alias("n_records"),
+        total.cast("long").alias("total_pairs"),
+        F.col("comparisons").cast("long").alias("comparisons"),
+        F.col("truth_pairs").cast("long").alias("truth_pairs"),
+        F.col("covered_true_pairs").cast("long").alias("covered_true_pairs"),
+        F.round(rr, 6).alias("reduction_ratio"),
+        F.round(pc, 6).alias("pair_completeness"),
+        F.round(pq, 6).alias("pair_quality"),
+    )

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = [
     "bpe_train_merges",
     "gopher_quality_flags",
     "weighted_docs_sample",
+    "blocking_quality_report",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

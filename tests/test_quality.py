@@ -32,3 +32,53 @@ def test_pairwise_metrics_identical_clusterings(spark):
     )
     r = pairwise_cluster_metrics(pred, pred).collect()[0]
     assert r.pair_f1 == 1.0 and r.tp_pairs == 3
+
+
+def test_blocking_quality_hand_computed(spark):
+    """4 records, truth {1,2},{3,4}; blocking puts 1,2,3 together and 4
+    alone: comparisons=C(3,2)=3, covered true pairs={(1,2)}, RR=1-3/6."""
+    from entity_resolution_spark.operators.quality import blocking_quality
+
+    blocks = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "doc_id long, block_key string"
+    )
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")], "doc_id long, cluster_id string"
+    )
+    r = blocking_quality(blocks, truth).collect()[0]
+    assert r["n_records"] == 4 and r["total_pairs"] == 6
+    assert r["comparisons"] == 3 and r["truth_pairs"] == 2
+    assert r["covered_true_pairs"] == 1
+    assert abs(r["reduction_ratio"] - 0.5) < 1e-9
+    assert abs(r["pair_completeness"] - 0.5) < 1e-9
+    assert abs(r["pair_quality"] - 1 / 3) < 1e-6  # round-6 emitted value
+
+
+def test_blocking_quality_multi_block_pair_counted_once(spark):
+    """A true pair sharing TWO blocks counts once in covered_true_pairs,
+    while comparisons charges each block separately (the cost metric)."""
+    from entity_resolution_spark.operators.quality import blocking_quality
+
+    blocks = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (1, "b"), (2, "b")], "doc_id long, block_key string"
+    )
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "doc_id long, cluster_id string"
+    )
+    r = blocking_quality(blocks, truth).collect()[0]
+    assert r["comparisons"] == 2  # one per block
+    assert r["covered_true_pairs"] == 1  # deduped
+    assert r["pair_completeness"] == 1.0
+
+
+def test_blocking_quality_empty_blocks(spark):
+    """No blocking at all: zero comparisons, RR=1, completeness 0."""
+    from entity_resolution_spark.operators.quality import blocking_quality
+
+    blocks = spark.createDataFrame([], "doc_id long, block_key string")
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, cluster_id string"
+    )
+    r = blocking_quality(blocks, truth).collect()[0]
+    assert r["comparisons"] == 0 and r["covered_true_pairs"] == 0
+    assert r["reduction_ratio"] == 1.0 and r["pair_completeness"] == 0.0
