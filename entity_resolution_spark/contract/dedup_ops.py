@@ -94,6 +94,55 @@ def sim_search_ivf_full_probe(spark, sf_dir):
     return ivf_topk(cells, cent, list(q), k=10, n_probe=len(cent))
 
 
+# --- IVF index delta maintenance: append without refit ----------------------
+# Builds the index on 90% of the table, folds the remaining vectors in via
+# append_ivf_index (delta-only Arrow pass + file-wise append under the
+# standing cell= partitions), then full-probes the READ-BACK index — which
+# must equal exact brute force over the WHOLE table. Any lost/misfiled
+# delta vector breaks the oracle.
+@query(
+    "ivf_append_full_probe",
+    """
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+             AS cosine
+    FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ivf_append_full_probe(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity_search import (
+        append_ivf_index,
+        assign_cells,
+        ivf_topk,
+        read_ivf_index,
+        train_centroids,
+        write_ivf_index,
+    )
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") >= 50)
+    delta = emb.filter(F.col("vec_id") < 50)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = tempfile.mkdtemp(prefix="ers_ivf_append_")
+    path = os.path.join(base, "index")
+    try:
+        cent = train_centroids(standing, n_cells=8, iters=5)
+        write_ivf_index(assign_cells(standing, cent), path, cent)
+        append_ivf_index(delta, path)
+        cells, cent2 = read_ivf_index(spark, path)
+        out = ivf_topk(cells, cent2, list(q), k=10, n_probe=len(cent2))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --- J: semi / anti joins (engine's resume path uses left_anti) ------------
 @query(
     "j_semi_join",

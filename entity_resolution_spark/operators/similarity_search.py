@@ -169,6 +169,38 @@ def write_ivf_index(
         ).write.mode("overwrite").parquet(path.rstrip("/") + "__centroids")
 
 
+def append_ivf_index(
+    new_emb: DataFrame, path: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Delta-proportional IVF index maintenance: fold NEW vectors into a
+    standing cell-partitioned index WITHOUT refitting or rewriting it.
+
+    The delta is assigned to the index's persisted centroids (one Arrow
+    pass over the delta only — the standing corpus is never read or
+    shuffled) and appended file-wise under the existing ``cell=``
+    partition directories, so probes keep their partition pruning and the
+    append cost is O(delta), the same maintenance contract as the
+    pipeline's incremental fold. Returns the per-cell append counts
+    (bounded by n_cells) — the monitoring signal for deciding when drift
+    warrants a refit (compare against the cell histogram at build time;
+    see kmeans.embedding_drift for the corpus-level version).
+    """
+    spark = new_emb.sparkSession
+    cent_df = spark.read.parquet(path.rstrip("/") + "__centroids")
+    rows = sorted((r["cell"], r["centroid"]) for r in cent_df.collect())
+    centroids = np.array([c for _, c in rows], dtype="float64")
+    assigned = assign_cells(new_emb, centroids, vec_col).persist()
+    assigned.write.partitionBy("cell").mode("append").parquet(path)
+    counts = (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_added"))
+        .orderBy("cell")
+        .localCheckpoint(eager=True)
+    )
+    assigned.unpersist()
+    return counts
+
+
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """Load (cell-partitioned embeddings, centroid matrix)."""
     emb = spark.read.parquet(path)

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "gopher_quality_flags",
     "weighted_docs_sample",
     "blocking_quality_report",
+    "ivf_append_full_probe",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

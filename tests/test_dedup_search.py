@@ -419,3 +419,48 @@ def test_remove_duplicate_spans_merges_interrupted_runs(spark):
     assert out[1].n_spans == 2
     assert "KEEP-ME" in out[1].clean_text
     assert len(out[1].clean_text) + out[1].n_chars_removed == len(rows[0][1])
+
+
+def test_append_ivf_index_delta_fold(spark, tmp_path):
+    """Appending a delta to a standing IVF index: per-cell counts sum to
+    the delta size, the read-back table is the exact union, appended
+    vectors land in the same cells direct assignment would give, and the
+    cell= partition layout (probe pruning) survives the append."""
+    import os
+
+    from entity_resolution_spark.operators.similarity_search import (
+        append_ivf_index,
+        assign_cells,
+        read_ivf_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    standing = emb.filter(F.col("vec_id") < 100)
+    delta = emb.filter(F.col("vec_id") >= 100)
+    path = str(tmp_path / "ivf")
+
+    cent = train_centroids(standing, n_cells=4, iters=4)
+    write_ivf_index(assign_cells(standing, cent), path, cent)
+    counts = append_ivf_index(delta, path)
+    assert sum(r["n_added"] for r in counts.collect()) == 20
+
+    cells, cent2 = read_ivf_index(spark, path)
+    assert cells.count() == 120
+    assert {r["vec_id"] for r in cells.select("vec_id").collect()} == set(range(120))
+    # appended rows carry the same cell as direct assignment against the
+    # standing centroids
+    direct = {
+        r["vec_id"]: r["cell"] for r in assign_cells(delta, cent2).collect()
+    }
+    stored = {
+        r["vec_id"]: r["cell"]
+        for r in cells.filter(F.col("vec_id") >= 100).collect()
+    }
+    assert stored == direct
+    # partition layout intact: cell= directories, no refit of centroids
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    assert np.allclose(cent2, cent)
