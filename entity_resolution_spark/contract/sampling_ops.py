@@ -165,6 +165,52 @@ def shuffle_shards_layout(spark, sf_dir):
     return shuffle_shards(d)
 
 
+@query(
+    "length_batch_layout",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+           CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) // 32 AS BIGINT) AS batch_id,
+           CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 32 AS INT) AS slot
+    FROM documents
+    """,
+)
+def length_batch_layout(spark, sf_dir):
+    """Length-bucketed batch layout (batch_size=32): deterministic
+    dynamic-batching assignment minimizing fixed-shape padding
+    (operators/sampling.batch_by_length — range-exchange global rank,
+    no single-reducer sort)."""
+    from ..operators.sampling import batch_by_length
+
+    d = _t(spark, sf_dir, "documents")
+    return batch_by_length(d, batch_size=32)
+
+
+@query(
+    "padding_efficiency_report",
+    """
+    WITH a AS (
+      SELECT CAST(n_chars AS BIGINT) AS length,
+             (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) // 32 AS batch_id
+      FROM documents),
+    per AS (
+      SELECT batch_id, count(*) AS n, sum(length) AS real, max(length) AS mx
+      FROM a GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(real) AS BIGINT) AS real_tokens,
+           CAST(sum(mx * n) AS BIGINT) AS padded_tokens,
+           round(sum(real) / sum(mx * n), 6) AS efficiency
+    FROM per
+    """,
+)
+def padding_efficiency_report(spark, sf_dir):
+    """Padding-waste metrics of the length-bucketed layout: every row padded
+    to its batch max (operators/sampling.padding_stats)."""
+    from ..operators.sampling import batch_by_length, padding_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return padding_stats(batch_by_length(d, batch_size=32))
+
+
 def _weighted_sample_sql(k: int = 100, seed: int = 42) -> str:
     seed_c = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
     return f"""

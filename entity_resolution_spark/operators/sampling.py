@@ -566,6 +566,91 @@ def stratified_sample(
     )
 
 
+def _global_positions(df: DataFrame, order) -> DataFrame:
+    """Add ``__gpos`` — the 0-based global position of each row along the
+    ``order`` columns — WITHOUT a single-reducer sort: range-repartition on
+    the sort key, rank within each range partition, then add per-partition
+    offsets from a partition census (a numPartitions-row control-plane
+    collect, the pipeline's block-census convention). The offsets ride a
+    broadcast-joined frame, NOT a chained F.when per partition — at
+    cluster scale the range exchange has thousands of partitions and a
+    thousands-deep when-tree breaks codegen. One range exchange, one
+    narrow census, no global single-reducer sort anywhere."""
+    part = df.repartitionByRange(*order).withColumn("__p", F.spark_partition_id())
+    w = Window.partitionBy("__p").orderBy(*order)
+    ranked = part.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = {
+        r["__p"]: r["n"]
+        for r in ranked.groupBy("__p").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "__p int, __off long")
+    return (
+        ranked.join(F.broadcast(off_df), "__p", "left")
+        .withColumn(
+            "__gpos",
+            (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__rn") - 1).cast("long"),
+        )
+        .drop("__p", "__rn", "__off")
+    )
+
+
+def batch_by_length(
+    docs: DataFrame,
+    batch_size: int,
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, length, batch_id, slot) — length-bucketed batch layout:
+    rows sorted by (length DESC, id) are chunked into consecutive batches
+    of ``batch_size``, so each batch holds near-equal-length documents and
+    the padding a fixed-shape training/inference step pays (every sequence
+    padded to its batch max) is minimized — the standard dynamic-batching
+    layout, made deterministic.
+
+    ``slot`` is the row's position within its batch. The final short batch
+    (< batch_size rows) is the LAST batch id, holding the shortest rows.
+    Scale shape: one range exchange + partition census (`_global_positions`)
+    — no global single-reducer sort; batch assignment is then arithmetic
+    on the global position.
+    """
+    sel = docs.select(F.col(id_col), F.col(len_col).cast("long").alias("length"))
+    ranked = _global_positions(sel, [F.desc("length"), F.asc(id_col)])
+    b = int(batch_size)
+    return ranked.select(
+        F.col(id_col),
+        "length",
+        F.floor(F.col("__gpos") / b).cast("long").alias("batch_id"),
+        F.pmod(F.col("__gpos"), F.lit(b)).cast("int").alias("slot"),
+    )
+
+
+def padding_stats(assign: DataFrame) -> DataFrame:
+    """One row of padding-efficiency metrics for a `batch_by_length`
+    assignment: every row in a batch is padded to the batch max, so
+
+      real_tokens   = sum(length)
+      padded_tokens = sum_b max_len(b) * rows(b)
+      efficiency    = real / padded   (1.0 = zero padding waste)
+
+    One map-side-combined aggregate to |batches| rows, then a single-row
+    reduce — no shuffle of the corpus beyond the per-batch combine."""
+    per = assign.groupBy("batch_id").agg(
+        F.count("*").alias("n"),
+        F.sum("length").alias("real"),
+        F.max("length").alias("mx"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("real").cast("long").alias("real_tokens"),
+        F.sum(F.col("mx") * F.col("n")).cast("long").alias("padded_tokens"),
+        F.round(F.sum("real") / F.sum(F.col("mx") * F.col("n")), 6).alias("efficiency"),
+    )
+
+
 def balanced_shards(
     docs: DataFrame,
     weight_col: str,
@@ -593,22 +678,10 @@ def balanced_shards(
     sel = docs.select(
         F.col(id_col),
         F.col(weight_col).cast("long").alias("weight"),
-    ).repartitionByRange(F.desc("weight"), F.asc(id_col))
-    part = sel.withColumn("__p", F.spark_partition_id())
-    w = Window.partitionBy("__p").orderBy(F.desc("weight"), F.asc(id_col))
-    ranked = part.withColumn("__rn", F.row_number().over(w)).localCheckpoint(eager=True)
-    counts = {r["__p"]: r["n"] for r in ranked.groupBy("__p").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = [], 0
-    for p in sorted(counts):
-        offsets.append((p, acc))
-        acc += counts[p]
-    # broadcast-joined offsets frame, NOT a chained F.when per partition —
-    # at cluster scale the range exchange has thousands of partitions and a
-    # thousands-deep when-tree breaks codegen
-    off_df = docs.sparkSession.createDataFrame(offsets or [(0, 0)], "__p int, __off long")
-    ranked = ranked.join(F.broadcast(off_df), "__p", "left")
+    )
+    ranked = _global_positions(sel, [F.desc("weight"), F.asc(id_col)])
     s = int(n_shards)
-    pos = (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__rn") - 1).cast("long")
+    pos = F.col("__gpos")
     cycle = F.floor(pos / s).cast("long")
     off = F.pmod(pos, F.lit(s)).cast("int")
     shard = F.when(cycle % 2 == 0, off).otherwise(F.lit(s - 1) - off)

@@ -65,6 +65,8 @@ _DRIVER_PRIORITY = [
     "weighted_docs_sample",
     "blocking_quality_report",
     "ivf_append_full_probe",
+    "length_batch_layout",
+    "padding_efficiency_report",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

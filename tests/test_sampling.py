@@ -307,3 +307,42 @@ def test_weighted_sample_deterministic_and_partition_invariant(spark):
     # different seed -> different sample (overwhelmingly)
     c = [tuple(r) for r in weighted_sample(d, k=25, weight_col="w", seed=7).collect()]
     assert c != a
+
+
+def test_batch_by_length_hand_layout(spark):
+    """7 docs, batch_size=3: sorted desc by length, chunked into 3/3/1;
+    the short final batch holds the shortest rows."""
+    from entity_resolution_spark.operators.sampling import batch_by_length
+
+    rows = [(i, ln) for i, ln in enumerate([50, 10, 40, 30, 20, 60, 5])]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["doc_id"]: (r["batch_id"], r["slot"], r["length"])
+        for r in batch_by_length(d, batch_size=3).collect()
+    }
+    # desc order: 60(5) 50(0) 40(2) | 30(3) 20(4) 10(1) | 5(6)
+    assert got[5] == (0, 0, 60) and got[0] == (0, 1, 50) and got[2] == (0, 2, 40)
+    assert got[3] == (1, 0, 30) and got[4] == (1, 1, 20) and got[1] == (1, 2, 10)
+    assert got[6] == (2, 0, 5)
+
+
+def test_batch_by_length_partition_invariant_and_beats_random(spark):
+    from entity_resolution_spark.operators.sampling import batch_by_length, padding_stats
+
+    rows = [(i, 10 + (i * 37) % 490) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = sorted(map(tuple, batch_by_length(d, batch_size=16).collect()))
+    b = sorted(map(tuple, batch_by_length(d.repartition(9), batch_size=16).collect()))
+    assert a == b
+    eff = padding_stats(batch_by_length(d, batch_size=16)).collect()[0]
+    assert eff["n_batches"] == 13 and eff["real_tokens"] <= eff["padded_tokens"]
+    # id-ordered (effectively random-length) batching pads far more
+    from pyspark.sql import functions as F
+
+    naive = d.select(
+        "doc_id",
+        F.col("n_chars").alias("length"),
+        F.floor(F.col("doc_id") / 16).alias("batch_id"),
+    )
+    naive_eff = padding_stats(naive).collect()[0]
+    assert eff["efficiency"] > naive_eff["efficiency"]
