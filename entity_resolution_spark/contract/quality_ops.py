@@ -235,6 +235,39 @@ def bpe_train_merges(spark, sf_dir):
     return bpe_train(d, n_merges=10)
 
 
+def _register_source_sketches():
+    from ..functions.minhash import MinHashConfig
+    from .sql_kernels import minhash_signature_ctes
+
+    m = MinHashConfig().num_hashes
+    sql = f"""
+    WITH {minhash_signature_ctes()},
+    __src AS (
+      SELECT s.slot, s.value, d.source AS src
+      FROM __sig s JOIN documents d USING (doc_id)),
+    __sk AS (SELECT src, slot, min(value) AS mn FROM __src GROUP BY 1, 2)
+    SELECT a.src AS src_a, b.src AS src_b,
+           CAST(sum((a.mn = b.mn)::int) AS BIGINT) AS matching_slots,
+           round(sum((a.mn = b.mn)::int) / {m}.0, 6) AS est_jaccard
+    FROM __sk a JOIN __sk b ON a.slot = b.slot AND a.src < b.src
+    GROUP BY 1, 2
+    """
+
+    @query("source_sketch_similarity", sql)
+    def source_sketch_similarity(spark, sf_dir):
+        """Source-level content overlap by MinHash sketch ALGEBRA: each
+        source's sub-corpus collapses to one union sketch (slot-wise min),
+        similarity = slot agreement — no document pairing
+        (operators/cross_corpus.py:source_sketch_similarity)."""
+        from ..operators.cross_corpus import source_sketch_similarity as op
+
+        d = _t(spark, sf_dir, "documents")
+        return op(d)
+
+
+_register_source_sketches()
+
+
 def _register_source_overlap():
     from .sql_kernels import minhash_edge_ctes
 

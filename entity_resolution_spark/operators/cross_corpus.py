@@ -181,3 +181,63 @@ def novel_documents(
         new_docs, ref_docs, cfg, id_col, text_col, min_jaccard, **kwargs
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_docs.join(F.broadcast(matched), id_col, "left_anti")
+
+
+def source_sketch_similarity(
+    docs: DataFrame,
+    cfg: MinHashConfig | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src_a, src_b, matching_slots, est_jaccard) for every unordered
+    source pair — corpus-overlap estimation by MINHASH SKETCH ALGEBRA,
+    never by pairing documents.
+
+    The one-permutation signature of a UNION of sets is the slot-wise min
+    of the members' signatures, so each source's whole sub-corpus
+    collapses to one m-slot sketch (per-(source, slot) min — map-side
+    combined, |sources| x m rows). Slot-agreement between two union
+    sketches then estimates the Jaccard similarity of the sources'
+    *shingle universes* — "how much does crawl A's content space overlap
+    crawl B's" — for the cost of one Arrow sketch pass and a bounded
+    |sources|^2 comparison. The pair-based `dedup.source_overlap_matrix`
+    counts near-dup DOCUMENT pairs; this estimates CONTENT overlap even
+    when no single document crosses the near-dup threshold.
+
+    Empty-doc sentinel slots participate in the min like any value (they
+    only survive if a source is entirely empty — two all-empty sources
+    correctly estimate similarity 1). Estimates round-6; pairs ordered
+    src_a < src_b.
+    """
+    cfg = cfg or MinHashConfig()
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.minhash import batch_signatures
+
+        return batch_signatures(texts, cfg)
+
+    from ..functions.text import norm_content_col
+    from ..session import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    slots = docs.select(
+        F.col(source_col).alias("src"),
+        F.posexplode(sig_udf(norm_content_col(F.col(text_col)))).alias("slot", "value"),
+    )
+    sketch = slots.groupBy("src", "slot").agg(F.min("value").alias("mn"))
+    a = sketch.select(F.col("src").alias("src_a"), "slot", F.col("mn").alias("va"))
+    b = sketch.select(F.col("src").alias("src_b"), "slot", F.col("mn").alias("vb"))
+    m = int(cfg.num_hashes)
+    return (
+        a.join(b.hint("shuffle_hash"), "slot")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum((F.col("va") == F.col("vb")).cast("int")).alias("matching_slots"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("matching_slots").cast("long").alias("matching_slots"),
+            F.round(F.col("matching_slots") / F.lit(float(m)), 6).alias("est_jaccard"),
+        )
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "ivf_append_full_probe",
     "length_batch_layout",
     "padding_efficiency_report",
+    "source_sketch_similarity",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

@@ -74,3 +74,48 @@ def test_hot_band_salting_preserves_pairs(spark):
     ).collect()
     assert {r.ref_id for r in pairs} == set(range(20))
     assert all(r.est_jaccard == 1.0 for r in pairs)
+
+
+def test_source_sketch_identical_sources_estimate_one(spark):
+    """Two sources with byte-identical content: union sketches are equal
+    in every slot -> est_jaccard = 1.0."""
+    from entity_resolution_spark.operators.cross_corpus import source_sketch_similarity
+
+    text = "the quick brown fox jumps over the lazy dog and keeps running far"
+    rows = [(1, text, "a"), (2, text, "b")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_sketch_similarity(d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("a", "b") and r["est_jaccard"] == 1.0
+
+
+def test_source_sketch_disjoint_vs_overlapping(spark):
+    """A source sharing content with another estimates higher than a
+    disjoint one; all C(3,2) pairs are emitted."""
+    from entity_resolution_spark.operators.cross_corpus import source_sketch_similarity
+
+    shared = "distributed query engines shuffle partition and aggregate data "
+    rows = (
+        [(i, shared + f"tail {i}", "a") for i in range(5)]
+        + [(10 + i, shared + f"tail {10 + i}", "b") for i in range(5)]
+        + [(20 + i, f"totally different corpus about {i} cooking recipes and gardens", "c") for i in range(5)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in source_sketch_similarity(d).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")] > got[("a", "c")]
+    assert got[("a", "b")] > got[("b", "c")]
+
+
+def test_source_sketch_partition_invariance(spark):
+    from entity_resolution_spark.operators.cross_corpus import source_sketch_similarity
+
+    rows = [(i, f"some document body number {i} with words", f"s{i % 4}") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, source_sketch_similarity(d).collect()))
+    b = sorted(map(tuple, source_sketch_similarity(d.repartition(7)).collect()))
+    assert a == b and len(a) == 6
