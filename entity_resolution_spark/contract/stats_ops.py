@@ -407,3 +407,46 @@ def _register_embedding_drift():
 
 
 _register_embedding_drift()
+
+
+# --- Zipf law fit over the token census --------------------------------------
+@query(
+    "zipf_fit_report",
+    """
+    WITH wc AS (
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+      GROUP BY 1),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM wc),
+    q AS (SELECT n,
+            CAST(round(ln(rank * 1.0) * 1e6) AS BIGINT) AS qx,
+            CAST(round(ln(n * 1.0) * 1e6) AS BIGINT) AS qy,
+            CAST(round(ln(rank * 1.0) * ln(n * 1.0) * 1e6) AS BIGINT) AS qxy,
+            CAST(round(ln(rank * 1.0) * ln(rank * 1.0) * 1e6) AS BIGINT) AS qxx,
+            CAST(round(ln(n * 1.0) * ln(n * 1.0) * 1e6) AS BIGINT) AS qyy
+          FROM r),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+                 sum(qx) AS sx, sum(qy) AS sy, sum(qxy) AS sxy,
+                 sum(qxx) AS sxx, sum(qyy) AS syy
+          FROM q)
+    SELECT n_types, n_tokens,
+      round(CASE WHEN (n_types * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)) > 0
+                 THEN (n_types * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+                      / (n_types * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)) END, 6) AS zipf_slope,
+      round(CASE WHEN (n_types * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)) > 0
+                  AND (n_types * (syy / 1e6) - (sy / 1e6) * (sy / 1e6)) > 0
+                 THEN (n_types * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+                      * (n_types * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+                      / ((n_types * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
+                         * (n_types * (syy / 1e6) - (sy / 1e6) * (sy / 1e6))) END, 6) AS zipf_r2
+    FROM s
+    """,
+)
+def zipf_fit_report(spark, sf_dir):
+    """Zipf-law least-squares fit over the token-frequency census, with
+    micro-unit-quantized normal equations (operators/stats.py:zipf_fit)."""
+    from ..operators.stats import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d)

@@ -123,3 +123,68 @@ def token_drift(
         F.round(q * F.log2(q / p), 6).alias("drift"),
     )
     return scored.orderBy(F.abs(F.col("drift")).desc(), F.asc("term")).limit(k)
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row: (n_types, n_tokens, zipf_slope, zipf_r2) — least-squares
+    fit of ln(freq) against ln(rank) over the corpus token-frequency
+    census, the classic Zipf diagnostic (natural text slopes ~ -1;
+    boilerplate-flooded or synthetic corpora drift off).
+
+    Determinism: every per-term term of the normal equations (x, y, xy,
+    x², y² with x = ln rank, y = ln freq) is quantized to integer
+    micro-units BEFORE summing (the DSIR convention) — integer sums are
+    partition- and engine-order-independent, and the final slope/r²
+    arithmetic runs on identical doubles everywhere. Ranks come from
+    `sampling._global_positions` (range-exchange rank over the
+    Zipf-bounded census — no single-reducer sort); ties rank by term
+    ascending. Slope/r² are NULL when fewer than 2 distinct types exist.
+    """
+    from ..operators.tokenize import word_frequencies
+    from .sampling import _global_positions
+
+    wc = word_frequencies(docs, text_col)
+    ranked = _global_positions(
+        wc.select("word", F.col("n").cast("long").alias("n")),
+        [F.desc("n"), F.asc("word")],
+    )
+    x = F.log(F.col("__gpos") + F.lit(1.0))
+    y = F.log(F.col("n").cast("double"))
+
+    def _micro(c):
+        return F.round(c * F.lit(1e6)).cast("long")
+
+    q = ranked.select(
+        F.col("n"),
+        _micro(x).alias("qx"),
+        _micro(y).alias("qy"),
+        _micro(x * y).alias("qxy"),
+        _micro(x * x).alias("qxx"),
+        _micro(y * y).alias("qyy"),
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum("qxy").alias("sxy"),
+        F.sum("qxx").alias("sxx"),
+        F.sum("qyy").alias("syy"),
+    )
+    nt = F.col("n_types").cast("double")
+    sx = F.col("sx") / F.lit(1e6)
+    sy = F.col("sy") / F.lit(1e6)
+    sxy = F.col("sxy") / F.lit(1e6)
+    sxx = F.col("sxx") / F.lit(1e6)
+    syy = F.col("syy") / F.lit(1e6)
+    num = nt * sxy - sx * sy
+    den_x = nt * sxx - sx * sx
+    den_y = nt * syy - sy * sy
+    slope = F.when(den_x > 0, num / den_x)
+    r2 = F.when((den_x > 0) & (den_y > 0), num * num / (den_x * den_y))
+    return s.select(
+        "n_types",
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(r2, 6).alias("zipf_r2"),
+    )

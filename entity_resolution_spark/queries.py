@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "length_batch_layout",
     "padding_efficiency_report",
     "source_sketch_similarity",
+    "zipf_fit_report",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

@@ -367,3 +367,44 @@ def test_kmeans_all_identical_vectors_single_cell(spark):
     # identical vectors: every id picks the same (tie -> smallest) cell
     assert len({r["cell"] for r in out}) == 1
     assert all(r["cosine"] == 1.0 for r in out)
+
+
+def test_zipf_fit_detects_zipfian_corpus(spark):
+    """Frequencies ~ 1000/rank give ln(freq) = ln(1000) - ln(rank):
+    slope ~= -1 with near-perfect r^2."""
+    from entity_resolution_spark.operators.stats import zipf_fit
+
+    words = []
+    for i in range(1, 21):
+        words += ["w" + chr(96 + i)] * round(1000 / i)  # wa, wb, ... wt
+    d = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    r = zipf_fit(d).collect()[0]
+    assert r["n_types"] == 20
+    assert abs(r["zipf_slope"] + 1.0) < 0.02
+    assert r["zipf_r2"] > 0.999
+
+
+def test_zipf_fit_uniform_corpus_flat_slope(spark):
+    """All types equally frequent: ln(freq) constant -> slope 0, r^2 0
+    (den_y = 0 -> NULL r^2 by the <2-variance guard)."""
+    from entity_resolution_spark.operators.stats import zipf_fit
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 10)], "doc_id long, text string"
+    )
+    r = zipf_fit(d).collect()[0]
+    assert r["n_types"] == 4 and r["n_tokens"] == 40
+    assert abs(r["zipf_slope"]) < 1e-4  # micro-unit quantization noise
+    # y-variance is ~0 (only independent-rounding residue survives the
+    # micro quantization): r^2 is either NULLed by the guard or ~0
+    assert r["zipf_r2"] is None or r["zipf_r2"] < 1e-3
+
+
+def test_zipf_fit_partition_invariant(spark):
+    from entity_resolution_spark.operators.stats import zipf_fit
+
+    rows = [(i, "the quick brown fox " * (1 + i % 5)) for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = zipf_fit(d).collect()[0]
+    b = zipf_fit(d.repartition(7)).collect()[0]
+    assert tuple(a) == tuple(b)
