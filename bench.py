@@ -183,6 +183,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # retrieval + tokenizer-training ops
         "bm25_search_topk",
         "bpe_train_merges",
+        # quality-rules / sampling / layout / sketch / diagnostics ops
+        "gopher_quality_flags",
+        "weighted_docs_sample",
+        "blocking_quality_report",
+        "length_batch_layout",
+        "source_sketch_similarity",
+        "zipf_fit_report",
     ]:
         if name not in SPARK_QUERIES:
             continue

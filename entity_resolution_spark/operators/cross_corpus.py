@@ -225,7 +225,13 @@ def source_sketch_similarity(
         F.col(source_col).alias("src"),
         F.posexplode(sig_udf(norm_content_col(F.col(text_col)))).alias("slot", "value"),
     )
-    sketch = slots.groupBy("src", "slot").agg(F.min("value").alias("mn"))
+    # |sources| x m rows — materialize once so the self-join below doesn't
+    # run the corpus-wide signature UDF twice (one pass, bounded result)
+    sketch = (
+        slots.groupBy("src", "slot")
+        .agg(F.min("value").alias("mn"))
+        .localCheckpoint(eager=True)
+    )
     a = sketch.select(F.col("src").alias("src_a"), "slot", F.col("mn").alias("va"))
     b = sketch.select(F.col("src").alias("src_b"), "slot", F.col("mn").alias("vb"))
     m = int(cfg.num_hashes)
