@@ -450,3 +450,53 @@ def zipf_fit_report(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return zipf_fit(d)
+
+
+# --- engine-portable HyperLogLog (bit-identical registers) -------------------
+def _hll_sql(p: int = 12) -> str:
+    m = 1 << p
+    low = 60 - p
+    mask = (1 << low) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    am2 = alpha * m * m
+    return f"""
+    WITH v AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS val
+      FROM documents),
+    k AS (SELECT ('0x' || substr(sha256(val), 1, 15))::UBIGINT::BIGINT AS h
+          FROM v WHERE val IS NOT NULL),
+    b AS (SELECT h >> {low} AS bucket, h & {mask} AS w FROM k),
+    r AS (SELECT bucket,
+                 least(CASE WHEN w = 0 THEN {low + 1}
+                            ELSE {low + 1} - length(bin(w)) END, 40) AS rho
+          FROM b),
+    regs AS (SELECT bucket, max(rho) AS M FROM r GROUP BY 1),
+    cm AS (SELECT M, count(*) AS c FROM regs GROUP BY 1),
+    s AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nonzero,
+                 CAST(coalesce(sum(c * (1::BIGINT << (40 - M))), 0) AS BIGINT) AS t,
+                 CAST(coalesce(sum(c * M), 0) AS BIGINT) AS register_sum
+          FROM cm)
+    SELECT CAST({p} AS INT) AS p, CAST({m} AS BIGINT) AS m,
+           nonzero AS nonzero_buckets, register_sum,
+           round(CASE WHEN {am2!r} / ((({m} - nonzero) * {1 << 40}::BIGINT + t)::DOUBLE
+                                      / {float(1 << 40)!r}) <= {2.5 * m!r}
+                       AND ({m} - nonzero) > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - nonzero)::DOUBLE)
+                      ELSE {am2!r} / ((({m} - nonzero) * {1 << 40}::BIGINT + t)::DOUBLE
+                                      / {float(1 << 40)!r}) END, 6) AS estimate
+    FROM s
+    """
+
+
+@query("hll_vocab_estimate", _hll_sql())
+def hll_vocab_estimate(spark, sf_dir):
+    """Engine-portable HyperLogLog over the corpus token stream: vocabulary
+    cardinality estimate with bit-identical registers on any engine
+    (operators/stats.py:hll_count_distinct)."""
+    from ..operators.stats import hll_count_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("val")
+    )
+    return hll_count_distinct(toks, "val")

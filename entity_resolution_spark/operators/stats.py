@@ -188,3 +188,78 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(r2, 6).alias("zipf_r2"),
     )
+
+
+def hll_count_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One row: (p, m, nonzero_buckets, register_sum, estimate) — a
+    HyperLogLog distinct-count sketch (Flajolet et al. 2007) built to be
+    bit-identical on ANY engine, unlike `approx_count_distinct` (whose
+    registers are implementation-private):
+
+    - the hash is the first 15 hex chars of sha256(value) — a 60-bit
+      content address any engine reproduces;
+    - rho (leading-zero rank of the low 60-p bits) comes from
+      ``length(bin(w))``, exact integer arithmetic, no log2 boundary risk;
+    - registers cap at 40 (an event of probability 2^-40 per bucket —
+      immaterial bias, and it buys exactness:) the harmonic sum
+      sum(2^-M_j) is computed as an INTEGER total of c_M * 2^(40-M)
+      (max 2^52, exact in long), so the estimate never depends on
+      floating-point summation order.
+
+    The standard small-range correction (E <= 2.5m with empty buckets ->
+    linear counting) applies; the 32-bit large-range correction is
+    irrelevant at a 60-bit hash and omitted. NULLs are ignored (COUNT
+    DISTINCT convention). register_sum is emitted as an exact integer
+    fingerprint of the whole register file — a stronger oracle check
+    than the estimate alone.
+
+    Scale shape: one narrow projection to (bucket, rho), one map-side-
+    combined max per bucket (<= m = 2^p rows), one <= 41-row census —
+    the corpus never shuffles more than its bucket ids. This is the
+    cardinality primitive for admission control (dedup rate forecasting,
+    vocabulary growth) where the exact census is not worth a shuffle.
+    """
+    if not (7 <= p <= 18):
+        raise ValueError(f"p must be in [7, 18], got {p}")
+    m = 1 << p
+    low_bits = 60 - p
+    mask = (1 << low_bits) - 1
+    h = F.conv(F.substring(F.sha2(F.col(col).cast("string"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    keyed = df.filter(F.col(col).isNotNull()).select(
+        F.shiftright(h, low_bits).alias("bucket"),
+        h.bitwiseAND(F.lit(mask)).alias("w"),
+    )
+    rho_raw = F.when(F.col("w") == 0, F.lit(low_bits + 1)).otherwise(
+        F.lit(low_bits + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        keyed.select("bucket", F.least(rho_raw, F.lit(40)).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    per_m = regs.groupBy("M").agg(F.count("*").alias("c"))
+    s = per_m.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nonzero"),
+        F.coalesce(F.sum(F.expr("c * shiftleft(cast(1 as bigint), 40 - M)")), F.lit(0))
+        .cast("long")
+        .alias("t"),
+        F.coalesce(F.sum(F.col("c") * F.col("M")), F.lit(0)).cast("long").alias("register_sum"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    total = (F.lit(m).cast("long") - F.col("nonzero")) * F.lit(1 << 40) + F.col("t")
+    harm = total.cast("double") / F.lit(float(1 << 40))
+    e_raw = F.lit(alpha * m * m) / harm
+    v = F.lit(m).cast("long") - F.col("nonzero")
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return s.select(
+        F.lit(p).cast("int").alias("p"),
+        F.lit(m).cast("long").alias("m"),
+        F.col("nonzero").alias("nonzero_buckets"),
+        "register_sum",
+        F.round(estimate, 6).alias("estimate"),
+    )

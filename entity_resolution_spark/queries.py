@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "padding_efficiency_report",
     "source_sketch_similarity",
     "zipf_fit_report",
+    "hll_vocab_estimate",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

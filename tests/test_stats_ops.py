@@ -408,3 +408,54 @@ def test_zipf_fit_partition_invariant(spark):
     a = zipf_fit(d).collect()[0]
     b = zipf_fit(d.repartition(7)).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_hll_accuracy_and_duplicate_insensitivity(spark):
+    """5000 distinct values: p=12 HLL estimates within a few percent
+    (theoretical sigma ~1.04/sqrt(4096) = 1.6%); feeding every value
+    twice changes NO register."""
+    from entity_resolution_spark.operators.stats import hll_count_distinct
+
+    vals = [(f"value{i}",) for i in range(5000)]
+    d = spark.createDataFrame(vals, "val string")
+    r = hll_count_distinct(d, "val").collect()[0]
+    assert abs(r["estimate"] - 5000) / 5000 < 0.05
+    dup = spark.createDataFrame(vals + vals, "val string")
+    r2 = hll_count_distinct(dup, "val").collect()[0]
+    assert (r2["register_sum"], r2["nonzero_buckets"], r2["estimate"]) == (
+        r["register_sum"],
+        r["nonzero_buckets"],
+        r["estimate"],
+    )
+
+
+def test_hll_small_range_linear_counting_and_nulls(spark):
+    """Tiny cardinalities ride the linear-counting correction (estimate
+    close to truth even at n << m); NULLs are ignored."""
+    from entity_resolution_spark.operators.stats import hll_count_distinct
+
+    d = spark.createDataFrame(
+        [("a",), ("b",), ("c",), (None,), ("a",)], "val string"
+    )
+    r = hll_count_distinct(d, "val").collect()[0]
+    assert r["nonzero_buckets"] == 3
+    assert abs(r["estimate"] - 3) < 0.01
+
+
+def test_hll_partition_invariant(spark):
+    from entity_resolution_spark.operators.stats import hll_count_distinct
+
+    d = spark.createDataFrame([(f"v{i}",) for i in range(2000)], "val string")
+    a = tuple(hll_count_distinct(d, "val").collect()[0])
+    b = tuple(hll_count_distinct(d.repartition(9), "val").collect()[0])
+    assert a == b
+
+
+def test_hll_p_bounds(spark):
+    import pytest as _pytest
+
+    from entity_resolution_spark.operators.stats import hll_count_distinct
+
+    d = spark.createDataFrame([("a",)], "val string")
+    with _pytest.raises(ValueError):
+        hll_count_distinct(d, "val", p=4)
