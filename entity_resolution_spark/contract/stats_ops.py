@@ -500,3 +500,44 @@ def hll_vocab_estimate(spark, sf_dir):
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("val")
     )
     return hll_count_distinct(toks, "val")
+
+
+# --- deterministic Bloom filter (membership prefilter) -----------------------
+@query(
+    "bloom_membership_probe",
+    """
+    WITH en AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE lang = 'en'),
+    pos AS (
+      SELECT DISTINCT unnest(
+        [('0x' || substr(sha256(w), 1 + 15*i, 15))::UBIGINT::BIGINT % 65536
+         FOR i IN [0, 1, 2, 3]]) AS pos
+      FROM en),
+    allw AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents),
+    probe AS (
+      SELECT word, unnest(
+        [('0x' || substr(sha256(word), 1 + 15*i, 15))::UBIGINT::BIGINT % 65536
+         FOR i IN [0, 1, 2, 3]]) AS p
+      FROM allw),
+    hits AS (
+      SELECT word,
+             sum(CASE WHEN p IN (SELECT pos FROM pos) THEN 1 ELSE 0 END) AS h
+      FROM probe GROUP BY 1)
+    SELECT word, CAST(h = 4 AS INT) AS member FROM hits
+    """,
+)
+def bloom_membership_probe(spark, sf_dir):
+    """Deterministic Bloom filter: build over the English sub-corpus's
+    vocabulary, probe the full vocabulary — engine-portable sha-slice bit
+    positions, broadcast join probe (operators/bloom.py)."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    en = d.filter(F.col("lang") == "en").select(words.alias("w")).distinct()
+    allw = d.select(words.alias("word")).distinct()
+    bloom = bloom_build(en, "w")
+    return bloom_probe(allw, bloom, "word")

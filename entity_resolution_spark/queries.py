@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "source_sketch_similarity",
     "zipf_fit_report",
     "hll_vocab_estimate",
+    "bloom_membership_probe",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

@@ -459,3 +459,49 @@ def test_hll_p_bounds(spark):
     d = spark.createDataFrame([("a",)], "val string")
     with _pytest.raises(ValueError):
         hll_count_distinct(d, "val", p=4)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from entity_resolution_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(f"key{i}",) for i in range(500)], "k string")
+    bloom = bloom_build(keys, "k")  # m=65536, k=4 -> FP ~ 1e-6
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(500)] + [(f"other{i}",) for i in range(2000)],
+        "k string",
+    )
+    out = {r["k"]: r["member"] for r in bloom_probe(probe, bloom, "k").collect()}
+    assert all(out[f"key{i}"] == 1 for i in range(500))  # no false negatives
+    fps = sum(out[f"other{i}"] for i in range(2000))
+    assert fps <= 2  # expected ~0.002 at this load
+
+
+def test_bloom_small_filter_shows_false_positives_only(spark):
+    """Undersized filter (m=256, k=2, n=100): real FP rate ~0.3 appears,
+    but never a false negative."""
+    from entity_resolution_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(f"key{i}",) for i in range(100)], "k string")
+    bloom = bloom_build(keys, "k", m=256, k=2)
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(100)] + [(f"no{i}",) for i in range(500)],
+        "k string",
+    )
+    out = {r["k"]: r["member"] for r in bloom_probe(probe, bloom, "k", m=256, k=2).collect()}
+    assert all(out[f"key{i}"] == 1 for i in range(100))
+    fps = sum(out[f"no{i}"] for i in range(500))
+    assert 0 < fps < 400  # FPs exist but most non-members still rejected
+
+
+def test_bloom_null_keys_and_k_bounds(spark):
+    import pytest as _pytest
+
+    from entity_resolution_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([("a",), (None,)], "k string")
+    bloom = bloom_build(keys, "k")
+    assert bloom.count() == 4  # only 'a' contributes positions
+    with _pytest.raises(ValueError):
+        bloom_build(keys, "k", k=5)
+    with _pytest.raises(ValueError):
+        bloom_probe(keys, bloom, "k", k=0)
