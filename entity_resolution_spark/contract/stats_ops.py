@@ -541,3 +541,44 @@ def bloom_membership_probe(spark, sf_dir):
     allw = d.select(words.alias("word")).distinct()
     bloom = bloom_build(en, "w")
     return bloom_probe(allw, bloom, "word")
+
+
+@query(
+    "cm_token_frequencies",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS val
+      FROM documents),
+    pc AS (
+      SELECT unnest(
+        [{'r': i,
+          'c': ('0x' || substr(sha256(val), 1 + 15*i, 15))::UBIGINT::BIGINT % 2048}
+         FOR i IN [0, 1, 2, 3]]) AS p
+      FROM toks),
+    sk AS (SELECT p.r AS row, p.c AS col, count(*) AS cnt FROM pc GROUP BY 1, 2),
+    words AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents),
+    wp AS (
+      SELECT word, unnest(
+        [{'r': i,
+          'c': ('0x' || substr(sha256(word), 1 + 15*i, 15))::UBIGINT::BIGINT % 2048}
+         FOR i IN [0, 1, 2, 3]]) AS p
+      FROM words)
+    SELECT word, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM wp LEFT JOIN sk ON wp.p.r = sk.row AND wp.p.c = sk.col
+    GROUP BY word
+    """,
+)
+def cm_token_frequencies(spark, sf_dir):
+    """Count-min sketch of the token stream probed with the full
+    vocabulary — engine-portable counters (operators/bloom.py:
+    cm_sketch_build / cm_estimate)."""
+    from ..operators.bloom import cm_estimate, cm_sketch_build
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    toks = d.select(words.alias("val"))
+    vocab = d.select(words.alias("word")).distinct()
+    sketch = cm_sketch_build(toks, "val")
+    return cm_estimate(vocab, sketch, "word")

@@ -84,3 +84,54 @@ def bloom_probe(
     return agg.select(
         *probe.columns, (F.col("__hits") == k).cast("int").alias("member")
     )
+
+
+def cm_sketch_build(
+    df: DataFrame, key_col: str, w: int = 2048, d: int = 4
+) -> DataFrame:
+    """(row, col, cnt) — a count-min sketch (Cormode & Muthukrishnan 2005)
+    of the key column's frequency distribution, in at most d*w rows. The
+    same engine-portable sha-slice hashing as `bloom_build`: row i uses
+    hex slice i, col = slice mod w. Build cost: one narrow d-explode +
+    map-side-combined count; the sketch is broadcastable for any
+    practical (w, d)."""
+    if not 1 <= d <= _MAX_K:
+        raise ValueError(f"d must be in [1, {_MAX_K}], got {d}")
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        F.posexplode(_positions(F.col(key_col), w, d)).alias("row", "col")
+    )
+    return rows.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def cm_estimate(
+    probe: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    w: int = 2048,
+    d: int = 4,
+) -> DataFrame:
+    """probe columns + ``est_count`` — the count-min frequency estimate:
+    min over the d rows of the sketch counters at the key's positions.
+    Never underestimates; overestimates by at most 2n/w with probability
+    1 - 2^-d (the textbook bound). Missing counters read 0.
+
+    Scale shape: the sketch broadcasts (<= d*w rows); the probe side
+    explodes d rows per key and min-aggregates back — linear, no shuffle
+    of the probe table beyond the per-key combine."""
+    if not 1 <= d <= _MAX_K:
+        raise ValueError(f"d must be in [1, {_MAX_K}], got {d}")
+    exploded = probe.select(
+        "*", F.posexplode(_positions(F.col(key_col), w, d)).alias("__row", "__col")
+    )
+    joined = exploded.join(
+        F.broadcast(
+            sketch.select(
+                F.col("row").alias("__row"), F.col("col").alias("__col"), "cnt"
+            )
+        ),
+        ["__row", "__col"],
+        "left",
+    )
+    return joined.groupBy(*probe.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
+    )

@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "zipf_fit_report",
     "hll_vocab_estimate",
     "bloom_membership_probe",
+    "cm_token_frequencies",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",

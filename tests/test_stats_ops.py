@@ -505,3 +505,43 @@ def test_bloom_null_keys_and_k_bounds(spark):
         bloom_build(keys, "k", k=5)
     with _pytest.raises(ValueError):
         bloom_probe(keys, bloom, "k", k=0)
+
+
+def test_cm_sketch_never_underestimates_and_exact_when_sparse(spark):
+    """31 types in a w=2048 sketch: no collisions expected -> estimates
+    exactly equal true counts; a deliberately tiny sketch still never
+    underestimates."""
+    from entity_resolution_spark.operators.bloom import cm_estimate, cm_sketch_build
+
+    vals = [(f"t{chr(97 + i % 26)}{i}",) for i in range(300) for _ in range(1 + i % 3)]
+    d = spark.createDataFrame(vals, "val string")
+    true = {r["val"]: r["n"] for r in d.groupBy("val").agg(F.count("*").alias("n")).collect()}
+    vocab = d.distinct()
+
+    exact = cm_estimate(vocab, cm_sketch_build(d, "val"), "val")
+    got = {r["val"]: r["est_count"] for r in exact.collect()}
+    # w=2048 >> 300 types: all-4-row collisions are ~4e-4/key — nearly all
+    # estimates are exact, none underestimates
+    assert all(got[k] >= v for k, v in true.items())
+    assert sum(got[k] > v for k, v in true.items()) <= 3
+
+    tiny = cm_estimate(
+        vocab, cm_sketch_build(d, "val", w=16, d=2), "val", w=16, d=2
+    )
+    got_tiny = {r["val"]: r["est_count"] for r in tiny.collect()}
+    assert all(got_tiny[k] >= v for k, v in true.items())
+    assert any(got_tiny[k] > v for k, v in true.items())  # collisions visible
+
+
+def test_cm_sketch_unseen_key_reads_zero_and_partition_invariant(spark):
+    from entity_resolution_spark.operators.bloom import cm_estimate, cm_sketch_build
+
+    d = spark.createDataFrame([("a",), ("a",), ("b",)], "val string")
+    sketch = cm_sketch_build(d, "val")
+    probe = spark.createDataFrame([("a",), ("zz_unseen",)], "val string")
+    got = {r["val"]: r["est_count"] for r in cm_estimate(probe, sketch, "val").collect()}
+    assert got["a"] == 2 and got["zz_unseen"] == 0
+    big = spark.createDataFrame([(f"v{i % 50}",) for i in range(500)], "val string")
+    s1 = sorted(map(tuple, cm_estimate(big.distinct(), cm_sketch_build(big, "val"), "val").collect()))
+    s2 = sorted(map(tuple, cm_estimate(big.distinct(), cm_sketch_build(big.repartition(9), "val"), "val").collect()))
+    assert s1 == s2
