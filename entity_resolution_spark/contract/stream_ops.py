@@ -192,3 +192,47 @@ def _register_dedup_gate():
 
 
 _register_dedup_gate()
+
+
+def _register_vocab_monitor():
+    from .stats_ops import _hll_sql
+
+    # The oracle is the BATCH HyperLogLog over the whole documents table —
+    # the streaming fold must land on the exact same register file
+    # (union registers = per-bucket max), so the final estimate row is
+    # value-identical to the batch sketch.
+    @query("stream_vocab_monitor", _hll_sql())
+    def stream_vocab_monitor(spark, sf_dir):
+        """REAL Structured Streaming run: the corpus arrives as two file
+        drops, HLL registers fold as versioned state, and the final state
+        must equal the batch sketch over everything
+        (streaming/vocab_monitor.py)."""
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import hll_estimate
+        from ..streaming.vocab_monitor import current_registers, run_vocab_monitor
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        base = tempfile.mkdtemp(prefix="ers_vocab_")
+        inp = os.path.join(base, "in")
+        state = os.path.join(base, "state")
+        ckpt = os.path.join(base, "ckpt")
+        os.makedirs(inp)
+        ts = F.timestamp_seconds(F.lit(1_700_000_000))
+        try:
+            for pred in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+                d.filter(pred).withColumn("event_time", ts).repartition(1).write.mode(
+                    "append"
+                ).parquet(inp)
+                run_vocab_monitor(spark, inp, state, ckpt)
+            regs = current_registers(spark, state)
+            return hll_estimate(regs).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+_register_vocab_monitor()

@@ -219,9 +219,17 @@ def hll_count_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     cardinality primitive for admission control (dedup rate forecasting,
     vocabulary growth) where the exact census is not worth a shuffle.
     """
+    regs = hll_registers(df, col, p)
+    return hll_estimate(regs, p)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """(bucket, M) — the HLL register file itself (<= 2^p rows). Registers
+    of a UNION of datasets are the per-bucket max of the parts' registers,
+    so register files merge exactly — the streaming vocabulary monitor
+    folds drops into standing state with one groupBy-max."""
     if not (7 <= p <= 18):
         raise ValueError(f"p must be in [7, 18], got {p}")
-    m = 1 << p
     low_bits = 60 - p
     mask = (1 << low_bits) - 1
     h = F.conv(F.substring(F.sha2(F.col(col).cast("string"), 256), 1, 15), 16, 10).cast(
@@ -234,12 +242,21 @@ def hll_count_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     rho_raw = F.when(F.col("w") == 0, F.lit(low_bits + 1)).otherwise(
         F.lit(low_bits + 1) - F.length(F.bin(F.col("w")))
     )
-    regs = (
+    return (
         keyed.select("bucket", F.least(rho_raw, F.lit(40)).alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("M"))
     )
-    per_m = regs.groupBy("M").agg(F.count("*").alias("c"))
+
+
+def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
+    """One row (p, m, nonzero_buckets, register_sum, estimate) from a
+    (bucket, M) register frame — the exact-integer harmonic-sum arithmetic
+    documented on `hll_count_distinct`."""
+    if not (7 <= p <= 18):
+        raise ValueError(f"p must be in [7, 18], got {p}")
+    m = 1 << p
+    per_m = regs.select(F.col("M")).groupBy("M").agg(F.count("*").alias("c"))
     s = per_m.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nonzero"),
         F.coalesce(F.sum(F.expr("c * shiftleft(cast(1 as bigint), 40 - M)")), F.lit(0))

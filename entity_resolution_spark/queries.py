@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "hll_vocab_estimate",
     "bloom_membership_probe",
     "cm_token_frequencies",
+    "stream_vocab_monitor",
     "ccnet_perplexity_buckets",
     "corpus_stats_report",
     "stratified_docs_sample",
