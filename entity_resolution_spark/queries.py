@@ -102,16 +102,20 @@ _DRIVER_PRIORITY = [
     "bpe_top_merges",
     "source_overlap_matrix",
     "stream_dedup_gate",
-    # reworked in round 3 (distributed kNN joins) — must re-verify
-    "knn_join_topk",
-    "ivf_knn_join_full_probe",
-    "dedup_embedding_cosine",
+    # never driver-verified (added round 3; strictly before the reworked
+    # trio below, which at least carries pre-rework r2-green rows +
+    # full-probe equality pytest gates)
     "chunk_documents_sliding",
     "quantize_embeddings_int8",
     "semantic_dedup_embeddings",
     "sim_search_quantized_topk",
     "leakage_safe_split",
     "dsir_importance_sample",
+    # reworked in round 3 (distributed kNN joins) — re-verify when the
+    # window allows
+    "knn_join_topk",
+    "ivf_knn_join_full_probe",
+    "dedup_embedding_cosine",
     # round-1 row only; re-verify under the current engine
     "lang_id_heuristic",
     "text_quality_score",
