@@ -34,6 +34,7 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # here so a single `from entity_resolution_spark.queries import SPARK_QUERIES`
 # sees everything.
 from .contract import (  # noqa: E402,F401
+    classifier_ops,
     core_ops,
     dedup_ops,
     quality_ops,
@@ -102,6 +103,7 @@ _DRIVER_PRIORITY = [
     "bpe_top_merges",
     "source_overlap_matrix",
     "stream_dedup_gate",
+    "nb_lang_predictions",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)
