@@ -1,0 +1,112 @@
+"""Driver-contract row for Fellegi-Sunter EM linkage (operators/linkage.py).
+
+Candidate pairs = every shared-trigram pair over `documents` (the
+dedup_ngram_jaccard inverted-index CTEs, threshold dropped); comparison
+vector = (lang equality, source equality, n_chars//100 band equality,
+jaccard >= 0.3); 8 EM iterations.  The DuckDB oracle replicates the WHOLE
+model — candidate generation, gamma vectors, the pattern census, every EM
+iteration as a pair of unrolled CTEs (E-step weights over the census,
+M-step scalars rounded half-away-from-zero at 10 decimals and clamped
+exactly like fs_em), and the final per-pair match weight / posterior — so
+the driver hashes the predictions of a genuinely EM-trained model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..queries import _t, query
+from .dedup_ops import _NGRAM_PAIR_CTES
+
+_GAMMAS = ["g_lang", "g_source", "g_len", "g_jac"]
+_ITERS = 8
+_ROUND = 10
+_LAM0, _M0, _U0 = 0.1, 0.9, 0.1
+
+
+def _fs_em_sql() -> str:
+    k = len(_GAMMAS)
+
+    def case(g: str, p: str) -> str:
+        return f"(CASE WHEN {g} = 1 THEN e.{p} ELSE 1.0 - e.{p} END)"
+
+    def mstep(expr_num: str, expr_den: str) -> str:
+        return (
+            f"least(greatest(round({expr_num} / greatest({expr_den}, 1e-300),"
+            f" {_ROUND}), 1e-6), 0.999999)"
+        )
+
+    parts = [
+        f"""
+    pairs AS (SELECT l AS left_id, r AS right_id,
+                     round(c * 1.0 / (ln + rn - c), 6) AS jaccard FROM p),
+    v AS (SELECT pairs.left_id, pairs.right_id, pairs.jaccard,
+            CAST(dl.lang IS NOT DISTINCT FROM dr.lang AS INT) AS g_lang,
+            CAST(dl.source IS NOT DISTINCT FROM dr.source AS INT) AS g_source,
+            CAST(dl.n_chars // 100 IS NOT DISTINCT FROM dr.n_chars // 100
+                 AS INT) AS g_len,
+            CAST(pairs.jaccard >= 0.3 AS INT) AS g_jac
+          FROM pairs
+          JOIN documents dl ON dl.doc_id = pairs.left_id
+          JOIN documents dr ON dr.doc_id = pairs.right_id),
+    cen AS (SELECT {', '.join(_GAMMAS)}, count(*) AS c FROM v
+            GROUP BY {', '.join(_GAMMAS)}),
+    e0 AS (SELECT {_LAM0} AS lam,
+           {', '.join(f'{_M0} AS m{i + 1}' for i in range(k))},
+           {', '.join(f'{_U0} AS u{i + 1}' for i in range(k))})"""
+    ]
+    for it in range(1, _ITERS + 1):
+        wm = " * ".join(case(g, f"m{i + 1}") for i, g in enumerate(_GAMMAS))
+        wu = " * ".join(case(g, f"u{i + 1}") for i, g in enumerate(_GAMMAS))
+        m_cols = ", ".join(
+            mstep(f"sum(w * c * {g})", "sum(w * c)") + f" AS m{i + 1}"
+            for i, g in enumerate(_GAMMAS)
+        )
+        u_cols = ", ".join(
+            mstep(f"sum((1.0 - w) * c * {g})", "sum((1.0 - w) * c)") + f" AS u{i + 1}"
+            for i, g in enumerate(_GAMMAS)
+        )
+        parts.append(
+            f"""
+    w{it} AS (SELECT q.*, wm / (wm + wu) AS w FROM (
+        SELECT cen.*, e.lam * {wm} AS wm, (1.0 - e.lam) * {wu} AS wu
+        FROM cen CROSS JOIN e{it - 1} e) q),
+    e{it} AS (SELECT round(sum(w * c) / sum(c), {_ROUND}) AS lam,
+              {m_cols}, {u_cols}
+              FROM w{it})"""
+        )
+    num = " * ".join(case(g, f"m{i + 1}") for i, g in enumerate(_GAMMAS))
+    den = " * ".join(case(g, f"u{i + 1}") for i, g in enumerate(_GAMMAS))
+    parts.append(
+        f"""
+    scored AS (SELECT v.*, e.lam AS lam, {num} AS num, {den} AS den
+               FROM v CROSS JOIN e{_ITERS} e)
+    SELECT left_id, right_id, jaccard, {', '.join(_GAMMAS)},
+           round(log2(num / den), 6) AS match_weight,
+           round((lam * num) / (lam * num + (1.0 - lam) * den), 6) AS posterior
+    FROM scored"""
+    )
+    return f"WITH {_NGRAM_PAIR_CTES}," + ",".join(parts)
+
+
+@query("fs_em_linkage", _fs_em_sql())
+def fs_em_linkage(spark, sf_dir):
+    """EM-trained Fellegi-Sunter scores for every shared-trigram pair."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.linkage import comparison_vectors, fs_score, fs_train
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0, max_doc_freq=1_000_000_000)
+    vec = comparison_vectors(
+        pairs,
+        docs,
+        {
+            "g_lang": "lang",
+            "g_source": "source",
+            "g_len": ("n_chars", lambda l, r: F.floor(l / 100).eqNullSafe(F.floor(r / 100))),
+        },
+    ).withColumn("g_jac", (F.col("jaccard") >= 0.3).cast("int"))
+    model = fs_train(vec, _GAMMAS, iters=_ITERS, round_at=_ROUND, lam0=_LAM0, m0=_M0, u0=_U0)
+    return fs_score(vec, model).select(
+        "left_id", "right_id", "jaccard", *_GAMMAS, "match_weight", "posterior"
+    )

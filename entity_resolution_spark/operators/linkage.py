@@ -1,0 +1,199 @@
+"""Fellegi-Sunter probabilistic record linkage with EM-trained weights.
+
+The reference scores candidate pairs with fixed hand-set weights
+(/root/reference/file_matcher.py:24-31: 0.40/0.35/0.25 blend); the classic
+generalization — and what production linkage engines (Splink, fastLink)
+actually run at scale — is the Fellegi-Sunter model (JASA 1969): each
+candidate pair is reduced to a vector of binary field agreements gamma,
+and unsupervised EM fits, per field, the probability of agreement among
+true matches (m) and among non-matches (u), plus the match prevalence
+lambda.  Pairs are then scored by the log2 likelihood ratio
+(the "match weight") and the posterior match probability.
+
+The distributed shape is what makes FS the right fit for Spark:
+
+* **comparison vectors** — one projection over the candidate-pair frame
+  joined to both record sides (shuffle_hash on the id: records scale with
+  the corpus, no broadcast assumption).
+* **pattern census** — ``groupBy(*gamma).count()``: the agreement vectors
+  take at most 2^k distinct values, so the census is a BOUNDED frame
+  (k=4 -> <=16 rows) no matter whether the input is 10^4 or 10^12 pairs.
+  Collecting it is control-plane, like the quality-metrics scalars.
+* **EM** — runs over the census, not the pairs: O(2^k * iters) scalar
+  arithmetic.  No parameter server, no per-pair iteration.
+* **scoring** — the fitted m/u/lambda are baked into a pure column
+  expression (CASE chains of literals); scoring is map-side only, no
+  shuffle, no UDF, whole-stage-codegen friendly.
+
+Determinism / oracle parity: EM sums run over the census sorted by gamma
+tuple, every M-step scalar is rounded half-away-from-zero at ``round_at``
+decimals (replicating DuckDB's ``round(x, n)`` = ``std::round(x*10^n)/10^n``;
+exact for our (0,1) domain since x*10^10 < 2^35 keeps ``+0.5`` exact) and
+clamped to [1e-6, 0.999999].  With identical per-iteration inputs the only
+cross-engine drift is FP summation order over <=2^k census rows (~1 ulp),
+absorbed by the rounding — the same pinning strategy the NB classifier
+(operators/classifier.py) uses for ln().
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CLAMP_LO = 1e-6
+_CLAMP_HI = 0.999999
+
+
+def round_half_away(x: float, decimals: int) -> float:
+    """DuckDB-compatible round for non-negative doubles below ~2^35/10^d."""
+    p = float(10**decimals)
+    return math.floor(x * p + 0.5) / p
+
+
+FieldSpec = str | tuple[str, Callable[[Column, Column], Column]]
+
+
+def comparison_vectors(
+    pairs: DataFrame,
+    records: DataFrame,
+    fields: dict[str, FieldSpec],
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """pairs + per-field binary agreement columns (the gamma vector).
+
+    ``fields``: gamma name -> record column name (null-safe equality), or
+    ``(column, fn)`` where ``fn(left_col, right_col) -> BooleanColumn``
+    expresses a custom comparator (band equality, threshold, ...).
+
+    Two shuffle_hash joins on the pair ids; records are projected to the
+    compared columns only before joining (column pruning survives at the
+    source scan).
+    """
+    need = sorted({s if isinstance(s, str) else s[0] for s in fields.values()})
+    rec = records.select(F.col(id_col).alias("__id"), *need)
+    lhs = rec.select(
+        F.col("__id").alias(left_col), *[F.col(c).alias(f"__l_{c}") for c in need]
+    )
+    rhs = rec.select(
+        F.col("__id").alias(right_col), *[F.col(c).alias(f"__r_{c}") for c in need]
+    )
+    out = pairs.join(lhs.hint("shuffle_hash"), left_col).join(
+        rhs.hint("shuffle_hash"), right_col
+    )
+    for name, spec in fields.items():
+        if isinstance(spec, str):
+            cond = F.col(f"__l_{spec}").eqNullSafe(F.col(f"__r_{spec}"))
+        else:
+            col, fn = spec
+            cond = fn(F.col(f"__l_{col}"), F.col(f"__r_{col}"))
+        out = out.withColumn(name, cond.cast("int"))
+    return out.drop(*[f"__l_{c}" for c in need], *[f"__r_{c}" for c in need])
+
+
+@dataclass
+class FSModel:
+    gamma_cols: list[str]
+    lam: float
+    m: list[float]  # P(agree | match) per field
+    u: list[float]  # P(agree | non-match) per field
+    iters: int
+    round_at: int
+
+
+def fs_em(
+    census: list[tuple],
+    k: int,
+    iters: int = 8,
+    round_at: int = 10,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> tuple[float, list[float], list[float]]:
+    """EM over a pattern census [(g_1..g_k, count), ...] — pure function.
+
+    Census rows are sorted by gamma tuple so the FP sums have a fixed
+    order; every M-step scalar is rounded (DuckDB-round semantics) and
+    clamped, which is what lets the unrolled-CTE SQL replica track this
+    bit-for-bit.
+    """
+    rows = sorted((tuple(r[:k]), int(r[k])) for r in census)
+    lam, m, u = lam0, [m0] * k, [u0] * k
+
+    def _mstep(x: float) -> float:
+        return min(max(round_half_away(x, round_at), _CLAMP_LO), _CLAMP_HI)
+
+    for _ in range(iters):
+        weighted = []
+        for g, c in rows:
+            wm, wu = lam, 1.0 - lam
+            for i in range(k):
+                wm *= m[i] if g[i] else 1.0 - m[i]
+                wu *= u[i] if g[i] else 1.0 - u[i]
+            weighted.append((g, c, wm / (wm + wu)))
+        sw = sum(w * c for _, c, w in weighted)
+        swn = sum((1.0 - w) * c for _, c, w in weighted)
+        sc = sum(c for _, c, _ in weighted)
+        lam = round_half_away(sw / sc, round_at)
+        m = [_mstep(sum(w * c * g[i] for g, c, w in weighted) / max(sw, 1e-300)) for i in range(k)]
+        u = [
+            _mstep(sum((1.0 - w) * c * g[i] for g, c, w in weighted) / max(swn, 1e-300))
+            for i in range(k)
+        ]
+    return lam, m, u
+
+
+def fs_train(
+    vectors: DataFrame,
+    gamma_cols: list[str],
+    iters: int = 8,
+    round_at: int = 10,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+) -> FSModel:
+    """Fit FS parameters from the comparison-vector frame.
+
+    One shuffle (the census groupBy); the collect is bounded at 2^k rows
+    by construction — control-plane, like quality.py's scalar aggregates.
+    """
+    census = [
+        tuple(r)
+        for r in vectors.groupBy(*gamma_cols).agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    lam, m, u = fs_em(
+        census, len(gamma_cols), iters=iters, round_at=round_at, lam0=lam0, m0=m0, u0=u0
+    )
+    return FSModel(
+        gamma_cols=list(gamma_cols), lam=lam, m=m, u=u, iters=iters, round_at=round_at
+    )
+
+
+def fs_score(vectors: DataFrame, model: FSModel, round_out: int = 6) -> DataFrame:
+    """Attach match_weight (log2 likelihood ratio) and posterior.
+
+    Pure map-side column expression over literals — no join, no shuffle,
+    no Python: CASE chains multiply left-to-right in gamma_cols order,
+    mirroring both fs_em's arithmetic and the SQL replica's expression
+    shape exactly.
+    """
+
+    def _prob(params: list[float]) -> Column:
+        terms = [
+            F.when(F.col(g) == 1, F.lit(params[i])).otherwise(F.lit(1.0 - params[i]))
+            for i, g in enumerate(model.gamma_cols)
+        ]
+        return reduce(lambda a, b: a * b, terms)
+
+    num, den = _prob(model.m), _prob(model.u)
+    lam = F.lit(model.lam)
+    posterior = (lam * num) / (lam * num + (F.lit(1.0) - lam) * den)
+    return vectors.withColumn(
+        "match_weight", F.round(F.log2(num / den), round_out)
+    ).withColumn("posterior", F.round(posterior, round_out))

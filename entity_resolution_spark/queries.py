@@ -37,6 +37,7 @@ from .contract import (  # noqa: E402,F401
     classifier_ops,
     core_ops,
     dedup_ops,
+    linkage_ops,
     quality_ops,
     sampling_ops,
     stats_ops,
@@ -104,6 +105,7 @@ _DRIVER_PRIORITY = [
     "source_overlap_matrix",
     "stream_dedup_gate",
     "nb_lang_predictions",
+    "fs_em_linkage",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

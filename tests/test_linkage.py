@@ -1,0 +1,92 @@
+"""Unit tests for Fellegi-Sunter EM linkage (operators/linkage.py) beyond
+the full-query oracle row (tests/test_queries_oracle.py::fs_em_linkage).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.linkage import (
+    comparison_vectors,
+    fs_em,
+    fs_score,
+    fs_train,
+    round_half_away,
+)
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    for x in (0.12345678905, 0.99999999995, 0.0088545099, 0.5488893450001, 1e-11):
+        want = con.sql(f"SELECT round({x!r}::DOUBLE, 10)").fetchone()[0]
+        assert round_half_away(x, 10) == want, x
+
+
+def test_fs_em_one_iteration_closed_form():
+    # Census: pattern (1,) appears 10 times, (0,) 90 times; k=1, one iter.
+    # E-step with lam=.1, m=.9, u=.1:
+    #   g=1: wm=.1*.9=.09, wu=.9*.1=.09 -> w=.5
+    #   g=0: wm=.1*.1=.01, wu=.9*.9=.81 -> w=.01/.82
+    w1, w0 = 0.5, 0.01 / 0.82
+    sw = w1 * 10 + w0 * 90
+    lam, m, u = fs_em([(1, 10), (0, 90)], k=1, iters=1)
+    assert lam == pytest.approx(sw / 100, abs=1e-10)
+    assert m[0] == pytest.approx(w1 * 10 / sw, abs=1e-10)
+    assert u[0] == pytest.approx((1 - w1) * 10 / ((1 - w1) * 10 + (1 - w0) * 90), abs=1e-10)
+
+
+def test_fs_em_separates_planted_matches():
+    # Two fields; matches agree on both, non-matches on neither.
+    census = [(1, 1, 50), (0, 0, 950), (1, 0, 5), (0, 1, 5)]
+    lam, m, u = fs_em(census, k=2, iters=30)
+    assert m[0] > 0.85 and m[1] > 0.85
+    assert u[0] < 0.05 and u[1] < 0.05
+    assert 0.03 < lam < 0.08
+
+
+def test_comparison_vectors_null_safe_and_custom(spark):
+    recs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", n=105),
+            Row(doc_id=2, lang="en", n=199),
+            Row(doc_id=3, lang=None, n=310),
+            Row(doc_id=4, lang=None, n=55),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [Row(left_id=1, right_id=2), Row(left_id=3, right_id=4), Row(left_id=1, right_id=3)]
+    )
+    vec = comparison_vectors(
+        pairs,
+        recs,
+        {
+            "g_lang": "lang",
+            "g_band": ("n", lambda l, r: F.floor(l / 100).eqNullSafe(F.floor(r / 100))),
+        },
+        id_col="doc_id",
+    )
+    got = {(r["left_id"], r["right_id"]): (r["g_lang"], r["g_band"]) for r in vec.collect()}
+    assert got[(1, 2)] == (1, 1)  # en==en, 105//100 == 199//100
+    assert got[(3, 4)] == (1, 0)  # NULL eqNullSafe NULL -> agree
+    assert got[(1, 3)] == (0, 0)  # en vs NULL -> disagree
+
+
+def test_fs_score_matches_python_math(spark):
+    vec = spark.createDataFrame([Row(left_id=1, right_id=2, g_a=1, g_b=0)])
+    model = fs_train(
+        spark.createDataFrame(
+            [Row(g_a=a, g_b=b) for a, b, n in [(1, 1, 8), (0, 0, 90), (1, 0, 2)] for _ in range(n)]
+        ),
+        ["g_a", "g_b"],
+        iters=5,
+    )
+    row = fs_score(vec, model).collect()[0]
+    num = model.m[0] * (1.0 - model.m[1])
+    den = model.u[0] * (1.0 - model.u[1])
+    assert row["match_weight"] == pytest.approx(math.log2(num / den), abs=1e-6)
+    post = model.lam * num / (model.lam * num + (1.0 - model.lam) * den)
+    assert row["posterior"] == pytest.approx(post, abs=1e-6)
