@@ -110,3 +110,32 @@ def fs_em_linkage(spark, sf_dir):
     return fs_score(vec, model).select(
         "left_id", "right_id", "jaccard", *_GAMMAS, "match_weight", "posterior"
     )
+
+
+_SNM_WINDOW = 10
+
+
+@query(
+    "snm_candidate_pairs",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY substr(lower(trim(coalesce(text, ''))), 1, 40),
+                        doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           b.pos - a.pos AS rank_distance
+    FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos < {_SNM_WINDOW}
+    """,
+)
+def snm_candidate_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking over a normalized text-prefix key."""
+    from ..operators.blocking import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "sort_key",
+        F.substring(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), 1, 40),
+    )
+    return sorted_neighborhood_pairs(docs, ["sort_key"], window=_SNM_WINDOW)

@@ -130,3 +130,57 @@ def block_census(blocks: DataFrame) -> DataFrame:
     """Block-size census used for salting decisions and skew metrics
     (SURVEY.md §4.2 'hot-key skew salting')."""
     return blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list,
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order the
+    corpus along ``sort_cols`` (id appended as the deterministic tiebreak)
+    and emit every pair of rows whose global positions differ by less than
+    ``window`` -> (left_id, right_id, rank_distance), left before right in
+    sort order.
+
+    The classic single-node sweep is a sliding window over one sorted list;
+    the distributed shape here keeps the SAME pair semantics with no global
+    single-reducer sort and no window-function scan of the whole corpus:
+
+    * global positions via ``sampling._global_positions`` (range exchange +
+      per-partition rank + broadcast partition offsets);
+    * tile the position space at ``window`` width. Any qualifying pair sits
+      in the same or adjacent tiles, so the self-join equi-joins on the tile
+      id — each candidate pair is produced exactly once (the right side is
+      exploded to [tile, tile-1]; a pair matches via exactly one of the two)
+      — then filters ``0 < distance < window``. Shuffle volume is
+      O(corpus), not O(corpus · window).
+
+    Caveat: cross-engine sort parity on STRING keys holds for ASCII
+    (Spark compares UTF-16 code units, most SQL engines UTF-8 bytes; they
+    agree on ASCII). The contract row uses ASCII-only sort keys.
+    """
+    from .sampling import _global_positions
+
+    # sort_cols are column NAMES (precompute expression keys with
+    # withColumn first) so the ranking projection stays resolvable.
+    order = [F.col(c) for c in [*sort_cols, id_col]]
+    ranked = _global_positions(df.select(id_col, *sort_cols), order)
+    tile = F.floor(F.col("__gpos") / window).cast("long")
+    left = ranked.select(
+        F.col(id_col).alias("left_id"),
+        F.col("__gpos").alias("__lpos"),
+        tile.alias("__tile"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("right_id"),
+        F.col("__gpos").alias("__rpos"),
+        F.explode(F.array(tile, tile - 1)).alias("__tile"),
+    )
+    dist = F.col("__rpos") - F.col("__lpos")
+    return (
+        left.join(right.hint("shuffle_hash"), "__tile")
+        .where((dist > 0) & (dist < window))
+        .select("left_id", "right_id", dist.alias("rank_distance"))
+    )

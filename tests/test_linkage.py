@@ -90,3 +90,29 @@ def test_fs_score_matches_python_math(spark):
     assert row["match_weight"] == pytest.approx(math.log2(num / den), abs=1e-6)
     post = model.lam * num / (model.lam * num + (1.0 - model.lam) * den)
     assert row["posterior"] == pytest.approx(post, abs=1e-6)
+
+
+def test_sorted_neighborhood_matches_naive_sweep(spark):
+    from entity_resolution_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [Row(doc_id=i, key=f"k{(i * 7) % 20:03d}") for i in range(40)]
+    df = spark.createDataFrame(rows).repartition(7)  # partition-invariance too
+    w = 4
+    got = {
+        (r["left_id"], r["right_id"], r["rank_distance"])
+        for r in sorted_neighborhood_pairs(df, ["key"], window=w).collect()
+    }
+    order = [r.doc_id for r in sorted(rows, key=lambda r: (r.key, r.doc_id))]
+    want = {
+        (order[i], order[j], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w, len(order)))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_window_one_is_empty(spark):
+    from entity_resolution_spark.operators.blocking import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([Row(doc_id=i, key=str(i)) for i in range(10)])
+    assert sorted_neighborhood_pairs(df, ["key"], window=1).count() == 0
