@@ -187,6 +187,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "gopher_quality_flags",
         "weighted_docs_sample",
         "blocking_quality_report",
+        # trained-model + classic-ER ops: NB gate, FS-EM linkage,
+        # sorted-neighborhood blocking, meta-blocking WNP pruning
+        "nb_lang_predictions",
+        "fs_em_linkage",
+        "snm_candidate_pairs",
+        "metablocking_wnp_edges",
         "length_batch_layout",
         "source_sketch_similarity",
         "zipf_fit_report",

@@ -139,3 +139,45 @@ def snm_candidate_pairs(spark, sf_dir):
         F.substring(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), 1, 40),
     )
     return sorted_neighborhood_pairs(docs, ["sort_key"], window=_SNM_WINDOW)
+
+
+_MB_MAX_BLOCK = 1000
+
+
+@query(
+    "metablocking_wnp_edges",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+               FROM documents),
+    p1 AS (SELECT DISTINCT doc_id AS id,
+                  unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        FOR i IN range(1, greatest(len(toks)-2, 1)+1)])) AS key
+           FROM t),
+    p2 AS (SELECT * FROM p1 WHERE key <> ''),
+    census AS (SELECT key, count(*) AS bs FROM p2 GROUP BY 1),
+    p AS (SELECT p2.id, p2.key FROM p2 JOIN census USING (key)
+          WHERE bs <= {_MB_MAX_BLOCK}),
+    nb AS (SELECT id, count(*) AS n FROM p GROUP BY 1),
+    pp AS (SELECT p.key, p.id, nb.n FROM p JOIN nb USING (id)),
+    edges AS (SELECT a.id AS left_id, b.id AS right_id, a.n AS nl, b.n AS nr,
+                     count(*) AS cbs
+              FROM pp a JOIN pp b ON a.key = b.key AND a.id < b.id
+              GROUP BY 1, 2, 3, 4),
+    e2 AS (SELECT left_id, right_id, cbs,
+                  round(cbs * 1.0 / (nl + nr - cbs), 6) AS js FROM edges),
+    prof AS (SELECT node, round(avg(js), 6) AS mean FROM (
+               SELECT left_id AS node, js FROM e2
+               UNION ALL SELECT right_id AS node, js FROM e2) GROUP BY 1)
+    SELECT e2.left_id, e2.right_id, e2.cbs, e2.js
+    FROM e2 JOIN prof pl ON pl.node = e2.left_id
+            JOIN prof pr ON pr.node = e2.right_id
+    WHERE e2.js >= pl.mean OR e2.js >= pr.mean
+    """,
+)
+def metablocking_wnp_edges(spark, sf_dir):
+    """WNP meta-blocking over word-trigram token blocking."""
+    from ..operators.metablocking import meta_blocking_wnp, shingle_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    return meta_blocking_wnp(shingle_postings(docs, n=3), max_block_size=_MB_MAX_BLOCK)

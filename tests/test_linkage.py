@@ -116,3 +116,50 @@ def test_sorted_neighborhood_window_one_is_empty(spark):
 
     df = spark.createDataFrame([Row(doc_id=i, key=str(i)) for i in range(10)])
     assert sorted_neighborhood_pairs(df, ["key"], window=1).count() == 0
+
+
+def test_meta_blocking_wnp_hand_graph(spark):
+    from entity_resolution_spark.operators.metablocking import meta_blocking_wnp
+
+    # blocks: k1={1,2}, k2={1,2}, k3={1,3}, k4={2,3}, k5={3,4}
+    postings = spark.createDataFrame(
+        [Row(id=i, key=k) for k, ids in
+         [("k1", [1, 2]), ("k2", [1, 2]), ("k3", [1, 3]), ("k4", [2, 3]), ("k5", [3, 4])]
+         for i in ids]
+    )
+    # n: 1->3, 2->3, 3->3, 4->1
+    # edges: (1,2) cbs=2 js=2/4=.5; (1,3) cbs=1 js=1/5=.2; (2,3) .2; (3,4) 1/3
+    # means: 1:(.5+.2)/2=.35, 2:.35, 3:(.2+.2+.333333)/3=.244444, 4:.333333
+    # WNP: (1,2) .5>=.35 keep; (1,3) .2<.35 and .2<.244444 drop; (2,3) drop;
+    #      (3,4) .333333>=.244444 keep
+    got = {
+        (r["left_id"], r["right_id"], r["cbs"], r["js"])
+        for r in meta_blocking_wnp(postings).collect()
+    }
+    assert got == {(1, 2, 2, 0.5), (3, 4, 1, 0.333333)}
+
+
+def test_meta_blocking_block_purge(spark):
+    from entity_resolution_spark.operators.metablocking import meta_blocking_wnp
+
+    # an oversized block ("stop") would connect everything; purge removes it
+    postings = spark.createDataFrame(
+        [Row(id=i, key="stop") for i in range(10)]
+        + [Row(id=0, key="rare"), Row(id=1, key="rare")]
+    )
+    got = meta_blocking_wnp(postings, max_block_size=5).collect()
+    assert {(r["left_id"], r["right_id"]) for r in got} == {(0, 1)}
+    assert got[0]["js"] == 1.0  # after the purge both docs have exactly 1 block
+
+
+def test_token_and_shingle_postings(spark):
+    from entity_resolution_spark.operators.metablocking import (
+        shingle_postings,
+        token_postings,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="A b  a c"), Row(doc_id=2, text=None)])
+    toks = {(r["id"], r["key"]) for r in token_postings(docs).collect()}
+    assert toks == {(1, "a"), (1, "b"), (1, "c")}
+    sh = {(r["id"], r["key"]) for r in shingle_postings(docs, n=2).collect()}
+    assert sh == {(1, "a b"), (1, "b a"), (1, "a c")}
