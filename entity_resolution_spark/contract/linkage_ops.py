@@ -181,3 +181,75 @@ def metablocking_wnp_edges(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return meta_blocking_wnp(shingle_postings(docs, n=3), max_block_size=_MB_MAX_BLOCK)
+
+
+@query(
+    "survivorship_golden_records",
+    """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+          FROM t),
+    e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+    p AS (SELECT a.doc_id AS l, b.doc_id AS r, a.n_grams AS ln, b.n_grams AS rn,
+                 count(*) AS c
+          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    edges AS (SELECT l AS a, b FROM (SELECT l, r AS b FROM p
+              WHERE c * 1.0 / (ln + rn - c) >= 0.5)),
+    dir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM dir
+      UNION
+      SELECT r.a, d.b FROM reach r JOIN dir d ON r.b = d.a
+    ),
+    asg AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a),
+    j AS (SELECT asg.cluster_id, d.lang, d.source, d.text, d.n_chars
+          FROM asg JOIN documents d USING (doc_id)),
+    lang_m AS (SELECT cluster_id, lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, lang ASC) AS rk
+        FROM (SELECT cluster_id, lang, count(*) AS c FROM j
+              WHERE lang IS NOT NULL GROUP BY 1, 2)) WHERE rk = 1),
+    src_m AS (SELECT cluster_id, source FROM (
+        SELECT cluster_id, source,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, source ASC) AS rk
+        FROM (SELECT cluster_id, source, count(*) AS c FROM j
+              WHERE source IS NOT NULL GROUP BY 1, 2)) WHERE rk = 1),
+    txt_l AS (SELECT cluster_id, text FROM (
+        SELECT cluster_id, text,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY length(text) DESC, text ASC) AS rk
+        FROM j WHERE text IS NOT NULL) WHERE rk = 1),
+    nmax AS (SELECT cluster_id, max(n_chars) AS n_chars FROM j GROUP BY 1),
+    cl AS (SELECT DISTINCT cluster_id FROM j)
+    SELECT cl.cluster_id, lang_m.lang, src_m.source, txt_l.text, nmax.n_chars
+    FROM cl LEFT JOIN lang_m USING (cluster_id)
+            LEFT JOIN src_m USING (cluster_id)
+            LEFT JOIN txt_l USING (cluster_id)
+            LEFT JOIN nmax USING (cluster_id)
+    """,
+)
+def survivorship_golden_records(spark, sf_dir):
+    """Field-level golden record per near-dup cluster: modal lang/source,
+    longest text, max n_chars."""
+    from ..operators.clustering import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.survivorship import golden_records
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=1_000_000_000)
+    asg = connected_components(
+        edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    ).select(F.col("file_id").alias("doc_id"), "cluster_id")
+    return golden_records(
+        asg,
+        docs,
+        {"lang": "majority", "source": "majority", "text": "longest", "n_chars": "max"},
+    )

@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = [
     "fs_em_linkage",
     "snm_candidate_pairs",
     "metablocking_wnp_edges",
+    "survivorship_golden_records",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -163,3 +163,42 @@ def test_token_and_shingle_postings(spark):
     assert toks == {(1, "a"), (1, "b"), (1, "c")}
     sh = {(r["id"], r["key"]) for r in shingle_postings(docs, n=2).collect()}
     assert sh == {(1, "a b"), (1, "b a"), (1, "a c")}
+
+
+def test_golden_records_rules(spark):
+    from entity_resolution_spark.operators.survivorship import golden_records
+
+    asg = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=1) for i in (1, 2, 3)]
+        + [Row(doc_id=4, cluster_id=4)]
+    )
+    recs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="aa", n=5),
+            Row(doc_id=2, lang="de", text="bbbb", n=9),
+            Row(doc_id=3, lang="en", text="cccc", n=2),
+            Row(doc_id=4, lang=None, text=None, n=7),
+        ]
+    )
+    got = {
+        r["cluster_id"]: (r["lang"], r["text"], r["n"], r["n_min"])
+        for r in golden_records(
+            asg,
+            recs.withColumn("n_min", F.col("n")),
+            {"lang": "majority", "text": "longest", "n": "max", "n_min": "min"},
+        ).collect()
+    }
+    # majority: en(2) > de(1); longest: 'bbbb' beats 'cccc' on tie by value ASC
+    assert got[1] == ("en", "bbbb", 9, 2)
+    assert got[4] == (None, None, 7, 7)  # all-null fields -> NULL golden values
+
+
+def test_golden_records_majority_tiebreak_and_bad_rule(spark):
+    from entity_resolution_spark.operators.survivorship import golden_records
+
+    asg = spark.createDataFrame([Row(doc_id=i, cluster_id=1) for i in (1, 2)])
+    recs = spark.createDataFrame([Row(doc_id=1, lang="fr"), Row(doc_id=2, lang="en")])
+    got = golden_records(asg, recs, {"lang": "majority"}).collect()
+    assert got[0]["lang"] == "en"  # count tie -> value ASC
+    with pytest.raises(ValueError):
+        golden_records(asg, recs, {"lang": "modal"})
