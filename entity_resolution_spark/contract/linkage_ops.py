@@ -253,3 +253,33 @@ def survivorship_golden_records(spark, sf_dir):
         docs,
         {"lang": "majority", "source": "majority", "text": "longest", "n_chars": "max"},
     )
+
+
+_PPJ_T = 0.6
+
+
+@query(
+    "ppjoin_token_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_distinct([x FOR x IN
+                        string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')
+                        IF x <> '']) AS toks
+               FROM documents),
+    e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS token FROM t),
+    p AS (SELECT a.doc_id AS l, b.doc_id AS r, a.n AS ln, b.n AS rn,
+                 count(*) AS c
+          FROM e a JOIN e b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT l AS left_id, r AS right_id,
+           round(c * 1.0 / (ln + rn - c), 6) AS jaccard
+    FROM p WHERE round(c * 1.0 / (ln + rn - c), 6) >= {_PPJ_T}
+    """,
+)
+def ppjoin_token_jaccard_q(spark, sf_dir):
+    """Prefix-filtered exact token-set jaccard join; the oracle is the
+    brute-force inverted index — identical output, so the driver pins the
+    prefix filter's EXACTNESS, while pytest pins its candidate reduction."""
+    from ..operators.setjoin import ppjoin_token_jaccard
+
+    return ppjoin_token_jaccard(_t(spark, sf_dir, "documents"), threshold=_PPJ_T)

@@ -1,0 +1,136 @@
+"""Prefix-filtered exact set-similarity self-join (PPJoin-style).
+
+Chaudhuri/Ganti/Kaushik (ICDE 2006) prefix filtering, as used by PPJoin
+(Xiao et al., WWW 2008): for Jaccard threshold t, two token sets can only
+reach jaccard(x, y) >= t if they share a token among each side's FIRST
+``|s| - ceil(t*|s|) + 1`` tokens under one global canonical order
+(rarest-first).  So instead of indexing EVERY token (what
+dedup.ngram_jaccard_pairs does — sound, but the posting list of a common
+token is quadratic in its document frequency), only the short rare-token
+prefix is indexed; candidates that share a prefix token are then verified
+with the EXACT jaccard over the full sets.  Same output as the brute-force
+inverted index, far fewer intermediate pairs — the standard scale path for
+corpus-wide similarity joins.
+
+Plan shape (all JVM, no UDF):
+  1. token frequency census (one hash aggregate);
+  2. canonical per-doc token array: explode + census join + re-aggregate
+     sorted by (freq ASC, token ASC) — rarest first, fully deterministic;
+  3. prefix slice + explode -> posting index over PREFIX tokens only;
+  4. equi-self-join on the prefix token, ``left < right``, distinct —
+     a pair may share several prefix tokens;
+  5. length filter ``t * |x| <= |y|`` (a match is impossible otherwise),
+     then exact verification: ``array_intersect`` on the full sorted
+     arrays, jaccard >= t.
+
+Completeness: any pair with jaccard >= t has overlap >= ceil(t*max(|x|,|y|))
+>= ceil(t*|s|) per side, and the prefix theorem guarantees a shared token
+within both prefixes; the final verification makes the operator EXACT
+regardless, so the prefix only governs efficiency (pinned by pytest
+equality against the brute-force index plus a candidate-count reduction
+assertion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_token_arrays(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, toks) — distinct whitespace tokens sorted rarest-first."""
+    tok = F.explode(
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        )
+    )
+    e = docs.select(F.col(id_col).alias("id"), tok.alias("token")).where(
+        F.col("token") != ""
+    )
+    freq = e.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
+    return (
+        e.join(freq.hint("shuffle_hash"), "token")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__f").alias("f"), F.col("token").alias("t")))
+                ),
+                lambda s: s["t"],
+            ).alias("toks")
+        )
+    )
+
+
+def ppjoin_token_jaccard(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set jaccard >= threshold via prefix filtering ->
+    (left_id, right_id, jaccard rounded at 6)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    d = _canonical_token_arrays(docs, id_col, text_col).localCheckpoint(eager=True)
+    # the 1e-9 slack keeps FP rounding of t*|s| from ever SHORTENING the
+    # prefix below the sound minimum (longer prefixes stay complete)
+    prefix_len = F.size("toks") - F.ceil(F.size("toks") * F.lit(threshold) - 1e-9) + 1
+    pre = d.select(
+        "id",
+        F.size("toks").alias("n"),
+        F.explode(F.slice("toks", 1, prefix_len.cast("int"))).alias("token"),
+    )
+    a = pre.select("token", F.col("id").alias("left_id"), F.col("n").alias("__nl"))
+    b = pre.select("token", F.col("id").alias("right_id"), F.col("n").alias("__nr"))
+    cand = (
+        a.join(b, "token")
+        .where(
+            (F.col("left_id") < F.col("right_id"))
+            # length filter: jaccard >= t forces t*|x| <= |y| both ways
+            # (1e-9 slack: FP must never drop an exact-boundary pair)
+            & (F.col("__nl") * threshold - 1e-9 <= F.col("__nr"))
+            & (F.col("__nr") * threshold - 1e-9 <= F.col("__nl"))
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    lt = d.select(F.col("id").alias("left_id"), F.col("toks").alias("__lt"))
+    rt = d.select(F.col("id").alias("right_id"), F.col("toks").alias("__rt"))
+    verified = (
+        cand.join(lt.hint("shuffle_hash"), "left_id")
+        .join(rt.hint("shuffle_hash"), "right_id")
+        .withColumn("__ov", F.size(F.array_intersect("__lt", "__rt")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__ov")
+                / (F.size("__lt") + F.size("__rt") - F.col("__ov")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+    return verified
+
+
+def ppjoin_candidate_count(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Diagnostic: number of distinct prefix candidates (pre-verification)."""
+    d = _canonical_token_arrays(docs, id_col, text_col)
+    prefix_len = F.size("toks") - F.ceil(F.size("toks") * F.lit(threshold) - 1e-9) + 1
+    pre = d.select(
+        "id", F.explode(F.slice("toks", 1, prefix_len.cast("int"))).alias("token")
+    )
+    a = pre.select("token", F.col("id").alias("l"))
+    b = pre.select("token", F.col("id").alias("r"))
+    return (
+        a.join(b, "token").where(F.col("l") < F.col("r")).select("l", "r").distinct().count()
+    )

@@ -202,3 +202,61 @@ def test_golden_records_majority_tiebreak_and_bad_rule(spark):
     assert got[0]["lang"] == "en"  # count tie -> value ASC
     with pytest.raises(ValueError):
         golden_records(asg, recs, {"lang": "modal"})
+
+
+def _brute_token_jaccard(rows, t):
+    import itertools
+
+    sets = {r.doc_id: set(x for x in (r.text or "").lower().strip().split() if x) for r in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = round(len(sa & sb) / len(sa | sb), 6)
+        if j >= t:
+            out.add((a, b, j))
+    return out
+
+
+def test_ppjoin_equals_brute_force_and_prunes(spark):
+    from entity_resolution_spark.operators.setjoin import (
+        ppjoin_candidate_count,
+        ppjoin_token_jaccard,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        Row(doc_id=i, text=" ".join(base[(i % 4):(i % 4) + 6]) + f" unique{i}")
+        for i in range(30)
+    ] + [Row(doc_id=100, text=""), Row(doc_id=101, text=None)]
+    df = spark.createDataFrame(rows).repartition(5)
+    t = 0.5
+    got = {
+        (r["left_id"], r["right_id"], r["jaccard"])
+        for r in ppjoin_token_jaccard(df, t).collect()
+    }
+    assert got == _brute_token_jaccard(rows, t)
+    # the prefix index must generate fewer candidates than all shared-token
+    # pairs (every pair here shares common tokens; prefixes are rare-first)
+    n_all = len({(a, b) for a, b, _ in _brute_token_jaccard(rows, 1e-9)})
+    assert ppjoin_candidate_count(df, t) < n_all
+
+
+def test_ppjoin_exact_boundary_pair_survives(spark):
+    from entity_resolution_spark.operators.setjoin import ppjoin_token_jaccard
+
+    # |x n y| = 3, |x u y| = 5 -> jaccard exactly 0.6
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="a b c e")]
+    )
+    got = ppjoin_token_jaccard(df, 0.6).collect()
+    assert [(r["left_id"], r["right_id"], r["jaccard"]) for r in got] == [(1, 2, 0.6)]
+
+
+def test_ppjoin_threshold_validation(spark):
+    from entity_resolution_spark.operators.setjoin import ppjoin_token_jaccard
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a")])
+    with pytest.raises(ValueError):
+        ppjoin_token_jaccard(df, 0.0)
