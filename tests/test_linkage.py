@@ -260,3 +260,17 @@ def test_ppjoin_threshold_validation(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a")])
     with pytest.raises(ValueError):
         ppjoin_token_jaccard(df, 0.0)
+
+
+def test_fs_score_adds_no_exchange(spark):
+    """Scoring is a pure literal expression: the physical plan over an
+    exchange-free input must stay exchange-free (map-side only)."""
+    from entity_resolution_spark.operators.linkage import FSModel, fs_score
+
+    vec = spark.createDataFrame([Row(left_id=1, right_id=2, g_a=1, g_b=0)])
+    model = FSModel(
+        gamma_cols=["g_a", "g_b"], lam=0.2, m=[0.9, 0.8], u=[0.1, 0.3],
+        iters=1, round_at=10,
+    )
+    plan = fs_score(vec, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
