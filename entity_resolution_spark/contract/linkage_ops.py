@@ -24,7 +24,7 @@ _ROUND = 10
 _LAM0, _M0, _U0 = 0.1, 0.9, 0.1
 
 
-def _fs_em_sql() -> str:
+def _fs_em_sql(tf: bool = False) -> str:
     k = len(_GAMMAS)
 
     def case(g: str, p: str) -> str:
@@ -45,7 +45,11 @@ def _fs_em_sql() -> str:
             CAST(dl.source IS NOT DISTINCT FROM dr.source AS INT) AS g_source,
             CAST(dl.n_chars // 100 IS NOT DISTINCT FROM dr.n_chars // 100
                  AS INT) AS g_len,
-            CAST(pairs.jaccard >= 0.3 AS INT) AS g_jac
+            CAST(pairs.jaccard >= 0.3 AS INT) AS g_jac,
+            CASE WHEN dl.lang IS NOT DISTINCT FROM dr.lang THEN dl.lang END
+              AS v_g_lang,
+            CASE WHEN dl.source IS NOT DISTINCT FROM dr.source THEN dl.source END
+              AS v_g_source
           FROM pairs
           JOIN documents dl ON dl.doc_id = pairs.left_id
           JOIN documents dr ON dr.doc_id = pairs.right_id),
@@ -77,14 +81,48 @@ def _fs_em_sql() -> str:
         )
     num = " * ".join(case(g, f"m{i + 1}") for i, g in enumerate(_GAMMAS))
     den = " * ".join(case(g, f"u{i + 1}") for i, g in enumerate(_GAMMAS))
-    parts.append(
-        f"""
+    if not tf:
+        parts.append(
+            f"""
     scored AS (SELECT v.*, e.lam AS lam, {num} AS num, {den} AS den
                FROM v CROSS JOIN e{_ITERS} e)
     SELECT left_id, right_id, jaccard, {', '.join(_GAMMAS)},
            round(log2(num / den), 6) AS match_weight,
            round((lam * num) / (lam * num + (1.0 - lam) * den), 6) AS posterior
     FROM scored"""
+        )
+        return f"WITH {_NGRAM_PAIR_CTES}," + ",".join(parts)
+    # TF-adjusted tail: value-share tables over the RECORDS, the u_i of the
+    # adjusted fields taken from the final EM iteration, deltas and sum
+    # rounded at 6 exactly like operators/linkage.fs_score_tf.
+    parts.append(
+        f"""
+    scored AS (SELECT v.*, e.lam AS lam, e.u1 AS u_lang, e.u2 AS u_source,
+                      {num} AS num, {den} AS den
+               FROM v CROSS JOIN e{_ITERS} e),
+    lang_tf AS (SELECT lang AS val,
+                       round(count(*) * 1.0 /
+                             (SELECT count(*) FROM documents
+                              WHERE lang IS NOT NULL), 10) AS share
+                FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+    src_tf AS (SELECT source AS val,
+                      round(count(*) * 1.0 /
+                            (SELECT count(*) FROM documents
+                             WHERE source IS NOT NULL), 10) AS share
+               FROM documents WHERE source IS NOT NULL GROUP BY 1)
+    SELECT s.left_id, s.right_id, {', '.join('s.' + g for g in _GAMMAS)},
+           round(log2(s.num / s.den), 6) AS match_weight,
+           round((s.lam * s.num) /
+                 (s.lam * s.num + (1.0 - s.lam) * s.den), 6) AS posterior,
+           round(round(log2(s.num / s.den), 6)
+             + (CASE WHEN s.g_lang = 1 AND lt.share IS NOT NULL
+                     THEN round(log2(s.u_lang / lt.share), 6) ELSE 0.0 END
+                + CASE WHEN s.g_source = 1 AND st.share IS NOT NULL
+                       THEN round(log2(s.u_source / st.share), 6) ELSE 0.0 END),
+             6) AS tf_match_weight
+    FROM scored s
+    LEFT JOIN lang_tf lt ON lt.val = s.v_g_lang
+    LEFT JOIN src_tf st ON st.val = s.v_g_source"""
     )
     return f"WITH {_NGRAM_PAIR_CTES}," + ",".join(parts)
 
@@ -283,3 +321,37 @@ def ppjoin_token_jaccard_q(spark, sf_dir):
     from ..operators.setjoin import ppjoin_token_jaccard
 
     return ppjoin_token_jaccard(_t(spark, sf_dir, "documents"), threshold=_PPJ_T)
+
+
+@query("fs_em_linkage_tf", _fs_em_sql(tf=True))
+def fs_em_linkage_tf(spark, sf_dir):
+    """FS-EM scores with Splink-style term-frequency adjustment on the
+    lang/source agreements: rare-value agreement earns extra weight."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.linkage import (
+        comparison_vectors,
+        fs_score_tf,
+        fs_train,
+        tf_share_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0, max_doc_freq=1_000_000_000)
+    vec = comparison_vectors(
+        pairs,
+        docs,
+        {
+            "g_lang": "lang",
+            "g_source": "source",
+            "g_len": ("n_chars", lambda l, r: F.floor(l / 100).eqNullSafe(F.floor(r / 100))),
+        },
+        keep_values=True,
+    ).withColumn("g_jac", (F.col("jaccard") >= 0.3).cast("int"))
+    model = fs_train(vec, _GAMMAS, iters=_ITERS, round_at=_ROUND, lam0=_LAM0, m0=_M0, u0=_U0)
+    shares = {
+        "g_lang": tf_share_table(docs, "lang"),
+        "g_source": tf_share_table(docs, "source"),
+    }
+    return fs_score_tf(vec, model, shares).select(
+        "left_id", "right_id", *_GAMMAS, "match_weight", "posterior", "tf_match_weight"
+    )

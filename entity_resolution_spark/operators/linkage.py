@@ -65,12 +65,17 @@ def comparison_vectors(
     id_col: str = "doc_id",
     left_col: str = "left_id",
     right_col: str = "right_id",
+    keep_values: bool = False,
 ) -> DataFrame:
     """pairs + per-field binary agreement columns (the gamma vector).
 
     ``fields``: gamma name -> record column name (null-safe equality), or
     ``(column, fn)`` where ``fn(left_col, right_col) -> BooleanColumn``
     expresses a custom comparator (band equality, threshold, ...).
+
+    ``keep_values=True`` additionally carries ``v_<gamma>`` — the shared
+    value for plain-equality fields when the pair AGREES (NULL otherwise)
+    — which is what term-frequency adjustment (fs_score_tf) joins on.
 
     Two shuffle_hash joins on the pair ids; records are projected to the
     compared columns only before joining (column pruning survives at the
@@ -94,6 +99,10 @@ def comparison_vectors(
             col, fn = spec
             cond = fn(F.col(f"__l_{col}"), F.col(f"__r_{col}"))
         out = out.withColumn(name, cond.cast("int"))
+        if keep_values and isinstance(spec, str):
+            # NULL==NULL counts as agreement but carries no value to
+            # frequency-adjust, so v_<gamma> stays NULL there.
+            out = out.withColumn(f"v_{name}", F.when(cond, F.col(f"__l_{spec}")))
     return out.drop(*[f"__l_{c}" for c in need], *[f"__r_{c}" for c in need])
 
 
@@ -197,3 +206,61 @@ def fs_score(vectors: DataFrame, model: FSModel, round_out: int = 6) -> DataFram
     return vectors.withColumn(
         "match_weight", F.round(F.log2(num / den), round_out)
     ).withColumn("posterior", F.round(posterior, round_out))
+
+
+def tf_share_table(
+    records: DataFrame, field: str, round_at: int = 10
+) -> DataFrame:
+    """(value, share) — each value's share of the non-null records.
+
+    The collision probability of an exact agreement ON THAT VALUE among
+    non-matches: the value-specific replacement for the field's generic u.
+    One hash aggregate + one control-plane scalar (the non-null count).
+    """
+    nn = records.where(F.col(field).isNotNull())
+    tot = float(nn.count())
+    return nn.groupBy(F.col(field).alias("value")).agg(
+        F.round(F.count(F.lit(1)) / F.lit(tot), round_at).alias("share")
+    )
+
+
+def fs_score_tf(
+    vectors: DataFrame,
+    model: FSModel,
+    tf_shares: dict[str, DataFrame],
+    round_out: int = 6,
+) -> DataFrame:
+    """fs_score + Splink/fastLink-style term-frequency adjustment.
+
+    Agreement on a RARE value is stronger evidence than agreement on a
+    common one, but the base model only knows the field-level u.  For each
+    gamma in ``tf_shares`` (vectors must carry ``v_<gamma>`` from
+    ``comparison_vectors(keep_values=True)``), an agreeing pair's weight
+    gains ``log2(u_i / share(v))`` — positive when the shared value is
+    rarer than the field's average collision rate, negative when it is a
+    stop-value.  Output adds ``tf_match_weight``.
+
+    Each share table joins once (shuffle_hash — value vocabularies scale
+    with the corpus; Catalyst/AQE may still broadcast small ones); deltas
+    and the final sum are rounded at ``round_out`` for oracle parity.
+    """
+    out = fs_score(vectors, model, round_out=round_out)
+    deltas = []
+    for g, shares in tf_shares.items():
+        if g not in model.gamma_cols:
+            raise ValueError(f"{g!r} is not a model gamma column")
+        u_i = model.u[model.gamma_cols.index(g)]
+        s = shares.select(
+            F.col("value").alias(f"v_{g}"), F.col("share").alias(f"__sh_{g}")
+        )
+        out = out.join(s.hint("shuffle_hash"), f"v_{g}", "left")
+        deltas.append(
+            F.when(
+                (F.col(g) == 1) & F.col(f"__sh_{g}").isNotNull(),
+                F.round(F.log2(F.lit(u_i) / F.col(f"__sh_{g}")), round_out),
+            ).otherwise(F.lit(0.0))
+        )
+    total = reduce(lambda a, b: a + b, deltas)
+    return out.withColumn(
+        "tf_match_weight", F.round(F.col("match_weight") + total, round_out)
+    ).drop(*[f"__sh_{g}" for g in tf_shares])

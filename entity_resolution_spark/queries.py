@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = [
     "metablocking_wnp_edges",
     "survivorship_golden_records",
     "ppjoin_token_jaccard",
+    "fs_em_linkage_tf",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -274,3 +274,53 @@ def test_fs_score_adds_no_exchange(spark):
     )
     plan = fs_score(vec, model)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_fs_score_tf_adjusts_by_value_rarity(spark):
+    from entity_resolution_spark.operators.linkage import (
+        comparison_vectors,
+        fs_score_tf,
+        fs_train,
+        tf_share_table,
+    )
+
+    # 'xx' is rare (1/10 records), 'en' is common (9/10)
+    recs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i else "xx") for i in range(10)]
+        + [Row(doc_id=10, lang="xx")]
+    )
+    pairs = spark.createDataFrame(
+        [Row(left_id=0, right_id=10),  # agree on the RARE value
+         Row(left_id=1, right_id=2),   # agree on the COMMON value
+         Row(left_id=0, right_id=1)]   # disagree
+    )
+    vec = comparison_vectors(pairs, recs, {"g_lang": "lang"}, keep_values=True)
+    model = fs_train(vec, ["g_lang"], iters=3)
+    shares = {"g_lang": tf_share_table(recs, "lang")}
+    got = {
+        (r["left_id"], r["right_id"]): (r["match_weight"], r["tf_match_weight"])
+        for r in fs_score_tf(vec, model, shares).collect()
+    }
+    rare_mw, rare_tf = got[(0, 10)]
+    common_mw, common_tf = got[(1, 2)]
+    assert rare_mw == common_mw  # base model can't tell values apart
+    assert rare_tf > rare_mw     # rare-value agreement earns extra weight
+    assert rare_tf > common_tf
+    dis_mw, dis_tf = got[(0, 1)]
+    assert dis_tf == dis_mw      # disagreement: no adjustment
+
+    import math
+    u = model.u[0]
+    share_xx = 2.0 / 11.0
+    assert rare_tf == pytest.approx(
+        rare_mw + round(math.log2(u / round(share_xx, 10)), 6), abs=1e-6
+    )
+
+
+def test_fs_score_tf_rejects_unknown_gamma(spark):
+    from entity_resolution_spark.operators.linkage import FSModel, fs_score_tf
+
+    vec = spark.createDataFrame([Row(left_id=1, right_id=2, g_a=1, v_g_a="x")])
+    model = FSModel(gamma_cols=["g_a"], lam=0.1, m=[0.9], u=[0.1], iters=1, round_at=10)
+    with pytest.raises(ValueError):
+        fs_score_tf(vec, model, {"g_zz": vec})
