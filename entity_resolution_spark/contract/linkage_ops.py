@@ -24,7 +24,9 @@ _ROUND = 10
 _LAM0, _M0, _U0 = 0.1, 0.9, 0.1
 
 
-def _fs_em_sql(tf: bool = False) -> str:
+def _fs_em_sql(mode: str = "score") -> str:
+    """mode: 'score' (per-pair weights), 'tf' (term-frequency adjusted),
+    'cluster' (posterior>=0.9 edges -> recursive closure -> golden records)."""
     k = len(_GAMMAS)
 
     def case(g: str, p: str) -> str:
@@ -81,7 +83,7 @@ def _fs_em_sql(tf: bool = False) -> str:
         )
     num = " * ".join(case(g, f"m{i + 1}") for i, g in enumerate(_GAMMAS))
     den = " * ".join(case(g, f"u{i + 1}") for i, g in enumerate(_GAMMAS))
-    if not tf:
+    if mode == "score":
         parts.append(
             f"""
     scored AS (SELECT v.*, e.lam AS lam, {num} AS num, {den} AS den
@@ -92,6 +94,50 @@ def _fs_em_sql(tf: bool = False) -> str:
     FROM scored"""
         )
         return f"WITH {_NGRAM_PAIR_CTES}," + ",".join(parts)
+    if mode == "cluster":
+        parts.append(
+            f"""
+    scored AS (SELECT v.*, e.lam AS lam, {num} AS num, {den} AS den
+               FROM v CROSS JOIN e{_ITERS} e),
+    fedges AS (SELECT left_id AS a, right_id AS b FROM scored
+               WHERE round((lam * num) /
+                           (lam * num + (1.0 - lam) * den), 6) >= 0.9),
+    dir AS (SELECT a, b FROM fedges UNION SELECT b, a FROM fedges),
+    reach(a, b) AS (
+      SELECT a, b FROM dir
+      UNION
+      SELECT r.a, d.b FROM reach r JOIN dir d ON r.b = d.a
+    ),
+    asg AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a),
+    j AS (SELECT asg.cluster_id, d.lang, d.source, d.text, d.n_chars
+          FROM asg JOIN documents d USING (doc_id)),
+    lang_m AS (SELECT cluster_id, lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, lang ASC) AS rk
+        FROM (SELECT cluster_id, lang, count(*) AS c FROM j
+              WHERE lang IS NOT NULL GROUP BY 1, 2)) WHERE rk = 1),
+    src_m AS (SELECT cluster_id, source FROM (
+        SELECT cluster_id, source,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, source ASC) AS rk
+        FROM (SELECT cluster_id, source, count(*) AS c FROM j
+              WHERE source IS NOT NULL GROUP BY 1, 2)) WHERE rk = 1),
+    txt_l AS (SELECT cluster_id, text FROM (
+        SELECT cluster_id, text,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY length(text) DESC, text ASC) AS rk
+        FROM j WHERE text IS NOT NULL) WHERE rk = 1),
+    nmax AS (SELECT cluster_id, max(n_chars) AS n_chars FROM j GROUP BY 1),
+    cl AS (SELECT DISTINCT cluster_id FROM j)
+    SELECT cl.cluster_id, lang_m.lang, src_m.source, txt_l.text, nmax.n_chars
+    FROM cl LEFT JOIN lang_m USING (cluster_id)
+            LEFT JOIN src_m USING (cluster_id)
+            LEFT JOIN txt_l USING (cluster_id)
+            LEFT JOIN nmax USING (cluster_id)"""
+        )
+        return f"WITH RECURSIVE {_NGRAM_PAIR_CTES}," + ",".join(parts)
     # TF-adjusted tail: value-share tables over the RECORDS, the u_i of the
     # adjusted fields taken from the final EM iteration, deltas and sum
     # rounded at 6 exactly like operators/linkage.fs_score_tf.
@@ -323,7 +369,7 @@ def ppjoin_token_jaccard_q(spark, sf_dir):
     return ppjoin_token_jaccard(_t(spark, sf_dir, "documents"), threshold=_PPJ_T)
 
 
-@query("fs_em_linkage_tf", _fs_em_sql(tf=True))
+@query("fs_em_linkage_tf", _fs_em_sql(mode="tf"))
 def fs_em_linkage_tf(spark, sf_dir):
     """FS-EM scores with Splink-style term-frequency adjustment on the
     lang/source agreements: rare-value agreement earns extra weight."""
@@ -355,3 +401,29 @@ def fs_em_linkage_tf(spark, sf_dir):
     return fs_score_tf(vec, model, shares).select(
         "left_id", "right_id", *_GAMMAS, "match_weight", "posterior", "tf_match_weight"
     )
+
+
+@query("fs_linkage_clusters", _fs_em_sql(mode="cluster"))
+def fs_linkage_clusters(spark, sf_dir):
+    """The whole link_entities pipeline as one row: EM-scored pairs ->
+    posterior>=0.9 edges -> connected components -> golden records."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.linkage import link_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0, max_doc_freq=1_000_000_000)
+    res = link_entities(
+        docs,
+        pairs,
+        fields={
+            "g_lang": "lang",
+            "g_source": "source",
+            "g_len": ("n_chars", lambda l, r: F.floor(l / 100).eqNullSafe(F.floor(r / 100))),
+        },
+        extra_gammas={"g_jac": (F.col("jaccard") >= 0.3).cast("int")},
+        rules={"lang": "majority", "source": "majority", "text": "longest", "n_chars": "max"},
+        threshold=0.9,
+        iters=_ITERS,
+        round_at=_ROUND,
+    )
+    return res.golden

@@ -264,3 +264,51 @@ def fs_score_tf(
     return out.withColumn(
         "tf_match_weight", F.round(F.col("match_weight") + total, round_out)
     ).drop(*[f"__sh_{g}" for g in tf_shares])
+
+
+@dataclass
+class LinkageResult:
+    """link_entities output bundle (mirrors plans/pipeline.ResolveResult)."""
+
+    model: FSModel
+    scored: DataFrame  # candidates + gammas + match_weight + posterior
+    assignments: DataFrame  # (id_col, cluster_id) for every linked record
+    golden: DataFrame  # one survivorship-merged record per cluster
+
+
+def link_entities(
+    records: DataFrame,
+    candidates: DataFrame,
+    fields: dict[str, FieldSpec],
+    rules: dict[str, str],
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    extra_gammas: dict[str, Column] | None = None,
+    iters: int = 8,
+    round_at: int = 10,
+) -> LinkageResult:
+    """The whole probabilistic-linkage pipeline as one call:
+    comparison vectors -> EM fit -> posterior scoring -> connected
+    components over confident edges -> field-level golden records.
+
+    ``candidates`` come from any blocking scheme (sorted-neighborhood,
+    meta-blocking WNP, LSH bands); ``extra_gammas`` adds pair-level
+    agreement columns (e.g. a jaccard threshold carried by the candidate
+    generator) that comparison_vectors can't derive from the records.
+    Each stage is the already-oracled operator; this composes them.
+    """
+    from .clustering import connected_components
+    from .survivorship import golden_records
+
+    vec = comparison_vectors(candidates, records, fields, id_col=id_col)
+    for name, col in (extra_gammas or {}).items():
+        vec = vec.withColumn(name, col)
+    gammas = [*fields, *(extra_gammas or {})]
+    model = fs_train(vec, gammas, iters=iters, round_at=round_at)
+    scored = fs_score(vec, model)
+    edges = scored.where(F.col("posterior") >= threshold)
+    assignments = connected_components(
+        edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    ).select(F.col("file_id").alias(id_col), "cluster_id")
+    golden = golden_records(assignments, records, rules, id_col=id_col)
+    return LinkageResult(model=model, scored=scored, assignments=assignments, golden=golden)

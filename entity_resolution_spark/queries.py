@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "survivorship_golden_records",
     "ppjoin_token_jaccard",
     "fs_em_linkage_tf",
+    "fs_linkage_clusters",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -324,3 +324,37 @@ def test_fs_score_tf_rejects_unknown_gamma(spark):
     model = FSModel(gamma_cols=["g_a"], lam=0.1, m=[0.9], u=[0.1], iters=1, round_at=10)
     with pytest.raises(ValueError):
         fs_score_tf(vec, model, {"g_zz": vec})
+
+
+def test_link_entities_end_to_end(spark):
+    from entity_resolution_spark.operators.linkage import link_entities
+
+    # two planted duplicate groups + noise; candidates = all pairs
+    recs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", name="acme corp"),
+            Row(doc_id=2, lang="en", name="acme corp"),
+            Row(doc_id=3, lang="de", name="beta gmbh"),
+            Row(doc_id=4, lang="de", name="beta gmbh"),
+            Row(doc_id=5, lang="fr", name="gamma sa"),
+        ]
+    )
+    ids = [1, 2, 3, 4, 5]
+    pairs = spark.createDataFrame(
+        [Row(left_id=a, right_id=b) for a in ids for b in ids if a < b]
+    )
+    res = link_entities(
+        recs,
+        pairs,
+        fields={"g_lang": "lang", "g_name": "name"},
+        rules={"lang": "majority", "name": "longest"},
+        threshold=0.5,
+        iters=20,
+    )
+    asg = {r["doc_id"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert asg[1] == asg[2] and asg[3] == asg[4]
+    assert asg[1] != asg[3]
+    assert 5 not in asg  # no confident edge for the singleton
+    golden = {r["cluster_id"]: (r["lang"], r["name"]) for r in res.golden.collect()}
+    assert golden[asg[1]] == ("en", "acme corp")
+    assert golden[asg[3]] == ("de", "beta gmbh")
