@@ -427,3 +427,70 @@ def fs_linkage_clusters(spark, sf_dir):
         round_at=_ROUND,
     )
     return res.golden
+
+
+_CONT_T = 0.8
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+          FROM t),
+    e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+    p AS (SELECT a.doc_id AS l, b.doc_id AS r, a.n_grams AS ln, b.n_grams AS rn,
+                 count(*) AS c
+          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    o AS (SELECT
+            CASE WHEN ln < rn OR (ln = rn AND l < r) THEN l ELSE r END AS inner_id,
+            CASE WHEN ln < rn OR (ln = rn AND l < r) THEN r ELSE l END AS outer_id,
+            round(c * 1.0 / (CASE WHEN ln < rn OR (ln = rn AND l < r)
+                                  THEN ln ELSE rn END), 6) AS containment,
+            round(c * 1.0 / (ln + rn - c), 6) AS jaccard
+          FROM p)
+    SELECT inner_id, outer_id, containment, jaccard
+    FROM o WHERE containment >= {_CONT_T}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directional containment pairs: truncation/extension duplicates the
+    symmetric jaccard threshold misses."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        min_containment=_CONT_T,
+        max_doc_freq=1_000_000_000,
+    )
+
+
+@query(
+    "token_entropy_stats",
+    """
+    WITH e AS (SELECT doc_id, unnest(string_split_regex(
+                 lower(trim(coalesce(text, ''))), '\\s+')) AS token
+               FROM documents),
+    c AS (SELECT doc_id, token, count(*) AS c FROM e
+          WHERE token <> '' GROUP BY 1, 2),
+    s AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS distinct_tokens,
+                 sum(c * log2(c)) AS sc
+          FROM c GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(s.n_tokens AS DOUBLE) AS n_tokens,
+           CAST(s.distinct_tokens AS DOUBLE) AS distinct_tokens,
+           round(s.distinct_tokens * 1.0 / s.n_tokens, 6) AS ttr,
+           round(log2(s.n_tokens) - s.sc / s.n_tokens, 6) AS entropy
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def token_entropy_stats(spark, sf_dir):
+    """Unigram entropy + type-token ratio per document."""
+    from ..operators.stats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))

@@ -781,3 +781,67 @@ def dedup_size_histogram(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """Directional near-SUPERSET detection (Broder 1997 containment):
+    ``containment(A in B) = |grams(A) & grams(B)| / |grams(A)|``.
+
+    Jaccard misses the truncation/extension family — a doc fully quoted
+    inside a much longer one scores low symmetric similarity but
+    containment ~1.  Output: (inner_id, outer_id, containment, jaccard)
+    with containment measured for the INNER (smaller-side) doc; ties in
+    gram-set size break toward the lower id as inner.
+
+    Same skew-safe inverted-index plan as ngram_jaccard_pairs (shared-gram
+    postings join, doc-freq stop-gram pruning via hash-agg census); one
+    extra projection orients each pair by gram-set size.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+        )
+    )
+    d = d.select("id", grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    ).localCheckpoint(eager=True)
+    postings = d.select("id", "n_grams", F.explode("grams").alias("gram"))
+    gram_freq = postings.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    postings = postings.join(gram_freq.hint("shuffle_hash"), "gram").filter(
+        F.col("doc_freq") <= max_doc_freq
+    )
+    a = postings.select("gram", F.col("id").alias("l"), F.col("n_grams").alias("ln"))
+    b = postings.select("gram", F.col("id").alias("r"), F.col("n_grams").alias("rn"))
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("l") < F.col("r"))
+        .groupBy("l", "r", "ln", "rn")
+        .agg(F.count("*").alias("c"))
+    )
+    # orient: inner = smaller gram set (id tiebreak), containment over inner
+    inner_is_l = (F.col("ln") < F.col("rn")) | (
+        (F.col("ln") == F.col("rn")) & (F.col("l") < F.col("r"))
+    )
+    cont = F.round(
+        F.col("c") / F.when(inner_is_l, F.col("ln")).otherwise(F.col("rn")), 6
+    )
+    jac = F.round(F.col("c") / (F.col("ln") + F.col("rn") - F.col("c")), 6)
+    return (
+        shared.select(
+            F.when(inner_is_l, F.col("l")).otherwise(F.col("r")).alias("inner_id"),
+            F.when(inner_is_l, F.col("r")).otherwise(F.col("l")).alias("outer_id"),
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

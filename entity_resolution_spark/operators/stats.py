@@ -280,3 +280,58 @@ def hll_estimate(regs: DataFrame, p: int = 12) -> DataFrame:
         "register_sum",
         F.round(estimate, 6).alias("estimate"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-distribution statistics ->
+    (id_col, n_tokens, distinct_tokens, ttr, entropy).
+
+    Shannon entropy of the unigram distribution and the type-token ratio:
+    the two classic repetition/diversity signals (a looped or boilerplate
+    page has low entropy even when its char-level stats look normal;
+    complements the Gopher rules and doc_repetition_stats).
+
+    One explode + one (doc, token) hash aggregate + one doc aggregate —
+    partial-aggregable throughout.  Entropy uses the identity
+    ``H = log2(T) - sum(c*log2(c))/T`` so no per-token probability column
+    is materialized; rounded at 6 (FP sum order, the a5 convention).
+    Empty/NULL-text docs surface with NULL stats via the final left join.
+    """
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    )
+    counts = (
+        docs.select(F.col(id_col).alias("id"), tok.alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("c") * F.log2("c")).alias("__s"),
+    )
+    stats = stats.select(
+        "id",
+        "n_tokens",
+        "distinct_tokens",
+        F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.log2("n_tokens") - F.col("__s") / F.col("n_tokens"), 6).alias(
+            "entropy"
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            # doubles, not longs: NULLs for empty docs force pandas/Arrow
+            # into object-vs-float dtypes across engines otherwise
+            F.col("n_tokens").cast("double").alias("n_tokens"),
+            F.col("distinct_tokens").cast("double").alias("distinct_tokens"),
+            "ttr",
+            "entropy",
+        )
+    )

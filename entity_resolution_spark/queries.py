@@ -112,6 +112,8 @@ _DRIVER_PRIORITY = [
     "ppjoin_token_jaccard",
     "fs_em_linkage_tf",
     "fs_linkage_clusters",
+    "dedup_containment",
+    "token_entropy_stats",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

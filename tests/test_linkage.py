@@ -358,3 +358,62 @@ def test_link_entities_end_to_end(spark):
     golden = {r["cluster_id"]: (r["lang"], r["name"]) for r in res.golden.collect()}
     assert golden[asg[1]] == ("en", "acme corp")
     assert golden[asg[3]] == ("de", "beta gmbh")
+
+
+def test_containment_catches_truncation_that_jaccard_misses(spark):
+    from entity_resolution_spark.operators.dedup import ngram_containment_pairs
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        Row(doc_id=1, text=base),                                   # the quote
+        Row(doc_id=2, text=base + " " + " ".join(f"x{i}" for i in range(90))),
+        Row(doc_id=3, text=" ".join(f"y{i}" for i in range(30))),   # unrelated
+    ]
+    got = {
+        (r["inner_id"], r["outer_id"]): (r["containment"], r["jaccard"])
+        for r in ngram_containment_pairs(
+            spark.createDataFrame(rows), min_containment=0.8
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    cont, jac = got[(1, 2)]
+    assert cont == 1.0      # doc 1 fully inside doc 2
+    assert jac < 0.5        # symmetric jaccard would have missed it
+
+
+def test_containment_orientation_tiebreak(spark):
+    from entity_resolution_spark.operators.dedup import ngram_containment_pairs
+
+    # equal gram-set sizes: inner must be the lower id
+    txt = "a b c d e"
+    got = ngram_containment_pairs(
+        spark.createDataFrame([Row(doc_id=7, text=txt), Row(doc_id=3, text=txt)]),
+        min_containment=0.8,
+    ).collect()
+    assert [(r["inner_id"], r["outer_id"], r["containment"]) for r in got] == [(3, 7, 1.0)]
+
+
+def test_token_entropy_hand_values(spark):
+    import math
+
+    from entity_resolution_spark.operators.stats import token_entropy
+
+    rows = [
+        Row(doc_id=1, text="a a b b"),        # uniform over 2 -> H=1, ttr=.5
+        Row(doc_id=2, text="x x x x"),        # single type -> H=0, ttr=.25
+        Row(doc_id=3, text="p q r s"),        # all distinct -> H=2, ttr=1
+        Row(doc_id=4, text=""),               # empty -> NULLs
+        Row(doc_id=5, text=None),
+        Row(doc_id=6, text="a a a b"),        # 3/4,1/4
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["distinct_tokens"], r["ttr"], r["entropy"])
+        for r in token_entropy(spark.createDataFrame(rows)).collect()
+    }
+    assert got[1] == (4, 2, 0.5, 1.0)
+    assert got[2] == (4, 1, 0.25, 0.0)
+    assert got[3] == (4, 4, 1.0, 2.0)
+    assert got[4] == (None, None, None, None)
+    assert got[5] == (None, None, None, None)
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert got[6][3] == pytest.approx(h, abs=1e-6)
