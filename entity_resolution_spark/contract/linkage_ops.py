@@ -494,3 +494,22 @@ def token_entropy_stats(spark, sf_dir):
     from ..operators.stats import token_entropy
 
     return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+_REVIEW_K = 40
+
+
+@query(
+    "fs_review_queue",
+    f"""
+    SELECT *, round(abs(posterior - 0.5), 6) AS margin
+    FROM ({_fs_em_sql()})
+    ORDER BY round(abs(posterior - 0.5), 6), left_id, right_id
+    LIMIT {_REVIEW_K}
+    """,
+)
+def fs_review_queue(spark, sf_dir):
+    """Uncertainty-sampled review batch: the 40 pairs nearest posterior 0.5."""
+    from ..operators.linkage import review_queue
+
+    return review_queue(fs_em_linkage(spark, sf_dir), _REVIEW_K)

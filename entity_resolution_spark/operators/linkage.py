@@ -312,3 +312,53 @@ def link_entities(
     ).select(F.col("file_id").alias(id_col), "cluster_id")
     golden = golden_records(assignments, records, rules, id_col=id_col)
     return LinkageResult(model=model, scored=scored, assignments=assignments, golden=golden)
+
+
+def review_queue(scored: DataFrame, k: int) -> DataFrame:
+    """Uncertainty sampling for human review (the active-learning loop
+    linkage UIs run): the k pairs whose posterior sits closest to 0.5 —
+    exactly the labels that sharpen the EM fit fastest.  Deterministic
+    total order (margin, then ids); global sort + limit compiles to
+    TakeOrdered, so no full-sort materialization at corpus scale.
+    Adds ``margin`` = round(abs(posterior - 0.5), 6).
+    """
+    return (
+        scored.withColumn(
+            "margin", F.round(F.abs(F.col("posterior") - F.lit(0.5)), 6)
+        )
+        .orderBy("margin", "left_id", "right_id")
+        .limit(int(k))
+    )
+
+
+def save_fs_model(model: FSModel, path: str) -> None:
+    """Persist the fitted parameters as one parquet row (exact doubles)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    spark.createDataFrame(
+        [
+            (
+                model.gamma_cols,
+                float(model.lam),
+                [float(x) for x in model.m],
+                [float(x) for x in model.u],
+                int(model.iters),
+                int(model.round_at),
+            )
+        ],
+        "gamma_cols array<string>, lam double, m array<double>, u array<double>,"
+        " iters int, round_at int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_fs_model(spark, path: str) -> FSModel:
+    r = spark.read.parquet(path).collect()[0]
+    return FSModel(
+        gamma_cols=list(r["gamma_cols"]),
+        lam=r["lam"],
+        m=list(r["m"]),
+        u=list(r["u"]),
+        iters=r["iters"],
+        round_at=r["round_at"],
+    )

@@ -52,6 +52,16 @@ from .contract import (  # noqa: E402,F401
 # keeps its relative registration order. Every query still runs in pytest
 # (tests/test_queries_oracle.py parametrizes the full registry), so the
 # re-rank only changes driver-visibility, not coverage.
+#
+# ROTATION STRATEGY (for the next round): once CORRECTNESS_r03 lands,
+# move every query that received a green r3 row BELOW the ones that
+# didn't — the window rotates each round until every registered query has
+# at least one driver-green row on record. Queries past the window today:
+# everything after position ~50 (the classic-ER suite added late in r3:
+# snm/metablocking/survivorship/ppjoin/fs_em_linkage_tf/
+# fs_linkage_clusters/dedup_containment/token_entropy_stats, plus the
+# earlier chunk/quantize/semantic-dedup/leakage/dsir block and the
+# re-verification tail).
 _DRIVER_PRIORITY = [
     # never received a driver CORRECTNESS row (round 1-2 window overflow)
     "doc_repetition_stats",
@@ -114,6 +124,7 @@ _DRIVER_PRIORITY = [
     "fs_linkage_clusters",
     "dedup_containment",
     "token_entropy_stats",
+    "fs_review_queue",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -417,3 +417,39 @@ def test_token_entropy_hand_values(spark):
     assert got[5] == (None, None, None, None)
     h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert got[6][3] == pytest.approx(h, abs=1e-6)
+
+
+def test_review_queue_orders_by_uncertainty(spark):
+    from entity_resolution_spark.operators.linkage import review_queue
+
+    scored = spark.createDataFrame(
+        [
+            Row(left_id=1, right_id=2, posterior=0.98),
+            Row(left_id=1, right_id=3, posterior=0.49),
+            Row(left_id=2, right_id=3, posterior=0.60),
+            Row(left_id=3, right_id=4, posterior=0.02),
+            Row(left_id=4, right_id=5, posterior=0.51),  # margin tie with (1,3)
+        ]
+    )
+    got = [(r["left_id"], r["right_id"]) for r in review_queue(scored, 3).collect()]
+    assert got == [(1, 3), (4, 5), (2, 3)]  # margins .01, .01 (id tiebreak), .10
+
+
+def test_fs_model_save_load_roundtrip(spark, tmp_path):
+    from entity_resolution_spark.operators.linkage import (
+        FSModel,
+        load_fs_model,
+        save_fs_model,
+    )
+
+    m = FSModel(
+        gamma_cols=["g_a", "g_b"],
+        lam=0.0088545099,
+        m=[0.548889345, 0.1461082934],
+        u=[0.2639296088, 1e-06],
+        iters=8,
+        round_at=10,
+    )
+    save_fs_model(m, str(tmp_path / "fs_model"))
+    got = load_fs_model(spark, str(tmp_path / "fs_model"))
+    assert got == m  # dataclass equality: every float bit-identical
