@@ -513,3 +513,53 @@ def fs_review_queue(spark, sf_dir):
     from ..operators.linkage import review_queue
 
     return review_queue(fs_em_linkage(spark, sf_dir), _REVIEW_K)
+
+
+def _fs_audit_sql() -> str:
+    """cluster mode's CTEs, finishing in the per-cluster edge-density audit
+    instead of golden records."""
+    base = _fs_em_sql(mode="cluster")
+    head, _, _ = base.rpartition(",\n    j AS (")
+    return (
+        head
+        + """,
+    sedges AS (SELECT left_id, right_id,
+                      round((lam * num) /
+                            (lam * num + (1.0 - lam) * den), 6) AS posterior
+               FROM scored
+               WHERE round((lam * num) /
+                           (lam * num + (1.0 - lam) * den), 6) >= 0.9),
+    sizes AS (SELECT cluster_id, count(*) AS n_members FROM asg GROUP BY 1),
+    inside AS (SELECT al.cluster_id, count(*) AS n_edges,
+                      round(min(se.posterior), 6) AS min_score,
+                      round(avg(se.posterior), 6) AS mean_score
+               FROM sedges se
+               JOIN asg al ON al.doc_id = se.left_id
+               JOIN asg ar ON ar.doc_id = se.right_id
+               WHERE al.cluster_id = ar.cluster_id
+               GROUP BY 1)
+    SELECT s.cluster_id, s.n_members, coalesce(i.n_edges, 0) AS n_edges,
+           (s.n_members * (s.n_members - 1)) // 2 AS possible_pairs,
+           round(coalesce(i.n_edges, 0) * 1.0 /
+                 greatest((s.n_members * (s.n_members - 1)) // 2, 1), 6)
+             AS density,
+           i.min_score, i.mean_score
+    FROM sizes s LEFT JOIN inside i USING (cluster_id)"""
+    )
+
+
+@query("fs_cluster_audit", _fs_audit_sql())
+def fs_cluster_audit(spark, sf_dir):
+    """Per-cluster consistency audit of the FS-linked entities: edge
+    density + min/mean posterior flag chained clusters for review."""
+    from ..operators.clustering import connected_components
+    from ..operators.quality import cluster_edge_density
+
+    scored = fs_em_linkage(spark, sf_dir)
+    edges = scored.where(F.col("posterior") >= 0.9).select(
+        "left_id", "right_id", "posterior"
+    )
+    asg = connected_components(
+        edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    ).select(F.col("file_id").alias("doc_id"), "cluster_id")
+    return cluster_edge_density(asg, edges)

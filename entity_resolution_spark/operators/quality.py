@@ -144,3 +144,72 @@ def blocking_quality(
         F.round(pc, 6).alias("pair_completeness"),
         F.round(pq, 6).alias("pair_quality"),
     )
+
+
+def cluster_edge_density(
+    assignments: DataFrame,
+    scored_edges: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    score_col: str = "posterior",
+) -> DataFrame:
+    """Per-cluster consistency audit -> (cluster_id, n_members, n_edges,
+    possible_pairs, density, min_score, mean_score).
+
+    Transitive closure can chain A~B~C into one entity even when A-C never
+    scored confidently; low density or a low min-score flags exactly the
+    clusters a reviewer should open first (the standard ER cluster-review
+    signal).  Sizes come from one hash aggregate; within-cluster edges
+    from two assignment joins; possible_pairs = n*(n-1) DIV 2 in exact
+    integer arithmetic (the quality.py C(n,2) convention).  Clusters with
+    no surviving in-cluster edge (shouldn't happen for CC output, but
+    callers may audit FILTERED edge sets) surface with zero edges and
+    NULL scores via the left join.
+    """
+    sizes = assignments.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    asg = assignments.select(F.col(id_col).alias("__id"), F.col(cluster_col))
+    inside = (
+        scored_edges.join(
+            asg.withColumnRenamed("__id", left_col).withColumnRenamed(
+                cluster_col, "__cl"
+            ).hint("shuffle_hash"),
+            left_col,
+        )
+        .join(
+            asg.withColumnRenamed("__id", right_col).withColumnRenamed(
+                cluster_col, "__cr"
+            ).hint("shuffle_hash"),
+            right_col,
+        )
+        .where(F.col("__cl") == F.col("__cr"))
+        .groupBy(F.col("__cl").alias(cluster_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.min(score_col), 6).alias("min_score"),
+            F.round(F.avg(score_col), 6).alias("mean_score"),
+        )
+    )
+    # integer div, not double division: n*(n-1) is always even and count()
+    # is already BIGINT, so C(n,2) stays exact in long (the ADVICE.md
+    # quality.py finding — double division loses exactness past 2^53)
+    possible = F.expr("(n_members * (n_members - 1)) div 2")
+    return (
+        sizes.join(inside, cluster_col, "left")
+        .select(
+            cluster_col,
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            possible.alias("possible_pairs"),
+            F.round(
+                F.coalesce("n_edges", F.lit(0))
+                / F.greatest(possible, F.lit(1)).cast("double"),
+                6,
+            ).alias("density"),
+            "min_score",
+            "mean_score",
+        )
+    )

@@ -453,3 +453,37 @@ def test_fs_model_save_load_roundtrip(spark, tmp_path):
     save_fs_model(m, str(tmp_path / "fs_model"))
     got = load_fs_model(spark, str(tmp_path / "fs_model"))
     assert got == m  # dataclass equality: every float bit-identical
+
+
+def test_cluster_edge_density_hand_graph(spark):
+    from entity_resolution_spark.operators.quality import cluster_edge_density
+
+    asg = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=1) for i in (1, 2, 3)]  # chain 1-2-3
+        + [Row(doc_id=i, cluster_id=4) for i in (4, 5)]   # tight pair
+    )
+    edges = spark.createDataFrame(
+        [
+            Row(left_id=1, right_id=2, posterior=0.95),
+            Row(left_id=2, right_id=3, posterior=0.91),   # 1-3 missing!
+            Row(left_id=4, right_id=5, posterior=0.99),
+            Row(left_id=1, right_id=9, posterior=0.99),   # cross-cluster: ignored
+        ]
+    )
+    got = {r["cluster_id"]: r for r in cluster_edge_density(asg, edges).collect()}
+    c1, c4 = got[1], got[4]
+    assert (c1["n_members"], c1["n_edges"], c1["possible_pairs"]) == (3, 2, 3)
+    assert c1["density"] == pytest.approx(2 / 3, abs=1e-6)
+    assert c1["min_score"] == 0.91
+    assert (c4["n_members"], c4["n_edges"], c4["density"]) == (2, 1, 1.0)
+
+
+def test_cluster_edge_density_no_edges_cluster(spark):
+    from entity_resolution_spark.operators.quality import cluster_edge_density
+
+    asg = spark.createDataFrame([Row(doc_id=1, cluster_id=1), Row(doc_id=2, cluster_id=1)])
+    edges = spark.createDataFrame(
+        [Row(left_id=8, right_id=9, posterior=0.99)]
+    )
+    r = cluster_edge_density(asg, edges).collect()[0]
+    assert (r["n_edges"], r["density"], r["min_score"]) == (0, 0.0, None)
