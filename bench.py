@@ -191,8 +191,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # sorted-neighborhood blocking, meta-blocking WNP pruning
         "nb_lang_predictions",
         "fs_em_linkage",
+        "fs_linkage_clusters",
         "snm_candidate_pairs",
         "metablocking_wnp_edges",
+        "dedup_containment",
+        "token_entropy_stats",
         "length_batch_layout",
         "source_sketch_similarity",
         "zipf_fit_report",

@@ -303,6 +303,9 @@ def link_entities(
     vec = comparison_vectors(candidates, records, fields, id_col=id_col)
     for name, col in (extra_gammas or {}).items():
         vec = vec.withColumn(name, col)
+    # read twice — once by the census collect, once by scoring — so the
+    # candidate-join lineage must not re-run (it dominates the pipeline)
+    vec = vec.persist()
     gammas = [*fields, *(extra_gammas or {})]
     model = fs_train(vec, gammas, iters=iters, round_at=round_at)
     scored = fs_score(vec, model)
