@@ -164,3 +164,25 @@ def nb_evaluate(predictions: DataFrame, truth: DataFrame, id_col: str, label_col
         .groupBy("label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def save_nb_model(model: NBModel, path: str) -> None:
+    """Persist the fitted model: likelihood + labels as parquet tables,
+    scalars as a one-row meta table.  The model IS DataFrames, so
+    persistence is plain table writes — no serialization format."""
+    model.likelihood.write.mode("overwrite").parquet(f"{path}/likelihood")
+    labels = model.labels
+    labels.write.mode("overwrite").parquet(f"{path}/labels")
+    labels.sparkSession.createDataFrame(
+        [(int(model.vocab_size), float(model.alpha))], "vocab_size long, alpha double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_nb_model(spark, path: str) -> NBModel:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return NBModel(
+        likelihood=spark.read.parquet(f"{path}/likelihood"),
+        labels=spark.read.parquet(f"{path}/labels"),
+        vocab_size=meta["vocab_size"],
+        alpha=meta["alpha"],
+    )

@@ -92,3 +92,20 @@ def test_evaluate_confusion_counts(spark, tiny):
     assert conf[("spam", "spam")] == 1
     assert conf[("ham", "ham")] == 1
     assert conf[("ham", "spam")] == 1
+
+
+def test_nb_model_save_load_roundtrip(spark, tiny, tmp_path):
+    from entity_resolution_spark.operators.classifier import (
+        load_nb_model,
+        save_nb_model,
+    )
+
+    model = nb_train(tiny, text_col="text", label_col="label")
+    test = spark.createDataFrame(
+        [Row(doc_id=40, text="spam offer buy"), Row(doc_id=41, text="agenda notes")]
+    )
+    want = sorted(map(tuple, nb_predict(test, model).collect()))
+    save_nb_model(model, str(tmp_path / "nb"))
+    loaded = load_nb_model(spark, str(tmp_path / "nb"))
+    assert loaded.vocab_size == model.vocab_size and loaded.alpha == model.alpha
+    assert sorted(map(tuple, nb_predict(test, loaded).collect())) == want
