@@ -563,3 +563,50 @@ def fs_cluster_audit(spark, sf_dir):
         edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     ).select(F.col("file_id").alias("doc_id"), "cluster_id")
     return cluster_edge_density(asg, edges)
+
+
+def _fs_explain_sql() -> str:
+    """score mode's EM CTEs, finishing in the per-field waterfall terms."""
+    base = _fs_em_sql(mode="score")
+    head, _, _ = base.rpartition(",\n    scored AS (")
+    terms = ", ".join(
+        f"""round(CASE WHEN {g} = 1 THEN log2(e.m{i + 1} / e.u{i + 1})
+                 ELSE log2((1.0 - e.m{i + 1}) / (1.0 - e.u{i + 1})) END, 6)
+             AS wt_{g}"""
+        for i, g in enumerate(_GAMMAS)
+    )
+    total = " + ".join(f"wt_{g}" for g in _GAMMAS) + " + wt_prior"
+    return (
+        head
+        + f""",
+    expl AS (SELECT v.left_id, v.right_id, {', '.join('v.' + g for g in _GAMMAS)},
+                    {terms},
+                    round(log2(e.lam / (1.0 - e.lam)), 6) AS wt_prior
+             FROM v CROSS JOIN e{_ITERS} e)
+    SELECT *, round({total}, 6) AS wt_total FROM expl"""
+    )
+
+
+@query("fs_explain_weights", _fs_explain_sql())
+def fs_explain_weights(spark, sf_dir):
+    """Per-field additive weight breakdown (the Splink waterfall) for every
+    candidate pair under the EM-fitted model."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.linkage import comparison_vectors, fs_explain, fs_train
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0, max_doc_freq=1_000_000_000)
+    vec = comparison_vectors(
+        pairs,
+        docs,
+        {
+            "g_lang": "lang",
+            "g_source": "source",
+            "g_len": ("n_chars", lambda l, r: F.floor(l / 100).eqNullSafe(F.floor(r / 100))),
+        },
+    ).withColumn("g_jac", (F.col("jaccard") >= 0.3).cast("int"))
+    model = fs_train(vec, _GAMMAS, iters=_ITERS, round_at=_ROUND, lam0=_LAM0, m0=_M0, u0=_U0)
+    return fs_explain(vec, model).select(
+        "left_id", "right_id", *_GAMMAS,
+        *[f"wt_{g}" for g in _GAMMAS], "wt_prior", "wt_total",
+    )

@@ -365,3 +365,31 @@ def load_fs_model(spark, path: str) -> FSModel:
         iters=r["iters"],
         round_at=r["round_at"],
     )
+
+
+def fs_explain(vectors: DataFrame, model: FSModel, round_out: int = 6) -> DataFrame:
+    """Per-field weight breakdown (the Splink waterfall): for every pair,
+    ``wt_<gamma>`` = log2(m_i/u_i) when the field agrees else
+    log2((1-m_i)/(1-u_i)), plus ``wt_prior`` = log2(lam/(1-lam)) — the
+    additive decomposition reviewers read to see WHY a pair matched.
+    Pure literal expressions, map-side like fs_score; each term rounded at
+    ``round_out`` (total may differ from fs_score's match_weight by
+    <=k*5e-7 rounding slack — terms are rounded independently).
+    """
+    out = vectors
+    for i, g in enumerate(model.gamma_cols):
+        agree = math.log2(model.m[i] / model.u[i])
+        disagree = math.log2((1.0 - model.m[i]) / (1.0 - model.u[i]))
+        out = out.withColumn(
+            f"wt_{g}",
+            F.round(
+                F.when(F.col(g) == 1, F.lit(agree)).otherwise(F.lit(disagree)),
+                round_out,
+            ),
+        )
+    prior = math.log2(model.lam / (1.0 - model.lam))
+    out = out.withColumn("wt_prior", F.round(F.lit(prior), round_out))
+    total = reduce(
+        lambda a, b: a + b, [F.col(f"wt_{g}") for g in model.gamma_cols]
+    ) + F.col("wt_prior")
+    return out.withColumn("wt_total", F.round(total, round_out))

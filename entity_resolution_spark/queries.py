@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "token_entropy_stats",
     "fs_review_queue",
     "fs_cluster_audit",
+    "fs_explain_weights",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

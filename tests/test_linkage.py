@@ -487,3 +487,24 @@ def test_cluster_edge_density_no_edges_cluster(spark):
     )
     r = cluster_edge_density(asg, edges).collect()[0]
     assert (r["n_edges"], r["density"], r["min_score"]) == (0, 0.0, None)
+
+
+def test_fs_explain_decomposition(spark):
+    import math
+
+    from entity_resolution_spark.operators.linkage import FSModel, fs_explain
+
+    vec = spark.createDataFrame(
+        [Row(left_id=1, right_id=2, g_a=1, g_b=0)]
+    )
+    model = FSModel(
+        gamma_cols=["g_a", "g_b"], lam=0.2, m=[0.9, 0.8], u=[0.1, 0.4],
+        iters=1, round_at=10,
+    )
+    r = fs_explain(vec, model).collect()[0]
+    assert r["wt_g_a"] == pytest.approx(math.log2(0.9 / 0.1), abs=1e-6)
+    assert r["wt_g_b"] == pytest.approx(math.log2(0.2 / 0.6), abs=1e-6)
+    assert r["wt_prior"] == pytest.approx(math.log2(0.25), abs=1e-6)
+    assert r["wt_total"] == pytest.approx(
+        r["wt_g_a"] + r["wt_g_b"] + r["wt_prior"], abs=1e-6
+    )
