@@ -14,6 +14,9 @@ driver contract (COVERAGE.md).
   4. clustering    connected components over high-posterior edges
   5. golden record field-level survivorship (modal lang/source, longest
                    text, max n_chars) per entity cluster
+  6. review       uncertainty-sampled labeling batch (pairs nearest
+                   posterior 0.5) + per-field waterfall explanation of
+                   the top match
 
 Run:  python examples/record_linkage.py
 """
@@ -95,6 +98,20 @@ def main() -> None:
     )
     print(f"entities: {golden.count()}")
     golden.orderBy("cluster_id").show(5, truncate=60)
+
+    # 6. the human-in-the-loop surfaces: what to label next, and why the
+    #    top pair matched (additive per-field weight decomposition)
+    from entity_resolution_spark.operators.linkage import fs_explain, review_queue
+
+    print("label these next (nearest the decision boundary):")
+    review_queue(scored, 5).select(
+        "left_id", "right_id", "posterior", "margin"
+    ).show()
+    print("why the most confident pair matched:")
+    top = scored.orderBy(F.desc("posterior"), "left_id", "right_id").limit(1)
+    fs_explain(top, model).select(
+        "left_id", "right_id", *[f"wt_{g}" for g in gammas], "wt_prior", "wt_total"
+    ).show()
     spark.stop()
 
 
