@@ -133,6 +133,8 @@ def fs_em(
     bit-for-bit.
     """
     rows = sorted((tuple(r[:k]), int(r[k])) for r in census)
+    if not rows:
+        raise ValueError("empty pattern census: no candidate pairs to fit on")
     lam, m, u = lam0, [m0] * k, [u0] * k
 
     def _mstep(x: float) -> float:

@@ -508,3 +508,15 @@ def test_fs_explain_decomposition(spark):
     assert r["wt_total"] == pytest.approx(
         r["wt_g_a"] + r["wt_g_b"] + r["wt_prior"], abs=1e-6
     )
+
+
+def test_fs_em_degenerate_and_empty_census():
+    from entity_resolution_spark.operators.linkage import fs_em
+
+    # every pair shows the same all-agree pattern: clamps keep the fit
+    # finite (m, u -> 0.999999), nothing NaN
+    lam, m, u = fs_em([(1, 1, 100)], k=2, iters=10)
+    assert all(math.isfinite(x) for x in [lam, *m, *u])
+    assert m == [0.999999, 0.999999] and u == [0.999999, 0.999999]
+    with pytest.raises(ValueError):
+        fs_em([], k=2)
