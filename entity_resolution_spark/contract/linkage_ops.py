@@ -610,3 +610,33 @@ def fs_explain_weights(spark, sf_dir):
         "left_id", "right_id", *_GAMMAS,
         *[f"wt_{g}" for g in _GAMMAS], "wt_prior", "wt_total",
     )
+
+
+@query(
+    "ngram_novelty_scores",
+    """
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+          FROM t),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    e2 AS (SELECT doc_id, gram FROM e WHERE gram <> ''),
+    dfq AS (SELECT gram, count(*) AS df FROM e2 GROUP BY 1),
+    s AS (SELECT e2.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS novel_grams
+          FROM e2 JOIN dfq USING (gram) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(s.n_grams AS DOUBLE) AS n_grams,
+           CAST(s.novel_grams AS DOUBLE) AS novel_grams,
+           round(s.novel_grams * 1.0 / s.n_grams, 6) AS novelty
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def ngram_novelty_scores(spark, sf_dir):
+    """Share of each doc's distinct trigrams unique to it corpus-wide."""
+    from ..operators.stats import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)

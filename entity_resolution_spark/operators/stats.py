@@ -335,3 +335,55 @@ def token_entropy(
             "entropy",
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty -> (id_col, n_grams, novel_grams, novelty).
+
+    ``novelty`` = the share of a document's distinct word-n-grams that
+    appear in NO other document — the standard corpus-novelty /
+    memorization-risk signal: boilerplate and templated pages score ~0,
+    genuinely new text ~1 (complements containment and dup-span stats,
+    which find the copies rather than measure the remainder).
+
+    Plan: one posting explode, a gram document-frequency hash aggregate
+    (join-back, not a window — same stop-gram reasoning as the dedup
+    index), then a per-doc aggregate counting df==1 grams. All JVM.
+    Empty docs surface with NULL stats via the left join.
+    """
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    d = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    postings = d.select("id", F.explode("grams").alias("gram")).where(
+        F.col("gram") != ""
+    )
+    df_gram = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    stats = (
+        postings.join(df_gram.hint("shuffle_hash"), "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("novel_grams"),
+        )
+        .select(
+            "id",
+            F.col("n_grams").cast("double").alias("n_grams"),
+            F.col("novel_grams").cast("double").alias("novel_grams"),
+            F.round(F.col("novel_grams") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(F.col("id").alias(id_col), "n_grams", "novel_grams", "novelty")
+    )

@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = [
     "fs_review_queue",
     "fs_cluster_audit",
     "fs_explain_weights",
+    "ngram_novelty_scores",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -520,3 +520,22 @@ def test_fs_em_degenerate_and_empty_census():
     assert m == [0.999999, 0.999999] and u == [0.999999, 0.999999]
     with pytest.raises(ValueError):
         fs_em([], k=2)
+
+
+def test_ngram_novelty_hand_values(spark):
+    from entity_resolution_spark.operators.stats import ngram_novelty
+
+    rows = [
+        Row(doc_id=1, text="a b c d e"),     # grams: abc bcd cde
+        Row(doc_id=2, text="a b c x y"),     # grams: abc bcx cxy -> shares abc
+        Row(doc_id=3, text="p q r s"),       # fully novel
+        Row(doc_id=4, text=""),              # empty -> NULLs
+    ]
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in ngram_novelty(spark.createDataFrame(rows), n=3).collect()
+    }
+    assert got[1] == (3.0, 2.0, pytest.approx(2 / 3, abs=1e-6))
+    assert got[2] == (3.0, 2.0, pytest.approx(2 / 3, abs=1e-6))
+    assert got[3] == (2.0, 2.0, 1.0)
+    assert got[4] == (None, None, None)
