@@ -640,3 +640,56 @@ def ngram_novelty_scores(spark, sf_dir):
     from ..operators.stats import ngram_novelty
 
     return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _sx_code(c: str) -> str:
+    """Soundex letter->code CASE (commons-codec mapping, which Spark's
+    builtin follows): H/W -> '7' (merge adjacent equal codes), vowels AND
+    mid-string non-letters -> '0' (reset the run; Spark 'x9z' -> 'X200')."""
+    return f"""CASE WHEN {c} IN ('B','F','P','V') THEN '1'
+         WHEN {c} IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+         WHEN {c} IN ('D','T') THEN '3'
+         WHEN {c} = 'L' THEN '4'
+         WHEN {c} IN ('M','N') THEN '5'
+         WHEN {c} = 'R' THEN '6'
+         WHEN {c} IN ('H','W') THEN '7'
+         ELSE '0' END"""
+
+
+_SOUNDEX_SQL = f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id,
+                    coalesce(string_split_regex(
+                      lower(trim(coalesce(text, ''))), '\\s+')[1], '') AS token
+             FROM documents),
+    base AS (SELECT doc_id, token, upper(token) AS u FROM toks),
+    walk(doc_id, u, sx, last, pos) AS (
+      SELECT doc_id, u, substr(u, 1, 1), {_sx_code("substr(u, 1, 1)")}, 2
+      FROM base WHERE substr(u, 1, 1) BETWEEN 'A' AND 'Z'
+      UNION ALL
+      SELECT doc_id, u,
+             CASE WHEN length(sx) >= 4 THEN sx
+                  WHEN code IN ('0', '7') THEN sx
+                  WHEN code = last THEN sx
+                  ELSE sx || code END,
+             CASE WHEN code = '7' THEN last ELSE code END,
+             pos + 1
+      FROM (SELECT w.*, {_sx_code("substr(u, pos, 1)")} AS code
+            FROM walk w WHERE pos <= length(u))
+    ),
+    fin AS (SELECT doc_id, rpad(sx, 4, '0') AS soundex
+            FROM walk WHERE pos = length(u) + 1)
+    SELECT b.doc_id, b.token, coalesce(f.soundex, b.token) AS soundex
+    FROM base b LEFT JOIN fin f USING (doc_id)
+"""
+
+
+@query("phonetic_soundex_keys", _SOUNDEX_SQL)
+def phonetic_soundex_keys(spark, sf_dir):
+    """Soundex phonetic blocking key over each doc's first token; the
+    oracle is a recursive-CTE replica of Spark's builtin soundex
+    (commons-codec semantics), additionally pinned over every distinct
+    corpus token plus hostile edge cases in tests/test_linkage.py."""
+    from ..operators.blocking import phonetic_keys
+
+    return phonetic_keys(_t(spark, sf_dir, "documents"))

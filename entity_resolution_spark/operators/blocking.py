@@ -184,3 +184,27 @@ def sorted_neighborhood_pairs(
         .where((dist > 0) & (dist < window))
         .select("left_id", "right_id", dist.alias("rank_distance"))
     )
+
+
+def phonetic_keys(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, token, soundex) — the classic phonetic blocking key over each
+    row's first whitespace token (name-matching's oldest blocking scheme;
+    rows sharing a code become candidates the same way path/pfx keys do).
+
+    The code itself is Spark's builtin ``F.soundex`` (JVM, commons-codec
+    semantics: H/W merge adjacent equal codes, vowels and mid-string
+    non-letters reset the run, a non-letter FIRST char returns the input
+    unchanged) — replicated character-for-character by a recursive-CTE
+    kernel in contract/linkage_ops.py and pinned over every distinct
+    corpus token in tests/test_linkage.py.
+    """
+    first = F.element_at(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"), 1
+    )
+    return df.select(
+        F.col(id_col),
+        first.alias("token"),
+        F.soundex(first).alias("soundex"),
+    )

@@ -539,3 +539,49 @@ def test_ngram_novelty_hand_values(spark):
     assert got[2] == (3.0, 2.0, pytest.approx(2 / 3, abs=1e-6))
     assert got[3] == (2.0, 2.0, 1.0)
     assert got[4] == (None, None, None)
+
+
+def test_soundex_replica_exhaustive_over_corpus_tokens(spark, tmp_path):
+    """The recursive-CTE soundex kernel must match Spark's builtin on
+    EVERY distinct corpus token plus classic + hostile edge cases."""
+    import duckdb
+
+    from entity_resolution_spark.queries import ORACLE_SQL
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"))
+            .alias("w")
+        )
+        .distinct()
+    )
+    extra = [
+        "robert", "rupert", "ashcraft", "ashcroft", "tymczak", "pfister",
+        "honeyman", "bfpv", "yoyo", "hw", "wwhw", "a", "x9z", "9abc", "",
+        "hash", "llll", "czzz", "aeiouy",
+    ]
+    words = sorted({r["w"] for r in toks.collect()} | set(extra))
+    probe = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    pq = str(tmp_path / "probe.parquet")
+    probe.write.mode("overwrite").parquet(pq)
+
+    want = {
+        r["doc_id"]: r["sx"]
+        for r in probe.select(
+            "doc_id",
+            F.soundex(
+                F.element_at(F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"), 1)
+            ).alias("sx"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    got = {
+        int(r[0]): r[2] for r in con.sql(ORACLE_SQL["phonetic_soundex_keys"]).fetchall()
+    }
+    assert len(got) == len(want)
+    diffs = {i: (want[i], got[i]) for i in want if want[i] != got[i]}
+    assert not diffs, dict(list(diffs.items())[:10])
