@@ -693,3 +693,38 @@ def phonetic_soundex_keys(spark, sf_dir):
     from ..operators.blocking import phonetic_keys
 
     return phonetic_keys(_t(spark, sf_dir, "documents"))
+
+
+def _fs_pr_sql() -> str:
+    return f"""
+    WITH base AS ({_fs_em_sql(mode="score")}),
+    truth AS (SELECT left_id, right_id FROM base WHERE jaccard >= 0.5),
+    tt AS (SELECT count(*) AS t FROM truth),
+    lab AS (SELECT b.posterior AS threshold,
+                   CASE WHEN t.left_id IS NOT NULL THEN 1 ELSE 0 END AS is_m
+            FROM base b LEFT JOIN truth t USING (left_id, right_id)),
+    lvl AS (SELECT threshold, sum(is_m) AS tp_here, count(*) AS n_here
+            FROM lab GROUP BY 1),
+    cum AS (SELECT threshold,
+                   sum(tp_here) OVER (ORDER BY threshold DESC) AS tp,
+                   sum(n_here) OVER (ORDER BY threshold DESC) AS predicted
+            FROM lvl)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp,
+           CAST(predicted - tp AS BIGINT) AS fp,
+           CAST((SELECT t FROM tt) - tp AS BIGINT) AS fn,
+           round(tp * 1.0 / predicted, 6) AS precision,
+           round(tp * 1.0 / greatest((SELECT t FROM tt), 1), 6) AS recall,
+           round(2.0 * tp / (predicted + (SELECT t FROM tt)), 6) AS f1
+    FROM cum
+    """
+
+
+@query("fs_pr_curve_report", _fs_pr_sql())
+def fs_pr_curve_report(spark, sf_dir):
+    """Operating-point table for the EM model, scored against the
+    jaccard>=0.5 pseudo-truth: at most 2^k thresholds by construction."""
+    from ..operators.linkage import fs_pr_curve
+
+    scored = fs_em_linkage(spark, sf_dir)
+    truth = scored.where(F.col("jaccard") >= 0.5).select("left_id", "right_id")
+    return fs_pr_curve(scored, truth)

@@ -42,7 +42,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _CLAMP_LO = 1e-6
@@ -395,3 +395,53 @@ def fs_explain(vectors: DataFrame, model: FSModel, round_out: int = 6) -> DataFr
         lambda a, b: a + b, [F.col(f"wt_{g}") for g in model.gamma_cols]
     ) + F.col("wt_prior")
     return out.withColumn("wt_total", F.round(total, round_out))
+
+
+def fs_pr_curve(
+    scored: DataFrame,
+    truth_pairs: DataFrame,
+    score_col: str = "posterior",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Precision/recall at every distinct score threshold ->
+    (threshold, tp, fp, fn, precision, recall, f1) — the operating-point
+    table a reviewer picks the cutoff from.
+
+    ``truth_pairs`` carries the labeled matches (left_col, right_col).
+    Because FS scores are per-PATTERN, the curve has at most 2^k distinct
+    thresholds regardless of pair count: the per-level census is one hash
+    aggregate and the cumulative window runs over a bounded frame (the
+    pattern-census argument from fs_train, applied to evaluation).
+    """
+    truth = truth_pairs.select(left_col, right_col).withColumn(
+        "__is_match", F.lit(1)
+    )
+    lab = scored.select(left_col, right_col, score_col).join(
+        truth, [left_col, right_col], "left"
+    )
+    total_truth = truth.count()  # control-plane scalar
+    lvl = lab.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.coalesce("__is_match", F.lit(0))).alias("__tp_here"),
+        F.count(F.lit(1)).alias("__n_here"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        lvl.withColumn("tp", F.sum("__tp_here").over(w))
+        .withColumn("predicted", F.sum("__n_here").over(w))
+        .select(
+            "threshold",
+            "tp",
+            (F.col("predicted") - F.col("tp")).alias("fp"),
+            (F.lit(total_truth) - F.col("tp")).alias("fn"),
+            F.round(F.col("tp") / F.col("predicted"), 6).alias("precision"),
+            F.round(F.col("tp") / F.lit(float(max(total_truth, 1))), 6).alias("recall"),
+            F.round(
+                2 * F.col("tp")
+                / (F.col("predicted") + F.lit(float(total_truth))),
+                6,
+            ).alias("f1"),
+        )
+    )

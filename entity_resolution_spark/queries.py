@@ -129,6 +129,7 @@ _DRIVER_PRIORITY = [
     "fs_explain_weights",
     "ngram_novelty_scores",
     "phonetic_soundex_keys",
+    "fs_pr_curve_report",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -585,3 +585,30 @@ def test_soundex_replica_exhaustive_over_corpus_tokens(spark, tmp_path):
     assert len(got) == len(want)
     diffs = {i: (want[i], got[i]) for i in want if want[i] != got[i]}
     assert not diffs, dict(list(diffs.items())[:10])
+
+
+def test_fs_pr_curve_hand_values(spark):
+    from entity_resolution_spark.operators.linkage import fs_pr_curve
+
+    scored = spark.createDataFrame(
+        [
+            Row(left_id=1, right_id=2, posterior=0.9),   # match
+            Row(left_id=1, right_id=3, posterior=0.9),   # non-match
+            Row(left_id=2, right_id=3, posterior=0.5),   # match
+            Row(left_id=3, right_id=4, posterior=0.1),   # non-match
+        ]
+    )
+    truth = spark.createDataFrame(
+        [Row(left_id=1, right_id=2), Row(left_id=2, right_id=3)]
+    )
+    got = {r["threshold"]: r for r in fs_pr_curve(scored, truth).collect()}
+    assert set(got) == {0.9, 0.5, 0.1}
+    r9 = got[0.9]
+    assert (r9["tp"], r9["fp"], r9["fn"]) == (1, 1, 1)
+    assert r9["precision"] == 0.5 and r9["recall"] == 0.5
+    r5 = got[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"]) == (2, 1, 0)
+    assert r5["recall"] == 1.0 and r5["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    r1 = got[0.1]
+    assert (r1["tp"], r1["fp"]) == (2, 2)
+    assert r1["f1"] == pytest.approx(2 * 2 / (4 + 2), abs=1e-6)
