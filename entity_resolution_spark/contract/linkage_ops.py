@@ -728,3 +728,25 @@ def fs_pr_curve_report(spark, sf_dir):
     scored = fs_em_linkage(spark, sf_dir)
     truth = scored.where(F.col("jaccard") >= 0.5).select("left_id", "right_id")
     return fs_pr_curve(scored, truth)
+
+
+@query(
+    "edit_distance_join_names",
+    """
+    SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def edit_distance_join_names(spark, sf_dir):
+    """Ed-Join (q-gram prefix-filtered edit-distance self-join) at tau=1 over
+    customer names; the oracle is the brute-force levenshtein join, so the
+    driver pins the filter's exactness end-to-end (pytest additionally pins
+    the candidate-count reduction)."""
+    from ..operators.editjoin import edit_distance_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_join(
+        cust, tau=1, q=2, id_col="c_custkey", text_col="c_name"
+    ).withColumn("distance", F.col("distance").cast("long"))
