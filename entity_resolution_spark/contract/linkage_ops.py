@@ -750,3 +750,36 @@ def edit_distance_join_names(spark, sf_dir):
     return edit_distance_join(
         cust, tau=1, q=2, id_col="c_custkey", text_col="c_name"
     ).withColumn("distance", F.col("distance").cast("long"))
+
+
+@query(
+    "one_to_one_matches",
+    f"""
+    WITH {_NGRAM_PAIR_CTES},
+    base AS (SELECT l, r, round(c * 1.0 / (ln + rn - c), 6) AS j
+             FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.2),
+    sym AS (SELECT l AS src, r AS dst, j FROM base
+            UNION ALL SELECT r AS src, l AS dst, j FROM base),
+    best AS (SELECT src, dst, j,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY j DESC, dst ASC) AS rn
+             FROM sym),
+    b1 AS (SELECT src, dst, j FROM best WHERE rn = 1)
+    SELECT a.src AS left_id, a.dst AS right_id, a.j AS score
+    FROM b1 a JOIN b1 b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    """,
+)
+def one_to_one_matches(spark, sf_dir):
+    """Unique-mapping constraint (census linkage / Splink 'unique' type):
+    symmetric best match over the trigram-jaccard candidate graph — each
+    doc keeps at most one partner, kept only when the preference is mutual
+    (score DESC, partner id ASC tie-break)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.matching import mutual_best_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    return mutual_best_matches(pairs, score_col="jaccard")
