@@ -373,6 +373,35 @@ def cc_clusters_ngram(spark, sf_dir):
     return comp.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+# --- parallel Pivot correlation clustering over the same edge set ----------
+# Contrast row for cc_clusters_ngram: CC merges across weak chains; Pivot
+# (locally-minimal rounds, KDD'14) only forms pivot-stars. The oracle
+# unrolls the bounded round loop and replicates pi(v) = xxhash64(seed, v)
+# bit-for-bit (sql_kernels._xxh64_pi_ctes), so the driver checks the whole
+# algorithm including its randomness.
+_PIVOT_SQL = f"""
+    WITH {_NGRAM_PAIR_CTES},
+    edges0 AS (
+      SELECT l AS a, r AS b FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.5
+    ),
+    {_sql.pivot_clusters_ctes("edges0", rounds=4, seed=7)}
+    SELECT id AS doc_id, cluster_id FROM __pivot_out
+    """
+
+
+@query("corrclust_pivot_ngram", _PIVOT_SQL)
+def corrclust_pivot_ngram(spark, sf_dir):
+    """pivot_clusters over the exact n-gram Jaccard edge set — every node
+    labeled with its pivot's doc_id (stars, not transitive closures)."""
+    from ..operators.corrclust import pivot_clusters
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5, max_doc_freq=1_000_000_000)
+    out = pivot_clusters(edges, src_col="left_id", dst_col="right_id", seed=7, rounds=4)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # DEFAULT-config flagship, oracle-checked value-for-value: the content
 # edit-ratio term (w_content=0.4) is replicated in SQL by an anti-diagonal
 # LCS DP inside a recursive CTE + round_even (sql_kernels.

@@ -1161,3 +1161,112 @@ FROM (SELECT vec_id,
              list_transform(embedding::DOUBLE[], v -> v) AS x
       FROM embeddings)
 """
+
+
+# --- XXH64-for-one-long (Spark's builtin xxhash64 over LONG columns) --------
+# Spark chains fields: xxhash64(c1, c2) = hashLong(c2, hashLong(c1, 42)).
+# With c1 a literal, the inner hash folds to a Python-computed constant, so
+# the SQL replica needs only the single-long kernel. Parity with Spark is
+# asserted in tests/test_corrclust.py (and was hand-verified against
+# pyspark 4.1.2 for positive/negative/boundary longs).
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def xxh64_long_py(x: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long (unsigned result)."""
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (64 - r))) & _M64
+
+    x &= _M64
+    h = (seed + _XXP5 + 8) & _M64
+    h ^= (rotl((x * _XXP2) & _M64, 31) * _XXP1) & _M64
+    h = (rotl(h, 27) * _XXP1 + _XXP4) & _M64
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_seed(*fixed: int) -> int:
+    """The running hash after Spark's xxhash64 consumed ``fixed`` longs
+    (so xxhash64(lit(a), col) == xxh64_long(col, spark_xxhash64_seed(a)))."""
+    h = 42
+    for v in fixed:
+        h = xxh64_long_py(v, h)
+    return h
+
+
+def _xxh64_pi_ctes(src: str, seed: int) -> str:
+    """CTE chain hashing column ``id`` (BIGINT) of ``src`` with the chained
+    seed, ending in ``__pi(id, pi)`` where pi is the SIGNED Spark hash."""
+    a = (seed + _XXP5 + 8) & _M64
+    return f"""
+__p0 AS (SELECT id, (CASE WHEN id < 0 THEN id::HUGEINT + {_TWO64}::HUGEINT
+                          ELSE id::HUGEINT END)::UBIGINT AS x FROM {src}),
+__p1 AS (SELECT id, ((x::UHUGEINT * {_XXP2}::UHUGEINT) % {_TWO64})::UBIGINT AS k FROM __p0),
+__p2 AS (SELECT id, (((k::UHUGEINT * {1 << 31}::UHUGEINT) % {_TWO64})::UBIGINT | (k >> 33)) AS k FROM __p1),
+__p3 AS (SELECT id, xor({a}::UBIGINT, ((k::UHUGEINT * {_XXP1}::UHUGEINT) % {_TWO64})::UBIGINT) AS h FROM __p2),
+__p4 AS (SELECT id, (((h::UHUGEINT * {1 << 27}::UHUGEINT) % {_TWO64})::UBIGINT | (h >> 37)) AS h FROM __p3),
+__p5 AS (SELECT id, ((h::UHUGEINT * {_XXP1}::UHUGEINT + {_XXP4}::UHUGEINT) % {_TWO64})::UBIGINT AS h FROM __p4),
+__p6 AS (SELECT id, ((xor(h, h >> 33)::UHUGEINT * {_XXP2}::UHUGEINT) % {_TWO64})::UBIGINT AS h FROM __p5),
+__p7 AS (SELECT id, ((xor(h, h >> 29)::UHUGEINT * {_XXP3}::UHUGEINT) % {_TWO64})::UBIGINT AS h FROM __p6),
+__pi AS (SELECT id,
+                CASE WHEN xor(h, h >> 32) >= {1 << 63}::UBIGINT
+                     THEN (xor(h, h >> 32)::HUGEINT - {_TWO64}::HUGEINT)::BIGINT
+                     ELSE xor(h, h >> 32)::BIGINT END AS pi
+         FROM __p7)"""
+
+
+def pivot_clusters_ctes(edges_cte: str, rounds: int, seed: int) -> str:
+    """Replica of operators/corrclust.pivot_clusters: ``rounds`` rounds of
+    locally-minimal Pivot, UNROLLED (each round is a fixed CTE block — the
+    engine's loop is bounded, so the oracle can be too). ``edges_cte`` must
+    name a prior CTE with columns (a, b). Final CTE: __pivot_out(id,
+    cluster_id). The random order pi(v) = xxhash64(lit(seed), v) uses the
+    bit-for-bit XXH64 replica above, so the driver oracle covers the whole
+    algorithm, randomness included."""
+    chained = spark_xxhash64_seed(seed)
+    parts = [
+        f"""
+__sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM {edges_cte} WHERE a <> b
+          UNION SELECT b, a FROM {edges_cte} WHERE a <> b),
+__nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM __sym),
+{_xxh64_pi_ctes("__nodes", chained)},
+__adj0 AS MATERIALIZED (SELECT s.src, s.dst, pd.pi AS dpi
+           FROM __sym s JOIN __pi pd ON s.dst = pd.id),
+__act0 AS MATERIALIZED (SELECT id, pi FROM __pi)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""
+__nmin{r} AS MATERIALIZED (SELECT src, min({{'p': dpi, 'i': dst}}) AS nk
+              FROM __adj{p} GROUP BY src),
+__piv{r} AS MATERIALIZED (SELECT act.id FROM __act{p} act
+             LEFT JOIN __nmin{r} n ON act.id = n.src
+             WHERE n.src IS NULL OR {{'p': act.pi, 'i': act.id}} < n.nk),
+__asg{r} AS MATERIALIZED (SELECT a.src AS id, min({{'p': a.dpi, 'i': a.dst}}) AS mk
+             FROM __adj{p} a SEMI JOIN __piv{r} pv ON a.dst = pv.id
+             GROUP BY a.src),
+__clu{r} AS MATERIALIZED (SELECT id, id AS cluster_id FROM __piv{r}
+             UNION ALL SELECT id, mk.i AS cluster_id FROM __asg{r}),
+__act{r} AS MATERIALIZED (SELECT act.id, act.pi FROM __act{p} act
+             ANTI JOIN __clu{r} c ON act.id = c.id),
+__adj{r} AS MATERIALIZED (SELECT a.src, a.dst, a.dpi FROM __adj{p} a
+             SEMI JOIN __act{r} x ON a.src = x.id
+             SEMI JOIN __act{r} y ON a.dst = y.id)"""
+        )
+    union = "\nUNION ALL ".join(
+        [f"SELECT id, cluster_id FROM __clu{r}" for r in range(1, rounds + 1)]
+        + [f"SELECT id, id AS cluster_id FROM __act{rounds}"]
+    )
+    parts.append(f"\n__pivot_out AS ({union})")
+    return ",".join(parts)

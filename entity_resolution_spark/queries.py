@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "f_jw_levenshtein",
     "stream_interval_join",
     # new in round 3 (later session)
+    "corrclust_pivot_ngram",
     "bm25_search_topk",
     "bpe_train_merges",
     "gopher_quality_flags",
