@@ -373,6 +373,28 @@ def cc_clusters_ngram(spark, sf_dir):
     return comp.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+# --- DBSCAN over the LSH eps-graph ------------------------------------------
+# Density clustering: core/border/noise roles + per-cluster labels; the
+# oracle rebuilds the hyperplane LSH, the degree census, a recursive-CTE
+# CC over the core subgraph, and the min-id border attach.
+@query(
+    "dbscan_embeddings",
+    _sql.dbscan_sql(min_cosine=0.3, min_pts=3, n_planes=4, n_tables=8),
+)
+def dbscan_embeddings(spark, sf_dir):
+    from ..operators.dbscan import dbscan_clusters
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    return dbscan_clusters(
+        _t(spark, sf_dir, "embeddings"),
+        min_cosine=0.3,
+        min_pts=3,
+        n_planes=4,
+        n_tables=8,
+    )
+
+
 # --- parallel Pivot correlation clustering over the same edge set ----------
 # Contrast row for cc_clusters_ngram: CC merges across weak chains; Pivot
 # (locally-minimal rounds, KDD'14) only forms pivot-stars. The oracle

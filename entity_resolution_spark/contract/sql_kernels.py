@@ -1270,3 +1270,48 @@ __adj{r} AS MATERIALIZED (SELECT a.src, a.dst, a.dpi FROM __adj{p} a
     )
     parts.append(f"\n__pivot_out AS ({union})")
     return ",".join(parts)
+
+
+def dbscan_sql(
+    min_cosine: float,
+    min_pts: int,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Oracle for operators/dbscan.dbscan_clusters: the LSH eps-graph
+    replica (_embedding_edge_ctes) + degree census, recursive-CTE
+    connected components over the core subgraph, min-id border attach."""
+    return f"""
+WITH RECURSIVE {_embedding_edge_ctes(min_cosine, n_planes, n_tables, seed, dim)},
+__dsym AS MATERIALIZED (
+  SELECT left_id AS s, right_id AS d FROM __scored
+  UNION ALL SELECT right_id, left_id FROM __scored),
+__core AS MATERIALIZED (
+  SELECT s AS id FROM __dsym GROUP BY s HAVING count(*) >= {min_pts}),
+__ce AS MATERIALIZED (
+  SELECT s, d FROM __dsym
+  WHERE s IN (SELECT id FROM __core) AND d IN (SELECT id FROM __core)),
+__reach(a, b) AS (
+  SELECT s, d FROM __ce
+  UNION
+  SELECT r.a, e.d FROM __reach r JOIN __ce e ON r.b = e.s),
+__corelab AS MATERIALIZED (
+  SELECT c.id, coalesce(least(c.id, min(r.b)), c.id) AS cluster_id
+  FROM __core c LEFT JOIN __reach r ON r.a = c.id GROUP BY c.id),
+__border AS MATERIALIZED (
+  SELECT s AS id, min(d) AS core_nb FROM __dsym
+  WHERE d IN (SELECT id FROM __core) AND s NOT IN (SELECT id FROM __core)
+  GROUP BY s),
+__blab AS (SELECT b.id, cl.cluster_id
+           FROM __border b JOIN __corelab cl ON b.core_nb = cl.id)
+SELECT e.vec_id,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN bl.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(cl.cluster_id, bl.cluster_id) AS cluster_id
+FROM embeddings e
+LEFT JOIN __corelab cl ON e.vec_id = cl.id
+LEFT JOIN __blab bl ON e.vec_id = bl.id
+"""

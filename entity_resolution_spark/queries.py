@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "stream_interval_join",
     # new in round 3 (later session)
     "corrclust_pivot_ngram",
+    "dbscan_embeddings",
     "bm25_search_topk",
     "bpe_train_merges",
     "gopher_quality_flags",
