@@ -783,3 +783,43 @@ def one_to_one_matches(spark, sf_dir):
         docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
     )
     return mutual_best_matches(pairs, score_col="jaccard")
+
+
+_TFIDF_T = 0.9
+
+
+@query(
+    "tfidf_cosine_join_docs",
+    f"""
+    WITH e AS (SELECT doc_id, token, count(*) AS tf
+               FROM (SELECT doc_id,
+                            unnest(string_split_regex(
+                                lower(trim(coalesce(text, ''))), '\\s+')) AS token
+                     FROM documents)
+               WHERE token <> '' GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT doc_id, token, tf * ln(n_docs * 1.0 / df) AS w
+          FROM e
+          JOIN (SELECT token, count(*) AS df FROM e GROUP BY 1) USING (token)
+          CROSS JOIN n
+          WHERE tf * ln(n_docs * 1.0 / df) > 0),
+    v AS (SELECT doc_id, token, w / nrm AS wn
+          FROM w JOIN (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                       FROM w GROUP BY 1) USING (doc_id)),
+    p AS (SELECT a.doc_id AS l, b.doc_id AS r,
+                 round(sum(a.wn * b.wn), 6) AS cosine
+          FROM v a JOIN v b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT l AS left_id, r AS right_id, cosine
+    FROM p WHERE cosine >= {_TFIDF_T}
+    """,
+)
+def tfidf_cosine_join_docs(spark, sf_dir):
+    """AllPairs-style tf-idf cosine similarity self-join (Bayardo et al.,
+    WWW 2007): suffix-norm prefix filtering over L2-normalized tf-idf
+    vectors, exact verification over shared tokens. The oracle is the
+    brute-force weighted inverted index — identical output, so the driver
+    pins the prefix filter's exactness; pytest pins candidate reduction."""
+    from ..operators.setjoin import tfidf_cosine_join
+
+    return tfidf_cosine_join(_t(spark, sf_dir, "documents"), threshold=_TFIDF_T)

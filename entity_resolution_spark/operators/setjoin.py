@@ -117,6 +117,128 @@ def ppjoin_token_jaccard(
     return verified
 
 
+def _tfidf_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, token, wn) — L2-normalized tf-idf postings.
+
+    tf = raw in-doc multiplicity of the whitespace token, idf = ln(N/df);
+    tokens with df == N carry weight 0 and are dropped (they cannot move a
+    cosine, and keeping them would divide empty-signal docs by a zero norm).
+    """
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    )
+    e = (
+        docs.select(F.col(id_col).alias("id"), tok.alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    df_census = e.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    w = (
+        e.join(df_census.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__w", F.col("__tf") * F.log(F.col("__n") / F.col("__df")))
+        .where(F.col("__w") > 0)
+        .select("id", "token", "__w")
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
+    return (
+        w.join(norms.hint("shuffle_hash"), "id")
+        .select("id", "token", (F.col("__w") / F.col("__nrm")).alias("wn"))
+    )
+
+
+def tfidf_cosine_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact tf-idf cosine similarity self-join >= threshold (AllPairs-style).
+
+    Bayardo/Ma/Srikant (WWW 2007) suffix-norm prefix filtering over
+    L2-normalized tf-idf vectors: sort each doc's features heaviest-first
+    and index a feature only while the L2 norm of the REMAINING suffix is
+    still >= t. If a pair reaches cosine >= t, its shared features cannot
+    all sit in the left doc's suffix (cos <= ||x_suffix|| * ||y|| < t), so
+    joining the short prefix index against the full posting list is
+    complete; exact verification (sum of weight products over shared
+    tokens) then makes the operator EXACT — the prefix only prunes.
+
+    Weighted complement of ppjoin_token_jaccard (reference semantics:
+    content-similarity joins in /root/reference/src/similarity.py scope;
+    the weighting follows the standard IR formulation, not the reference's
+    unweighted ratio). Returns (left_id, right_id, cosine rounded at 6).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    v = _tfidf_postings(docs, id_col, text_col).localCheckpoint(eager=True)
+    # reverse-inclusive sum of squares: a feature is in the prefix while the
+    # norm mass from it to the end is >= t^2 (1e-9 slack only ever LENGTHENS
+    # the prefix, keeping the filter complete under FP rounding)
+    rev = (
+        Window.partitionBy("id")
+        .orderBy(F.col("wn").desc(), F.col("token"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pre = v.withColumn("__rest", F.sum(F.col("wn") * F.col("wn")).over(rev)).where(
+        F.col("__rest") >= threshold * threshold - 1e-9
+    )
+    cand = (
+        pre.select("token", F.col("id").alias("__ql"))
+        .join(v.select("token", F.col("id").alias("__pr")), "token")
+        .where(F.col("__ql") != F.col("__pr"))
+        .select(
+            F.least("__ql", "__pr").alias("left_id"),
+            F.greatest("__ql", "__pr").alias("right_id"),
+        )
+        .distinct()
+    )
+    lw = v.select(F.col("id").alias("left_id"), "token", F.col("wn").alias("__wl"))
+    rw = v.select(F.col("id").alias("right_id"), "token", F.col("wn").alias("__wr"))
+    return (
+        cand.join(lw.hint("shuffle_hash"), "left_id")
+        .join(rw.hint("shuffle_hash"), ["right_id", "token"])
+        .groupBy("left_id", "right_id")
+        .agg(F.round(F.sum(F.col("__wl") * F.col("__wr")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
+def tfidf_cosine_candidate_count(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Diagnostic: distinct prefix-filtered candidate pairs (pre-verification)."""
+    from pyspark.sql import Window
+
+    v = _tfidf_postings(docs, id_col, text_col)
+    rev = (
+        Window.partitionBy("id")
+        .orderBy(F.col("wn").desc(), F.col("token"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pre = v.withColumn("__rest", F.sum(F.col("wn") * F.col("wn")).over(rev)).where(
+        F.col("__rest") >= threshold * threshold - 1e-9
+    )
+    return (
+        pre.select("token", F.col("id").alias("l"))
+        .join(v.select("token", F.col("id").alias("r")), "token")
+        .where(F.col("l") != F.col("r"))
+        .select(F.least("l", "r").alias("a"), F.greatest("l", "r").alias("b"))
+        .distinct()
+        .count()
+    )
+
+
 def ppjoin_candidate_count(
     docs: DataFrame,
     threshold: float,

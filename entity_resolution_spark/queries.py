@@ -134,6 +134,7 @@ _DRIVER_PRIORITY = [
     "fs_pr_curve_report",
     "edit_distance_join_names",
     "one_to_one_matches",
+    "tfidf_cosine_join_docs",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

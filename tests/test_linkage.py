@@ -612,3 +612,79 @@ def test_fs_pr_curve_hand_values(spark):
     r1 = got[0.1]
     assert (r1["tp"], r1["fp"]) == (2, 2)
     assert r1["f1"] == pytest.approx(2 * 2 / (4 + 2), abs=1e-6)
+
+
+def _brute_tfidf_cosine(rows, t):
+    """NumPy-free brute-force tf-idf cosine over whitespace tokens."""
+    import itertools
+    import math
+    from collections import Counter
+
+    tfs = {
+        r.doc_id: Counter(x for x in (r.text or "").lower().strip().split() if x)
+        for r in rows
+    }
+    n = len(rows)
+    dfs = Counter()
+    for c in tfs.values():
+        dfs.update(c.keys())
+    vecs = {}
+    for d, c in tfs.items():
+        w = {tok: tf * math.log(n / dfs[tok]) for tok, tf in c.items()}
+        w = {tok: x for tok, x in w.items() if x > 0}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        if nrm > 0:
+            vecs[d] = {tok: x / nrm for tok, x in w.items()}
+    out = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = round(sum(x * vb[tok] for tok, x in va.items() if tok in vb), 6)
+        if cos >= t:
+            out.add((a, b, cos))
+    return out
+
+
+def test_tfidf_cosine_join_equals_brute_force_and_prunes(spark):
+    from entity_resolution_spark.operators.setjoin import (
+        tfidf_cosine_candidate_count,
+        tfidf_cosine_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        Row(doc_id=i, text=" ".join(base[(i % 4):(i % 4) + 6]) + f" unique{i}")
+        for i in range(30)
+    ] + [Row(doc_id=100, text=""), Row(doc_id=101, text=None)]
+    df = spark.createDataFrame(rows).repartition(5)
+    t = 0.5
+    got = {
+        (r["left_id"], r["right_id"], r["cosine"])
+        for r in tfidf_cosine_join(df, t).collect()
+    }
+    assert got == _brute_tfidf_cosine(rows, t)
+    # the suffix-norm prefix must generate fewer candidates than the full
+    # weighted inverted index (= all pairs sharing any positive-idf token)
+    n_all = len({(a, b) for a, b, _ in _brute_tfidf_cosine(rows, -1.0)})
+    assert tfidf_cosine_candidate_count(df, t) < n_all
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from entity_resolution_spark.operators.setjoin import tfidf_cosine_join
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="red green blue"),
+            Row(doc_id=2, text="red green blue"),
+            Row(doc_id=3, text="cyan magenta yellow yellow"),
+        ]
+    )
+    got = tfidf_cosine_join(df, 0.99).collect()
+    assert [(r["left_id"], r["right_id"], r["cosine"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_tfidf_cosine_threshold_validation(spark):
+    from entity_resolution_spark.operators.setjoin import tfidf_cosine_join
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a")])
+    with pytest.raises(ValueError):
+        tfidf_cosine_join(df, 1.5)
