@@ -410,3 +410,62 @@ def pack_token_ids_stream(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return pack_token_ids(d, seq_len=512, vocab_size=1000)
+
+
+@query(
+    "bcubed_nmi_ari_metrics",
+    """
+    WITH j AS (SELECT doc_id, source AS pc, lang AS tc FROM documents),
+    cont AS (SELECT pc, tc, count(*) AS n FROM j GROUP BY 1, 2),
+    rows_ AS (SELECT pc, sum(n) AS a FROM cont GROUP BY 1),
+    cols_ AS (SELECT tc, sum(n) AS b FROM cont GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items FROM cont),
+    cell AS (
+      SELECT sum(n * n * 1.0 / a) AS bp_num,
+             sum(n * n * 1.0 / b) AS br_num,
+             CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS s_cells,
+             sum(n * ln(n * 1.0 / (a * b))) AS mi_raw
+      FROM cont JOIN rows_ USING (pc) JOIN cols_ USING (tc)),
+    hp AS (SELECT sum(a * ln(a)) AS hp_raw,
+                  CAST(COALESCE(sum(a * (a - 1) // 2), 0) AS BIGINT) AS s_pred
+           FROM rows_),
+    ht AS (SELECT sum(b * ln(b)) AS ht_raw,
+                  CAST(COALESCE(sum(b * (b - 1) // 2), 0) AS BIGINT) AS s_truth
+           FROM cols_),
+    m AS (
+      SELECT n_items,
+             bp_num / n_items AS bp, br_num / n_items AS br,
+             ln(n_items) - hp_raw / n_items AS h_pred,
+             ln(n_items) - ht_raw / n_items AS h_truth,
+             ln(n_items) + mi_raw / n_items AS mi,
+             s_cells, s_pred, s_truth,
+             n_items * (n_items - 1) // 2 AS total_pairs
+      FROM tot, cell, hp, ht)
+    SELECT n_items,
+           round(bp, 6) AS bcubed_precision,
+           round(br, 6) AS bcubed_recall,
+           round(CASE WHEN bp + br > 0 THEN 2 * bp * br / (bp + br)
+                      ELSE 0 END, 6) AS bcubed_f1,
+           round(CASE WHEN h_pred > 0 AND h_truth > 0
+                      THEN mi / sqrt(h_pred * h_truth) ELSE 0 END, 6) AS nmi,
+           round(CASE WHEN total_pairs > 0
+                          AND (s_pred + s_truth) / 2.0
+                              <> s_pred * 1.0 * s_truth / total_pairs
+                      THEN (s_cells - s_pred * 1.0 * s_truth / total_pairs)
+                           / ((s_pred + s_truth) / 2.0
+                              - s_pred * 1.0 * s_truth / total_pairs)
+                      ELSE 1.0 END, 6) AS ari
+    FROM m
+    """,
+)
+def bcubed_nmi_ari_metrics(spark, sf_dir):
+    """B-cubed P/R/F1 + NMI + ARI between the source and lang labelings of
+    the documents table (operators/quality.py extended_cluster_metrics) —
+    the Bagga-Baldwin / information-theoretic agreement family the pairwise
+    metric can't express; all from one contingency table, no pairs."""
+    from ..operators.quality import extended_cluster_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select("doc_id", F.col("source").alias("cluster_id"))
+    truth = d.select("doc_id", F.col("lang").alias("cluster_id"))
+    return extended_cluster_metrics(pred, truth, id_col="doc_id")

@@ -213,3 +213,87 @@ def cluster_edge_density(
             "mean_score",
         )
     )
+
+
+def extended_cluster_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "file_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One row of contingency-table clustering-agreement metrics beyond the
+    pairwise family: B-cubed precision/recall/F1 (Bagga & Baldwin 1998 —
+    the standard coreference/ER metric that, unlike pairwise F1, does not
+    let one mega-cluster dominate), NMI (sqrt normalization), and adjusted
+    Rand index (Hubert & Arabie 1985).
+
+    Everything reduces over the (pred, truth) contingency table — per-item
+    B-cubed precision is n_ij / a_i for each of the n_ij items in cell
+    (i, j), so the mean is sum(n_ij^2 / a_i) / N; MI/entropy/ARI likewise.
+    A 10^8-member cluster costs one aggregate row (the
+    pairwise_cluster_metrics scale shape); no pairs are materialized.
+    ARI's expected-index product a*b can exceed long, so that single term
+    is computed in double; counts stay exact long integers.
+    """
+    j = pred.select(F.col(id_col), F.col(cluster_col).alias("__p")).join(
+        truth.select(F.col(id_col), F.col(cluster_col).alias("__t")), id_col
+    )
+    cont = j.groupBy("__p", "__t").agg(F.count(F.lit(1)).alias("n")).persist()
+    rows = cont.groupBy("__p").agg(F.sum("n").alias("a"))
+    cols = cont.groupBy("__t").agg(F.sum("n").alias("b"))
+    n_tot = cont.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_items"))
+
+    cell = (
+        cont.join(rows.hint("shuffle_hash"), "__p")
+        .join(cols.hint("shuffle_hash"), "__t")
+        .agg(
+            F.sum(F.col("n") * F.col("n") / F.col("a")).alias("__bp_num"),
+            F.sum(F.col("n") * F.col("n") / F.col("b")).alias("__br_num"),
+            F.coalesce(F.sum(_c2(F.col("n"))), F.lit(0)).alias("__s_cells"),
+            # MI needs N inside the log; defer by summing n*ln(n/(a*b)) and
+            # correcting with ln(N) later: MI = sum(n/N * ln(N*n/(a*b)))
+            #                                 = (1/N) sum(n*ln(n/(a*b))) + ln(N)
+            F.sum(F.col("n") * F.log(F.col("n") / (F.col("a") * F.col("b")))).alias(
+                "__mi_raw"
+            ),
+        )
+    )
+    hp = rows.agg(
+        F.sum(F.col("a") * F.log(F.col("a"))).alias("__hp_raw"),
+        F.coalesce(F.sum(_c2(F.col("a"))), F.lit(0)).alias("__s_pred"),
+    )
+    ht = cols.agg(
+        F.sum(F.col("b") * F.log(F.col("b"))).alias("__ht_raw"),
+        F.coalesce(F.sum(_c2(F.col("b"))), F.lit(0)).alias("__s_truth"),
+    )
+    out = n_tot.crossJoin(cell).crossJoin(hp).crossJoin(ht)
+
+    n = F.col("n_items").cast("double")
+    bp = F.col("__bp_num") / n
+    br = F.col("__br_num") / n
+    bf = F.when((bp + br) > 0, 2 * bp * br / (bp + br)).otherwise(F.lit(0.0))
+    # H(P) = ln(N) - (1/N) sum(a*ln(a)); MI = ln(N) + (1/N) sum(n*ln(n/(a*b)))
+    h_pred = F.log(n) - F.col("__hp_raw") / n
+    h_truth = F.log(n) - F.col("__ht_raw") / n
+    mi = F.log(n) + F.col("__mi_raw") / n
+    nmi = F.when(
+        (h_pred > 0) & (h_truth > 0), mi / F.sqrt(h_pred * h_truth)
+    ).otherwise(F.lit(0.0))
+    total_pairs = _c2(F.col("n_items"))
+    expected = F.col("__s_pred") * 1.0 * F.col("__s_truth") / total_pairs
+    max_idx = (F.col("__s_pred") + F.col("__s_truth")) / F.lit(2.0)
+    ari = F.when(
+        (total_pairs > 0) & (max_idx != expected),
+        (F.col("__s_cells") - expected) / (max_idx - expected),
+    ).otherwise(F.lit(1.0))
+
+    result = out.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(bp, 6).alias("bcubed_precision"),
+        F.round(br, 6).alias("bcubed_recall"),
+        F.round(bf, 6).alias("bcubed_f1"),
+        F.round(nmi, 6).alias("nmi"),
+        F.round(ari, 6).alias("ari"),
+    ).localCheckpoint(eager=True)
+    cont.unpersist()
+    return result

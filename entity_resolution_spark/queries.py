@@ -135,6 +135,7 @@ _DRIVER_PRIORITY = [
     "edit_distance_join_names",
     "one_to_one_matches",
     "tfidf_cosine_join_docs",
+    "bcubed_nmi_ari_metrics",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

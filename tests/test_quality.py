@@ -82,3 +82,64 @@ def test_blocking_quality_empty_blocks(spark):
     r = blocking_quality(blocks, truth).collect()[0]
     assert r["comparisons"] == 0 and r["covered_true_pairs"] == 0
     assert r["reduction_ratio"] == 1.0 and r["pair_completeness"] == 0.0
+
+
+def _ext_metrics_reference(pairs):
+    """Independent pure-python B-cubed/NMI/ARI over (pred, truth) labels."""
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    cont = Counter(pairs)
+    a = Counter(p for p, _ in pairs)
+    b = Counter(t for _, t in pairs)
+    bp = sum(c * c / a[p] for (p, _), c in cont.items()) / n
+    br = sum(c * c / b[t] for (_, t), c in cont.items()) / n
+    bf = 2 * bp * br / (bp + br) if bp + br else 0.0
+    hp = -sum(x / n * math.log(x / n) for x in a.values())
+    ht = -sum(x / n * math.log(x / n) for x in b.values())
+    mi = sum(
+        c / n * math.log(n * c / (a[p] * b[t])) for (p, t), c in cont.items()
+    )
+    nmi = mi / math.sqrt(hp * ht) if hp > 0 and ht > 0 else 0.0
+    c2 = lambda x: x * (x - 1) // 2
+    s = sum(c2(c) for c in cont.values())
+    sp, st = sum(c2(x) for x in a.values()), sum(c2(x) for x in b.values())
+    tp = c2(n)
+    exp, mx = sp * st / tp, (sp + st) / 2
+    ari = (s - exp) / (mx - exp) if mx != exp else 1.0
+    return {
+        "bcubed_precision": round(bp, 6),
+        "bcubed_recall": round(br, 6),
+        "bcubed_f1": round(bf, 6),
+        "nmi": round(nmi, 6),
+        "ari": round(ari, 6),
+    }
+
+
+def test_extended_cluster_metrics_matches_reference(spark):
+    from entity_resolution_spark.operators.quality import extended_cluster_metrics
+
+    labels = [(1, "x"), (1, "x"), (2, "x"), (2, "y"), (2, "y"), (3, "z")]
+    pred = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(labels)], "file_id long, cluster_id long"
+    )
+    truth = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(labels)], "file_id long, cluster_id string"
+    )
+    r = extended_cluster_metrics(pred, truth).collect()[0]
+    want = _ext_metrics_reference(labels)
+    assert r["n_items"] == len(labels)
+    for k, v in want.items():
+        assert abs(r[k] - v) < 2e-6, (k, r[k], v)
+
+
+def test_extended_cluster_metrics_identical_clusterings(spark):
+    from entity_resolution_spark.operators.quality import extended_cluster_metrics
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "file_id long, cluster_id long"
+    )
+    r = extended_cluster_metrics(df, df).collect()[0]
+    assert r["bcubed_precision"] == 1.0 and r["bcubed_recall"] == 1.0
+    assert r["bcubed_f1"] == 1.0 and r["nmi"] == 1.0 and r["ari"] == 1.0
