@@ -823,3 +823,79 @@ def tfidf_cosine_join_docs(spark, sf_dir):
     from ..operators.setjoin import tfidf_cosine_join
 
     return tfidf_cosine_join(_t(spark, sf_dir, "documents"), threshold=_TFIDF_T)
+
+
+_STI_THETA = 0.85
+_STI_T = 0.5
+
+
+@query(
+    "soft_tfidf_part_names",
+    f"""
+    WITH pr AS (SELECT a.p_partkey AS l, b.p_partkey AS r
+                FROM part a JOIN part b
+                ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+    e AS (SELECT id, token, count(*) AS tf FROM (
+            SELECT p_partkey AS id,
+                   unnest(string_split_regex(
+                       lower(trim(coalesce(p_name, ''))), '\\s+')) AS token
+            FROM part)
+          WHERE token <> '' GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM part),
+    w AS (SELECT id, token, tf * ln(n_docs * 1.0 / df) AS w
+          FROM e
+          JOIN (SELECT token, count(*) AS df FROM e GROUP BY 1) USING (token)
+          CROSS JOIN n
+          WHERE tf * ln(n_docs * 1.0 / df) > 0),
+    v AS (SELECT id, token, w / nrm AS wn
+          FROM w JOIN (SELECT id, sqrt(sum(w * w)) AS nrm
+                       FROM w GROUP BY 1) USING (id)),
+    tp AS (SELECT pr.l, pr.r, vl.token AS tl, vl.wn AS wl,
+                  vr.token AS tr, vr.wn AS wr,
+                  jaro_winkler_similarity(vl.token, vr.token) AS jw
+           FROM pr JOIN v vl ON vl.id = pr.l JOIN v vr ON vr.id = pr.r
+           WHERE jaro_winkler_similarity(vl.token, vr.token) >= {_STI_THETA}),
+    lr AS (SELECT l, r, sum(wl * wr * jw) AS s FROM (
+             SELECT *, row_number() OVER (PARTITION BY l, r, tl
+                                          ORDER BY jw DESC, tr ASC) AS rn
+             FROM tp) WHERE rn = 1 GROUP BY 1, 2),
+    rl AS (SELECT l, r, sum(wl * wr * jw) AS s FROM (
+             SELECT *, row_number() OVER (PARTITION BY l, r, tr
+                                          ORDER BY jw DESC, tl ASC) AS rn
+             FROM tp) WHERE rn = 1 GROUP BY 1, 2)
+    SELECT lr.l AS left_id, lr.r AS right_id,
+           round((lr.s + rl.s) / 2, 6) AS soft_tfidf
+    FROM lr JOIN rl ON lr.l = rl.l AND lr.r = rl.r
+    WHERE round((lr.s + rl.s) / 2, 6) >= {_STI_T}
+    """,
+)
+def soft_tfidf_part_names(spark, sf_dir):
+    """Soft-TF-IDF (Cohen/Ravikumar/Fienberg 2003) over brand-blocked part
+    name pairs: tf-idf weights with Jaro-Winkler soft token matching; the
+    oracle replays the identical weighting/argmax program on DuckDB's
+    bit-equal jaro_winkler_similarity."""
+    from ..operators.setjoin import soft_tfidf_score
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    part = _t(spark, sf_dir, "part")
+    pairs = (
+        part.alias("a")
+        .join(
+            part.alias("b"),
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("left_id"),
+            F.col("b.p_partkey").alias("right_id"),
+        )
+    )
+    return soft_tfidf_score(
+        part,
+        pairs,
+        threshold=_STI_T,
+        theta=_STI_THETA,
+        id_col="p_partkey",
+        text_col="p_name",
+    )

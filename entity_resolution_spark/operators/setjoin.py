@@ -33,6 +33,7 @@ assertion).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -255,4 +256,89 @@ def ppjoin_candidate_count(
     b = pre.select("token", F.col("id").alias("r"))
     return (
         a.join(b, "token").where(F.col("l") < F.col("r")).select("l", "r").distinct().count()
+    )
+
+
+def soft_tfidf_score(
+    records: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.0,
+    theta: float = 0.9,
+    id_col: str = "id",
+    text_col: str = "text",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Soft-TF-IDF similarity (Cohen/Ravikumar/Fienberg, IIWeb 2003) over a
+    candidate pair set — the classic hybrid metric: tf-idf token weighting
+    with Jaro-Winkler "soft" token matching, so 'jon smith' ~ 'john smyth'
+    scores high even though no token matches exactly.
+
+    For direction S->T: CLOSE(theta) = tokens w in S whose best JW against
+    T's tokens is >= theta; score = sum over CLOSE of
+    V(w,S) * V(argmax_v JW(w,v), T) * max_v JW(w,v), with V the
+    L2-normalized tf-idf weight over the full ``records`` corpus. The
+    returned ``soft_tfidf`` is the mean of both directions (the metric is
+    asymmetric; argmax ties break deterministically on partner token ASC).
+
+    Scale shape: weights come from one corpus census (shared
+    ``_tfidf_postings`` plan); the token cross-product exists only WITHIN
+    supplied candidate pairs (bounded by blocking, never corpus-wide), and
+    JW runs through the Arrow-batched kernel
+    (functions/similarity.py batch_jaro_winkler — bit-equal to DuckDB's
+    jaro_winkler_similarity, pinned by the f_jw_levenshtein contract row).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if not 0.0 < theta <= 1.0:
+        raise ValueError("theta must be in (0, 1]")
+
+    @pandas_udf(T.DoubleType())
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..functions.similarity import batch_jaro_winkler
+
+        return pd.Series(batch_jaro_winkler(a, b))
+
+    v = _tfidf_postings(records, id_col, text_col)
+    lp = v.select(
+        F.col("id").alias(left_col), F.col("token").alias("__tl"), F.col("wn").alias("__wl")
+    )
+    rp = v.select(
+        F.col("id").alias(right_col), F.col("token").alias("__tr"), F.col("wn").alias("__wr")
+    )
+    tok_pairs = (
+        pairs.select(left_col, right_col)
+        .join(lp.hint("shuffle_hash"), left_col)
+        .join(rp.hint("shuffle_hash"), right_col)
+        .withColumn("__jw", _jw(F.col("__tl"), F.col("__tr")))
+        .where(F.col("__jw") >= theta)
+    )
+    w_l = Window.partitionBy(left_col, right_col, "__tl").orderBy(
+        F.col("__jw").desc(), F.col("__tr")
+    )
+    s_lr = (
+        tok_pairs.withColumn("__rn", F.row_number().over(w_l))
+        .where(F.col("__rn") == 1)
+        .groupBy(left_col, right_col)
+        .agg(F.sum(F.col("__wl") * F.col("__wr") * F.col("__jw")).alias("__s_lr"))
+    )
+    w_r = Window.partitionBy(left_col, right_col, "__tr").orderBy(
+        F.col("__jw").desc(), F.col("__tl")
+    )
+    s_rl = (
+        tok_pairs.withColumn("__rn", F.row_number().over(w_r))
+        .where(F.col("__rn") == 1)
+        .groupBy(left_col, right_col)
+        .agg(F.sum(F.col("__wl") * F.col("__wr") * F.col("__jw")).alias("__s_rl"))
+    )
+    return (
+        s_lr.join(s_rl, [left_col, right_col])
+        .select(
+            left_col,
+            right_col,
+            F.round((F.col("__s_lr") + F.col("__s_rl")) / 2.0, 6).alias("soft_tfidf"),
+        )
+        .where(F.col("soft_tfidf") >= threshold)
     )

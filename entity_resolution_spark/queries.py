@@ -136,6 +136,7 @@ _DRIVER_PRIORITY = [
     "one_to_one_matches",
     "tfidf_cosine_join_docs",
     "bcubed_nmi_ari_metrics",
+    "soft_tfidf_part_names",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

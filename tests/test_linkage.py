@@ -688,3 +688,96 @@ def test_tfidf_cosine_threshold_validation(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a")])
     with pytest.raises(ValueError):
         tfidf_cosine_join(df, 1.5)
+
+
+def _brute_soft_tfidf(rows, pairs, theta):
+    """Independent soft-tfidf over whitespace tokens (engine JW kernel)."""
+    import math
+    from collections import Counter
+
+    from entity_resolution_spark.functions.similarity import jaro_winkler
+
+    tfs = {
+        r.doc_id: Counter(x for x in (r.text or "").lower().strip().split() if x)
+        for r in rows
+    }
+    n = len(rows)
+    dfs = Counter()
+    for c in tfs.values():
+        dfs.update(c.keys())
+    vecs = {}
+    for d, c in tfs.items():
+        w = {t: tf * math.log(n / dfs[t]) for t, tf in c.items()}
+        w = {t: x for t, x in w.items() if x > 0}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        if nrm > 0:
+            vecs[d] = {t: x / nrm for t, x in w.items()}
+
+    def direction(src, dst):
+        s = 0.0
+        for tl, wl in sorted(src.items()):
+            # deterministic tie-break: jw DESC, partner token ASC
+            cands = sorted(
+                ((jaro_winkler(tl, tr), tr) for tr in dst),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if cands and cands[0][0] >= theta:
+                jw, tr = cands[0]
+                s += wl * dst[tr] * jw
+        return s
+
+    out = {}
+    for l, r in pairs:
+        if l not in vecs or r not in vecs:
+            continue
+        slr = direction(vecs[l], vecs[r])
+        srl_raw = 0.0
+        for tr, wr in sorted(vecs[r].items()):
+            cands = sorted(
+                ((jaro_winkler(tl, tr), tl) for tl in vecs[l]),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if cands and cands[0][0] >= theta:
+                jw, tl = cands[0]
+                srl_raw += vecs[l][tl] * wr * jw
+        if slr > 0 or srl_raw > 0:
+            out[(l, r)] = round((slr + srl_raw) / 2, 6)
+    return out
+
+
+def test_soft_tfidf_matches_brute_force(spark):
+    from entity_resolution_spark.operators.setjoin import soft_tfidf_score
+
+    rows = [
+        Row(doc_id=1, text="jon smith plumbing"),
+        Row(doc_id=2, text="john smyth plumbing"),
+        Row(doc_id=3, text="acme widget factory"),
+        Row(doc_id=4, text="acme widgets factory"),
+        Row(doc_id=5, text="totally unrelated words"),
+        Row(doc_id=6, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    pair_list = [(1, 2), (1, 3), (3, 4), (1, 5), (1, 6)]
+    pairs = spark.createDataFrame(pair_list, "left_id long, right_id long")
+    got = {
+        (r["left_id"], r["right_id"]): r["soft_tfidf"]
+        for r in soft_tfidf_score(
+            df, pairs, threshold=0.0, theta=0.85, id_col="doc_id"
+        ).collect()
+    }
+    want = _brute_soft_tfidf(rows, pair_list, 0.85)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])
+    # the near-identical name pair must clearly outscore the unrelated one
+    assert got[(1, 2)] > 0.8
+    assert (1, 5) not in got or got[(1, 5)] < 0.2
+
+
+def test_soft_tfidf_theta_validation(spark):
+    from entity_resolution_spark.operators.setjoin import soft_tfidf_score
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a")])
+    pairs = spark.createDataFrame([(1, 1)], "left_id long, right_id long")
+    with pytest.raises(ValueError):
+        soft_tfidf_score(df, pairs, theta=0.0)
