@@ -899,3 +899,41 @@ def soft_tfidf_part_names(spark, sf_dir):
         id_col="p_partkey",
         text_col="p_name",
     )
+
+
+@query(
+    "similarity_graph_triangles",
+    f"""
+    WITH {_NGRAM_PAIR_CTES},
+    e2 AS (SELECT l, r FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.2),
+    tri AS (SELECT e1.l AS a, e1.r AS b, e2x.r AS c
+            FROM e2 e1
+            JOIN e2 e2x ON e2x.l = e1.r
+            JOIN e2 e3 ON e3.l = e1.l AND e3.r = e2x.r),
+    deg AS (SELECT id, count(*) AS degree FROM (
+              SELECT l AS id FROM e2 UNION ALL SELECT r AS id FROM e2)
+            GROUP BY 1),
+    pn AS (SELECT id, count(*) AS triangles FROM (
+             SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY 1)
+    SELECT deg.id AS id, CAST(degree AS BIGINT) AS degree,
+           CAST(COALESCE(triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN degree >= 2
+                      THEN 2.0 * COALESCE(triangles, 0)
+                           / (degree * (degree - 1.0))
+                      ELSE 0.0 END, 6) AS clustering_coefficient
+    FROM deg LEFT JOIN pn USING (id)
+    """,
+)
+def similarity_graph_triangles(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    trigram-jaccard similarity graph (degree-oriented wedge join, Suri &
+    Vassilvitskii 2011) — the over-merge audit signal in graph form; the
+    oracle is the brute-force a<b<c triple join."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graphmetrics import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    return triangle_stats(edges)

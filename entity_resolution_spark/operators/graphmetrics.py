@@ -1,0 +1,88 @@
+"""Similarity-graph structure metrics: triangle counts + local clustering
+coefficient.
+
+Transitive closure (clustering.py) tells you WHICH records glue into an
+entity; triangle density tells you HOW WELL-SUPPORTED that gluing is — a
+chain A-B-C with no closing A-C edge is exactly the over-merge signal
+cluster_edge_density flags, and the per-node clustering coefficient is its
+graph-theoretic form (used the same way in Neo4j/GraphFrames ER audits).
+
+Algorithm: the degree-oriented wedge join (Suri & Vassilvitskii, WWW 2011
+"Counting triangles and the curse of the last reducer"). Every undirected
+edge is oriented from its lower-(degree, id) endpoint to the higher one,
+making the out-degree of ANY node O(sqrt(m)) — so the wedge self-join on
+the source never explodes on hub nodes (the skew story a naive
+neighbor-intersection join lacks), and each triangle materializes exactly
+once. All JVM joins/aggregates, no UDF, ~3 shuffles on edge keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_stats(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Per-node (id, degree, triangles, clustering_coefficient round-6)
+    over an undirected simple graph given as edge rows (any orientation,
+    duplicates and self-loops tolerated — canonicalized first)."""
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient each edge from its lower (degree, id) endpoint: out-degree is
+    # then bounded by O(sqrt(m)) for every node, so the wedge join below
+    # cannot blow up on hubs
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("__db"))
+    ed = e.join(da.hint("shuffle_hash"), "a").join(db.hint("shuffle_hash"), "b")
+    fwd = F.struct("__da", "a") < F.struct("__db", "b")
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("d"),
+        F.when(fwd, F.col("__da")).otherwise(F.col("__db")).alias("__ds"),
+        F.when(fwd, F.col("__db")).otherwise(F.col("__da")).alias("__dd"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("s", F.col("d").alias("u"), F.col("__dd").alias("__du"))
+    o2 = oriented.select("s", F.col("d").alias("v"), F.col("__dd").alias("__dv"))
+    wedges = o1.join(o2, "s").where(
+        F.struct("__du", "u") < F.struct("__dv", "v")
+    )
+    closing = oriented.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    tri = wedges.join(closing.hint("shuffle_hash"), ["u", "v"]).select("s", "u", "v")
+    per_node = (
+        tri.select(F.explode(F.array("s", "u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * F.coalesce("triangles", F.lit(0)) / (d * (d - 1.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coefficient"),
+        )
+    )

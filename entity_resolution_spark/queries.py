@@ -137,6 +137,7 @@ _DRIVER_PRIORITY = [
     "tfidf_cosine_join_docs",
     "bcubed_nmi_ari_metrics",
     "soft_tfidf_part_names",
+    "similarity_graph_triangles",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

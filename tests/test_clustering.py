@@ -79,3 +79,67 @@ def test_random_graph_vs_union_find_oracle(spark, n_nodes, n_edges, seed):
     expected = {x: comp_min[uf.find(x)] for x in touched}
     got = _cc(spark, edges)
     assert got == expected
+
+
+def test_triangle_stats_hand_graph(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import triangle_stats
+
+    # K3 {1,2,3} + pendant 4 on 3 + isolated edge 5-6; dupes/self-loops noise
+    edges = spark.createDataFrame(
+        [
+            Row(left_id=1, right_id=2),
+            Row(left_id=3, right_id=2),
+            Row(left_id=1, right_id=3),
+            Row(left_id=3, right_id=1),  # duplicate reversed
+            Row(left_id=3, right_id=4),
+            Row(left_id=5, right_id=6),
+            Row(left_id=5, right_id=5),  # self-loop dropped
+        ]
+    )
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["clustering_coefficient"])
+        for r in triangle_stats(edges).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert got[4] == (1, 0, 0.0)
+    assert got[5] == (1, 0, 0.0) and got[6] == (1, 0, 0.0)
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    import itertools
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import triangle_stats
+
+    # deterministic pseudo-random graph on 30 nodes
+    edge_set = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                ((i * 7 + 3) % 30, (i * 13 + 11) % 30) for i in range(120)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(
+        [Row(left_id=a, right_id=b) for a, b in edge_set]
+    ).repartition(6)
+    adj = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, nb in adj.items():
+        t = sum(1 for u, v in itertools.combinations(sorted(nb), 2) if v in adj[u])
+        d = len(nb)
+        want[n] = (d, t, round(2 * t / (d * (d - 1)), 6) if d >= 2 else 0.0)
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["clustering_coefficient"])
+        for r in triangle_stats(df).collect()
+    }
+    assert got == want
