@@ -469,3 +469,66 @@ def bcubed_nmi_ari_metrics(spark, sf_dir):
     pred = d.select("doc_id", F.col("source").alias("cluster_id"))
     truth = d.select("doc_id", F.col("lang").alias("cluster_id"))
     return extended_cluster_metrics(pred, truth, id_col="doc_id")
+
+
+@query(
+    "k_anonymity_customer",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+             count(DISTINCT floor(c_acctbal / 1000))
+               + max(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+               AS n_sensitive
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, group_size,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive,
+           group_size >= 10 AS k_anonymous,
+           n_sensitive >= 3 AS l_diverse
+    FROM g
+    """,
+)
+def k_anonymity_customer(spark, sf_dir):
+    """k-anonymity + distinct-l-diversity audit (operators/privacy.py) over
+    (nation, market segment) quasi-identifiers with the account-balance
+    thousand-bucket as the sensitive attribute — one hash aggregate."""
+    from ..operators.privacy import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "balance_bucket", F.floor(F.col("c_acctbal") / 1000)
+    )
+    return k_anonymity_report(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="balance_bucket",
+        l=3,
+    )
+
+
+@query(
+    "k_anonymity_summary_customer",
+    """
+    WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+               FROM customer GROUP BY 1, 2)
+    SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_records,
+           count(*) AS n_groups,
+           CAST(COALESCE(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_violating_groups,
+           CAST(COALESCE(sum(CASE WHEN n < 25 THEN n ELSE 0 END), 0) AS BIGINT)
+             AS records_at_risk,
+           min(n) AS min_group_size,
+           round(CASE WHEN COALESCE(sum(n), 0) > 0
+                      THEN COALESCE(sum(CASE WHEN n < 25 THEN n ELSE 0 END), 0)
+                           * 1.0 / sum(n)
+                      ELSE 0.0 END, 6) AS risk_fraction
+    FROM g
+    """,
+)
+def k_anonymity_summary_customer(spark, sf_dir):
+    """Corpus-level k-anonymity release gate at k=25 over the same
+    quasi-identifiers: records in sub-k groups and the at-risk fraction."""
+    from ..operators.privacy import k_anonymity_summary
+
+    return k_anonymity_summary(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=25
+    )

@@ -138,6 +138,8 @@ _DRIVER_PRIORITY = [
     "bcubed_nmi_ari_metrics",
     "soft_tfidf_part_names",
     "similarity_graph_triangles",
+    "k_anonymity_customer",
+    "k_anonymity_summary_customer",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -143,3 +143,53 @@ def test_extended_cluster_metrics_identical_clusterings(spark):
     r = extended_cluster_metrics(df, df).collect()[0]
     assert r["bcubed_precision"] == 1.0 and r["bcubed_recall"] == 1.0
     assert r["bcubed_f1"] == 1.0 and r["nmi"] == 1.0 and r["ari"] == 1.0
+
+
+def test_k_anonymity_report_flags_and_null_sensitive(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.privacy import k_anonymity_report
+
+    rows = (
+        [Row(zip="111", age=30, dx=d) for d in ("a", "b", "a")]
+        + [Row(zip="222", age=40, dx=None), Row(zip="222", age=40, dx="c")]
+        + [Row(zip="333", age=50, dx="a")]
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["zip"], r["age"]): (
+            r["group_size"],
+            r["n_sensitive"],
+            r["k_anonymous"],
+            r["l_diverse"],
+        )
+        for r in k_anonymity_report(
+            df, ["zip", "age"], k=2, sensitive_col="dx", l=2
+        ).collect()
+    }
+    assert got[("111", 30)] == (3, 2, True, True)
+    # NULL counts as one distinct sensitive value
+    assert got[("222", 40)] == (2, 2, True, True)
+    assert got[("333", 50)] == (1, 1, False, False)
+
+
+def test_k_anonymity_summary_and_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_summary,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="x")] * 5 + [Row(g="y")] * 2 + [Row(g="z")]
+    )
+    r = k_anonymity_summary(df, ["g"], k=3).collect()[0]
+    assert r["n_records"] == 8 and r["n_groups"] == 3
+    assert r["n_violating_groups"] == 2 and r["records_at_risk"] == 3
+    assert r["min_group_size"] == 1 and r["risk_fraction"] == 0.375
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["g"], k=2, sensitive_col="g")
