@@ -937,3 +937,52 @@ def similarity_graph_triangles(spark, sf_dir):
         docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
     )
     return triangle_stats(edges)
+
+
+@query(
+    "monge_elkan_part_names",
+    """
+    WITH t AS (SELECT p_partkey AS id,
+                      list_distinct([x FOR x IN
+                        string_split_regex(lower(trim(coalesce(p_name, ''))), '\\s+')
+                        IF x <> '']) AS toks
+               FROM part),
+    e AS (SELECT id, unnest(toks) AS token FROM t),
+    pr AS (SELECT a.p_partkey AS l, a.p_partkey + 1 AS r
+           FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1),
+    tp AS (SELECT pr.l, pr.r, el.token AS tl, er.token AS tr,
+                  jaro_winkler_similarity(el.token, er.token) AS jw
+           FROM pr JOIN e el ON el.id = pr.l JOIN e er ON er.id = pr.r),
+    lr AS (SELECT l, r, avg(best) AS s FROM (
+             SELECT l, r, tl, max(jw) AS best FROM tp GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+    rl AS (SELECT l, r, avg(best) AS s FROM (
+             SELECT l, r, tr, max(jw) AS best FROM tp GROUP BY 1, 2, 3)
+           GROUP BY 1, 2)
+    SELECT lr.l AS left_id, lr.r AS right_id,
+           round((lr.s + rl.s) / 2, 6) AS monge_elkan
+    FROM lr JOIN rl ON lr.l = rl.l AND lr.r = rl.r
+    """,
+)
+def monge_elkan_part_names(spark, sf_dir):
+    """Monge-Elkan (KDD 1996) token-best-match similarity over adjacent
+    part-name pairs — the unweighted hybrid-metric companion to
+    soft_tfidf_part_names; oracle replays the same max/avg program on
+    DuckDB's bit-equal jaro_winkler_similarity."""
+    from ..operators.setjoin import monge_elkan_score
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    part = _t(spark, sf_dir, "part")
+    pairs = (
+        part.alias("a")
+        .join(
+            part.alias("b"),
+            F.col("b.p_partkey") == F.col("a.p_partkey") + 1,
+        )
+        .select(
+            F.col("a.p_partkey").alias("left_id"),
+            F.col("b.p_partkey").alias("right_id"),
+        )
+    )
+    return monge_elkan_score(part, pairs, id_col="p_partkey", text_col="p_name")

@@ -147,8 +147,9 @@ static double jaro_one(const uint32_t *a, int64_t la,
     return (m / la + m / lb + (m - t) / m) / 3.0;
 }
 
-/* Jaro-Winkler batch: prefix bonus capped at 4, weight 0.1, always
-   applied (rapidfuzz convention, same as the Python kernel). */
+/* Jaro-Winkler batch: prefix bonus capped at 4, weight 0.1, applied only
+   when jaro >= 0.7 (Winkler's boost threshold — the original formulation
+   and DuckDB's convention; same as the Python kernel). */
 void jw_batch(const uint32_t *a_arena, const uint32_t *b_arena,
               const int64_t *a_off, const int64_t *a_len,
               const int64_t *b_off, const int64_t *b_len,
@@ -170,6 +171,7 @@ void jw_batch(const uint32_t *a_arena, const uint32_t *b_arena,
         const uint32_t *b = b_arena + b_off[i];
         int64_t la = a_len[i], lb = b_len[i];
         double jv = jaro_one(a, la, b, lb, aflag, bflag);
+        if (jv < 0.7) { out[i] = jv; continue; }
         int64_t pmax = la < lb ? la : lb;
         if (pmax > 4) pmax = 4;
         int64_t prefix = 0;

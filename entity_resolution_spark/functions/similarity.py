@@ -131,10 +131,15 @@ def jaro(a: str, b: str) -> float:
 
 def jaro_winkler(a: str | None, b: str | None, prefix_weight: float = 0.1) -> float:
     """Jaro-Winkler similarity in [0,1]; prefix bonus capped at 4 chars,
-    always applied (rapidfuzz convention)."""
+    applied only when jaro >= 0.7 (Winkler's boost threshold — the original
+    formulation and DuckDB's jaro_winkler_similarity convention, which the
+    contract oracles use as the replica; an unconditional bonus would
+    silently diverge from them on low-similarity pairs)."""
     if a is None or b is None:
         return 0.0
     j = jaro(a, b)
+    if j < 0.7:
+        return j
     prefix = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca != cb:

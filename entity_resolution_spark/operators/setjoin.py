@@ -342,3 +342,56 @@ def soft_tfidf_score(
         )
         .where(F.col("soft_tfidf") >= threshold)
     )
+
+
+def monge_elkan_score(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Monge-Elkan similarity (Monge & Elkan, KDD 1996) over candidate
+    pairs: for direction S->T, the mean over S's DISTINCT tokens of the
+    best Jaro-Winkler match in T; returned ``monge_elkan`` is the mean of
+    both directions (round-6). The classic unweighted companion to
+    soft_tfidf_score — no corpus statistics, so it works on a single pair
+    in isolation; same Arrow-batched JW kernel, same bounded-by-blocking
+    token cross-product shape."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..functions.similarity import batch_jaro_winkler
+
+        return pd.Series(batch_jaro_winkler(a, b))
+
+    tok = F.explode(
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        )
+    )
+    t = records.select(F.col(id_col).alias("id"), tok.alias("token")).where(
+        F.col("token") != ""
+    )
+    lp = t.select(F.col("id").alias(left_col), F.col("token").alias("__tl"))
+    rp = t.select(F.col("id").alias(right_col), F.col("token").alias("__tr"))
+    tok_pairs = (
+        pairs.select(left_col, right_col)
+        .join(lp.hint("shuffle_hash"), left_col)
+        .join(rp.hint("shuffle_hash"), right_col)
+        .withColumn("__jw", _jw(F.col("__tl"), F.col("__tr")))
+    )
+    s_lr = tok_pairs.groupBy(left_col, right_col, "__tl").agg(
+        F.max("__jw").alias("__best")
+    ).groupBy(left_col, right_col).agg(F.avg("__best").alias("__s_lr"))
+    s_rl = tok_pairs.groupBy(left_col, right_col, "__tr").agg(
+        F.max("__jw").alias("__best")
+    ).groupBy(left_col, right_col).agg(F.avg("__best").alias("__s_rl"))
+    return s_lr.join(s_rl, [left_col, right_col]).select(
+        left_col,
+        right_col,
+        F.round((F.col("__s_lr") + F.col("__s_rl")) / 2.0, 6).alias("monge_elkan"),
+    )

@@ -781,3 +781,28 @@ def test_soft_tfidf_theta_validation(spark):
     pairs = spark.createDataFrame([(1, 1)], "left_id long, right_id long")
     with pytest.raises(ValueError):
         soft_tfidf_score(df, pairs, theta=0.0)
+
+
+def test_monge_elkan_matches_brute_force(spark):
+    from entity_resolution_spark.functions.similarity import jaro_winkler
+    from entity_resolution_spark.operators.setjoin import monge_elkan_score
+
+    rows = [
+        Row(doc_id=1, text="jon smith"),
+        Row(doc_id=2, text="john smyth"),
+        Row(doc_id=3, text="completely different tokens"),
+    ]
+    df = spark.createDataFrame(rows)
+    pair_list = [(1, 2), (1, 3)]
+    pairs = spark.createDataFrame(pair_list, "left_id long, right_id long")
+    got = {
+        (r["left_id"], r["right_id"]): r["monge_elkan"]
+        for r in monge_elkan_score(df, pairs, id_col="doc_id").collect()
+    }
+    toks = {r.doc_id: sorted(set(r.text.lower().split())) for r in rows}
+    for l, r in pair_list:
+        A, B = toks[l], toks[r]
+        lr = sum(max(jaro_winkler(a, b) for b in B) for a in A) / len(A)
+        rl = sum(max(jaro_winkler(a, b) for a in A) for b in B) / len(B)
+        assert abs(got[(l, r)] - round((lr + rl) / 2, 6)) < 2e-6
+    assert got[(1, 2)] > 0.9 > got[(1, 3)]
