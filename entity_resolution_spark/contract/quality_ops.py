@@ -532,3 +532,35 @@ def k_anonymity_summary_customer(spark, sf_dir):
     return k_anonymity_summary(
         _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=25
     )
+
+
+@query(
+    "iqr_outlier_orders",
+    """
+    WITH f AS (SELECT o_orderstatus,
+                      quantile_cont(o_totalprice, 0.25) AS q1,
+                      quantile_cont(o_totalprice, 0.75) AS q3
+               FROM orders GROUP BY 1)
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           round(q1, 6) AS q25, round(q3, 6) AS q75,
+           round(q1 - 0.5 * (q3 - q1), 6) AS lo_fence,
+           round(q3 + 0.5 * (q3 - q1), 6) AS hi_fence
+    FROM orders JOIN f USING (o_orderstatus)
+    WHERE o_totalprice < q1 - 0.5 * (q3 - q1)
+       OR o_totalprice > q3 + 0.5 * (q3 - q1)
+    """,
+)
+def iqr_outlier_orders(spark, sf_dir):
+    """Tukey-fence outliers (operators/stats.py iqr_outliers) on order
+    totals within each order status at k=0.5 — exact per-group quantiles,
+    fences broadcast back, only the flagged rows returned."""
+    from ..operators.stats import iqr_outliers
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = iqr_outliers(o, "o_totalprice", ["o_orderstatus"], k=0.5)
+    return out.where("is_outlier").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "q25", "q75", "lo_fence", "hi_fence",
+    )

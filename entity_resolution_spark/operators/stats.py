@@ -387,3 +387,52 @@ def ngram_novelty(
         .join(stats, "id", "left")
         .select(F.col("id").alias(id_col), "n_grams", "novel_grams", "novelty")
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flags: rows whose ``value_col`` falls outside
+    [q25 - k*IQR, q75 + k*IQR] of their group (Tukey 1977, the robust
+    data-quality staple — unlike z-scores, the fences themselves are not
+    dragged by the outliers they hunt).
+
+    Returns the input columns plus (q25, q75, lo_fence, hi_fence round-6,
+    is_outlier). Quantiles are EXACT (F.percentile — one sort-based
+    aggregate per group, the same convention the exact-quantiles contract
+    row pins against DuckDB's quantile_cont); the fences join back as a
+    group-sized broadcastable frame, so the corpus itself is scanned twice
+    but never pair-joined or windowed. NULL values are never outliers.
+    """
+    gc = list(group_cols or [])
+    q = lambda p: F.percentile(F.col(value_col), F.lit(p))  # noqa: E731
+    if gc:
+        fences = df.groupBy(*gc).agg(q(0.25).alias("__q25"), q(0.75).alias("__q75"))
+    else:
+        fences = df.agg(q(0.25).alias("__q25"), q(0.75).alias("__q75"))
+    iqr = F.col("__q75") - F.col("__q25")
+    fences = fences.select(
+        *gc,
+        F.col("__q25"),
+        F.col("__q75"),
+        (F.col("__q25") - k * iqr).alias("__lo"),
+        (F.col("__q75") + k * iqr).alias("__hi"),
+    )
+    joined = df.join(F.broadcast(fences), gc) if gc else df.crossJoin(F.broadcast(fences))
+    return joined.select(
+        *df.columns,
+        F.round("__q25", 6).alias("q25"),
+        F.round("__q75", 6).alias("q75"),
+        F.round("__lo", 6).alias("lo_fence"),
+        F.round("__hi", 6).alias("hi_fence"),
+        F.when(
+            F.col(value_col).isNotNull()
+            & ((F.col(value_col) < F.col("__lo")) | (F.col(value_col) > F.col("__hi"))),
+            True,
+        )
+        .otherwise(False)
+        .alias("is_outlier"),
+    )

@@ -141,6 +141,7 @@ _DRIVER_PRIORITY = [
     "k_anonymity_customer",
     "k_anonymity_summary_customer",
     "monge_elkan_part_names",
+    "iqr_outlier_orders",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

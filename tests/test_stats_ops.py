@@ -545,3 +545,36 @@ def test_cm_sketch_unseen_key_reads_zero_and_partition_invariant(spark):
     s1 = sorted(map(tuple, cm_estimate(big.distinct(), cm_sketch_build(big, "val"), "val").collect()))
     s2 = sorted(map(tuple, cm_estimate(big.distinct(), cm_sketch_build(big.repartition(9), "val"), "val").collect()))
     assert s1 == s2
+
+
+def test_iqr_outliers_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import iqr_outliers
+
+    # group "a": values 1..9 plus 100 -> q25=3.25, q75=7.75, iqr=4.5
+    rows = [Row(g="a", v=float(x)) for x in range(1, 10)] + [
+        Row(g="a", v=100.0),
+        Row(g="b", v=5.0),
+        Row(g="b", v=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["g"], r["v"]): (r["is_outlier"], r["q25"], r["q75"])
+        for r in iqr_outliers(df, "v", ["g"], k=1.5).collect()
+    }
+    # exact percentiles over 1..9,100: q25 = 3.25, q75 = 7.75 (type R-7)
+    assert out[("a", 100.0)][0] is True
+    assert out[("a", 5.0)] == (False, 3.25, 7.75)
+    assert out[("b", 5.0)][0] is False
+    assert out[("b", None)][0] is False  # NULL never flagged
+
+
+def test_iqr_outliers_ungrouped(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import iqr_outliers
+
+    df = spark.createDataFrame([Row(v=float(x)) for x in [1, 2, 3, 4, 1000]])
+    flagged = [r["v"] for r in iqr_outliers(df, "v").collect() if r["is_outlier"]]
+    assert flagged == [1000.0]
