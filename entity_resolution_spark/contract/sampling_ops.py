@@ -267,3 +267,67 @@ def balanced_token_shards(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return balanced_shards(d, weight_col="n_chars", n_shards=8)
+
+
+@query(
+    "compaction_plan_documents",
+    """
+    WITH f AS (SELECT lang,
+                      lpad(CAST(doc_id AS VARCHAR), 8, '0') AS file_path,
+                      n_chars AS size_bytes
+               FROM documents),
+    p AS (SELECT *,
+                 COALESCE(sum(size_bytes) OVER (
+                     PARTITION BY lang ORDER BY file_path
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev
+          FROM f)
+    SELECT lang, file_path, size_bytes,
+           CAST(floor(prev / 4000.0) AS BIGINT) AS bin_id
+    FROM p
+    """,
+)
+def compaction_plan_documents(spark, sf_dir):
+    """Small-file compaction plan (operators/layout.py): documents as
+    per-language file listings packed into ~4000-byte bins by the
+    deterministic prefix-sum rule — one window cumsum, no driver loop."""
+    from ..operators.layout import compaction_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("file_path"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return compaction_plan(d, 4000, ["lang"])
+
+
+@query(
+    "zorder_layout_events",
+    """
+    WITH b AS (SELECT quantile_cont(user_id, [x * 1.0 / 16 FOR x IN range(1, 16)]) AS bu,
+                      quantile_cont(value, [x * 1.0 / 16 FOR x IN range(1, 16)]) AS bv
+               FROM events),
+    c AS (SELECT event_id,
+                 CASE WHEN user_id IS NULL THEN 0
+                      ELSE len(list_filter(bu, x -> user_id >= x)) END AS cu,
+                 CASE WHEN value IS NULL THEN 0
+                      ELSE len(list_filter(bv, x -> value >= x)) END AS cv
+          FROM events CROSS JOIN b)
+    SELECT event_id,
+           CAST((
+             (((cu >> 0) & 1) << 0) + (((cv >> 0) & 1) << 1) +
+             (((cu >> 1) & 1) << 2) + (((cv >> 1) & 1) << 3) +
+             (((cu >> 2) & 1) << 4) + (((cv >> 2) & 1) << 5) +
+             (((cu >> 3) & 1) << 6) + (((cv >> 3) & 1) << 7)
+           ) AS BIGINT) AS zorder
+    FROM c
+    """,
+)
+def zorder_layout_events(spark, sf_dir):
+    """Morton (Z-order) clustering keys over (user_id, value) at 4 bits per
+    dimension (operators/layout.py zorder_key): exact-quantile cell
+    normalization broadcast from one aggregate — no global-order window."""
+    from ..operators.layout import zorder_key
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return zorder_key(e, ["user_id", "value"], bits=4).select("event_id", "zorder")

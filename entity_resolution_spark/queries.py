@@ -142,6 +142,8 @@ _DRIVER_PRIORITY = [
     "k_anonymity_summary_customer",
     "monge_elkan_part_names",
     "iqr_outlier_orders",
+    "compaction_plan_documents",
+    "zorder_layout_events",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -1,0 +1,91 @@
+"""Layout-planning operators (operators/layout.py): compaction bin packing
+and Z-order keys."""
+
+import pytest
+from pyspark.sql import Row
+
+from entity_resolution_spark.operators.layout import (
+    compaction_plan,
+    compaction_summary,
+    zorder_key,
+)
+
+
+def test_compaction_plan_chunks_by_prefix_sum(spark):
+    files = spark.createDataFrame(
+        [
+            Row(part="a", file_path="f1", size_bytes=600),
+            Row(part="a", file_path="f2", size_bytes=600),
+            Row(part="a", file_path="f3", size_bytes=100),
+            Row(part="a", file_path="f4", size_bytes=2500),  # oversized
+            Row(part="a", file_path="f5", size_bytes=100),
+            Row(part="b", file_path="f1", size_bytes=50),
+        ]
+    ).repartition(3)
+    got = {
+        (r["part"], r["file_path"]): r["bin_id"]
+        for r in compaction_plan(files, 1000, ["part"]).collect()
+    }
+    # prefix sums: f1:0, f2:600, f3:1200, f4:1300, f5:3800
+    assert got == {
+        ("a", "f1"): 0,
+        ("a", "f2"): 0,
+        ("a", "f3"): 1,
+        ("a", "f4"): 1,
+        ("a", "f5"): 3,  # oversized f4 advances the id past 2
+        ("b", "f1"): 0,
+    }
+    s = {
+        r["part"]: (r["n_files"], r["n_bins"], r["total_bytes"], r["max_bin_bytes"])
+        for r in compaction_summary(
+            compaction_plan(files, 1000, ["part"]), ["part"], target_bytes=1000
+        ).collect()
+    }
+    assert s["a"] == (5, 3, 3900, 2600)
+    assert s["b"] == (1, 1, 50, 50)
+    with pytest.raises(ValueError):
+        compaction_plan(files, 0)
+
+
+def test_zorder_key_interleaves_quantile_cells(spark):
+    # 4 points on a 2x2 grid (bits=1): boundaries = medians
+    rows = [
+        Row(id=1, x=0.0, y=0.0),
+        Row(id=2, x=10.0, y=0.0),
+        Row(id=3, x=0.0, y=10.0),
+        Row(id=4, x=10.0, y=10.0),
+        Row(id=5, x=None, y=10.0),
+    ]
+    got = {
+        r["id"]: r["zorder"]
+        for r in zorder_key(spark.createDataFrame(rows), ["x", "y"], bits=1).collect()
+    }
+    # median of x (with null ignored) = 5 -> cell(0)=0 cell(10)=1; same for y
+    # z = x_bit << 0 | y_bit << 1
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}
+
+
+def test_zorder_key_orders_like_morton_curve(spark):
+    import itertools
+
+    rows = [
+        Row(id=i, x=float(x), y=float(y))
+        for i, (x, y) in enumerate(itertools.product(range(8), range(8)))
+    ]
+    out = zorder_key(spark.createDataFrame(rows).repartition(5), ["x", "y"], bits=3)
+    got = {r["id"]: r["zorder"] for r in out.collect()}
+
+    def morton(x, y):
+        z = 0
+        for b in range(3):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    # uniform 0..7 grid: quantile cells == the integer coordinates
+    for i, (x, y) in enumerate(itertools.product(range(8), range(8))):
+        assert got[i] == morton(x, y), (i, x, y)
+    with pytest.raises(ValueError):
+        zorder_key(spark.createDataFrame(rows), [], bits=3)
+    with pytest.raises(ValueError):
+        zorder_key(spark.createDataFrame(rows), ["x", "y"], bits=32)
