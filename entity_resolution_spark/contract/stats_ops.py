@@ -582,3 +582,32 @@ def cm_token_frequencies(spark, sf_dir):
     vocab = d.select(words.alias("word")).distinct()
     sketch = cm_sketch_build(toks, "val")
     return cm_estimate(vocab, sketch, "word")
+
+
+@query(
+    "scd2_user_event_history",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_type) AS prev
+      FROM events),
+    ch AS (SELECT user_id, ts, event_type FROM c
+           WHERE prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_type) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_type) AS INT) AS version
+    FROM ch
+    """,
+)
+def scd2_user_event_history(spark, sf_dir):
+    """SCD2 (Kimball type-2) episode history of each user's event_type
+    (operators/scd.py): change detection + [valid_from, valid_to) bounds
+    in two key-partitioned window passes — no joins, no driver loop."""
+    from ..operators.scd import scd2_from_events
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_from_events(e, ["user_id"], "ts", ["event_type"])

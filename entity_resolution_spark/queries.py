@@ -144,6 +144,7 @@ _DRIVER_PRIORITY = [
     "iqr_outlier_orders",
     "compaction_plan_documents",
     "zorder_layout_events",
+    "scd2_user_event_history",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)
