@@ -986,3 +986,48 @@ def monge_elkan_part_names(spark, sf_dir):
         )
     )
     return monge_elkan_score(part, pairs, id_col="p_partkey", text_col="p_name")
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled DuckDB replica of graphmetrics.pagerank over the 0.2
+    trigram-jaccard graph: one (contribution, rank) CTE pair per power
+    iteration. `(1.0 - 0.85)` stays an expression — writing 0.15 would
+    diverge from the engine's Python `1.0 - damping` in the last ulp."""
+    parts = [
+        """e0 AS (SELECT l AS a, r AS b FROM p
+                 WHERE c * 1.0 / (ln + rn - c) >= 0.2),
+    e1 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    deg AS (SELECT a, count(*) AS dg FROM e1 GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT a AS id, 1.0 / n AS rank FROM deg CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+      SELECT e1.b AS id, sum(r{i - 1}.rank / deg.dg) AS s
+      FROM e1 JOIN r{i - 1} ON r{i - 1}.id = e1.a JOIN deg ON deg.a = e1.a
+      GROUP BY 1),
+    r{i} AS (
+      SELECT deg.a AS id,
+             (1.0 - 0.85) / n + 0.85 * COALESCE(c{i}.s, 0) AS rank
+      FROM deg CROSS JOIN nn LEFT JOIN c{i} ON c{i}.id = deg.a)""")
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {_NGRAM_PAIR_CTES}, {body}\n"
+        f"    SELECT id, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+@query("pagerank_similarity_graph", _pagerank_sql(10))
+def pagerank_similarity_graph(spark, sf_dir):
+    """10-iteration PageRank (damping 0.85) over the trigram-jaccard
+    similarity graph (operators/graphmetrics.py pagerank) — the
+    centrality rule for cluster-representative selection; the oracle
+    unrolls all ten power iterations as chained CTEs."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graphmetrics import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    return pagerank(edges, iterations=10, damping=0.85)

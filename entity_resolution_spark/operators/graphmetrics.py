@@ -86,3 +86,70 @@ def triangle_stats(
             ).alias("clustering_coefficient"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Power-iteration PageRank over the undirected simple graph ->
+    (id, rank round-6) after a FIXED number of iterations (deterministic —
+    a convergence test would make the result depend on FP epsilons).
+
+    On a similarity graph, rank concentrates on the records most broadly
+    connected inside their entity — the standard centrality rule for
+    picking a cluster representative when survivorship has no better
+    field rule. Undirected edges become two directed edges; every node
+    then has out-degree >= 1, so there are no dangling-mass corrections.
+
+    Scale shape: the edge list is the only large frame and is hashed once
+    (persisted across iterations); each iteration is one shuffle-hash
+    join edge->rank plus one aggregate, with localCheckpoint per round to
+    keep the plan linear (the clustering.py CC convention — without it,
+    Catalyst re-derives an exponentially deep tree).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = directed.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    out_edges = directed.join(deg.hint("shuffle_hash"), "a").localCheckpoint(
+        eager=True
+    )
+    nodes = deg.select(F.col("a").alias("id")).localCheckpoint(eager=True)
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    rank = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            out_edges.join(
+                rank.withColumnRenamed("id", "a").hint("shuffle_hash"), "a"
+            )
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        rank = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("id", F.round("rank", 6).alias("rank"))

@@ -145,6 +145,7 @@ _DRIVER_PRIORITY = [
     "compaction_plan_documents",
     "zorder_layout_events",
     "scd2_user_event_history",
+    "pagerank_similarity_graph",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -143,3 +143,48 @@ def test_triangle_stats_matches_brute_force(spark):
         for r in triangle_stats(df).collect()
     }
     assert got == want
+
+
+def test_pagerank_matches_power_iteration(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import pagerank
+
+    # star 0-{1,2,3} plus chain 3-4-5; dup/self noise
+    edge_list = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(
+        [Row(left_id=a, right_id=b) for a, b in edge_list]
+        + [Row(left_id=1, right_id=0), Row(left_id=2, right_id=2)]
+    ).repartition(3)
+    it, d = 10, 0.85
+    got = {r["id"]: r["rank"] for r in pagerank(df, iterations=it, damping=d).collect()}
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    rank = {v: 1.0 / n for v in adj}
+    for _ in range(it):
+        rank = {
+            v: (1.0 - d) / n + d * sum(rank[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    for v in adj:
+        assert abs(got[v] - round(rank[v], 6)) < 2e-6, (v, got[v], rank[v])
+    # centrality sanity: the star hub dominates
+    assert got[0] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-4  # rank mass conserved
+
+
+def test_pagerank_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import pagerank
+
+    df = spark.createDataFrame([Row(left_id=1, right_id=2)])
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
