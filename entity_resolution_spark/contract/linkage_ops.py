@@ -1031,3 +1031,55 @@ def pagerank_similarity_graph(spark, sf_dir):
         docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
     )
     return pagerank(edges, iterations=10, damping=0.85)
+
+
+@query(
+    "canopy_blocking_docs",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    s AS (SELECT l AS a, r AS b, c * 1.0 / (ln + rn - c) AS j FROM p),
+    ee1 AS (SELECT a, b FROM s WHERE j >= 0.2
+            UNION ALL SELECT b AS a, a AS b FROM s WHERE j >= 0.2),
+    ee2 AS (SELECT a, b FROM s WHERE j >= 0.35
+            UNION ALL SELECT b AS a, a AS b FROM s WHERE j >= 0.35),
+    nbx AS (SELECT a, list(b ORDER BY b) AS nbs FROM ee2 GROUP BY 1),
+    allnodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+    seq AS (
+      SELECT CAST([] AS BIGINT[]) AS centers,
+             (SELECT list_sort(list(id)) FROM allnodes) AS remaining
+      UNION ALL
+      SELECT list_append(sq.centers, sq.rem1),
+             list_filter(sq.remaining,
+                         x -> x <> sq.rem1
+                              AND NOT list_contains(COALESCE(nbx.nbs, []), x))
+      FROM (SELECT centers, remaining, remaining[1] AS rem1
+            FROM seq WHERE len(remaining) > 0) sq
+      LEFT JOIN nbx ON nbx.a = sq.rem1
+    ),
+    cent AS (SELECT unnest(centers) AS cid FROM seq WHERE len(remaining) = 0),
+    memb AS (SELECT ee1.a AS id, ee1.b AS canopy_id
+             FROM ee1 JOIN cent ON cent.cid = ee1.b
+             UNION SELECT cid AS id, cid AS canopy_id FROM cent)
+    SELECT id, canopy_id, id = canopy_id AS is_center FROM memb
+    """,
+)
+def canopy_blocking_docs(spark, sf_dir):
+    """Canopy clustering (McCallum et al., KDD 2000) over the trigram
+    jaccard cheap metric, T1=0.2 / T2=0.35: the engine's parallel
+    local-minima rounds compute exactly the sequential min-id greedy
+    (pinned in pytest); the oracle replays that sequential sweep as a
+    recursive CTE with list state."""
+    from ..operators.canopy import canopy_assignments
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    return canopy_assignments(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs,
+        t1=0.2,
+        t2=0.35,
+        score_col="jaccard",
+    )

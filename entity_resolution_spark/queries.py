@@ -146,6 +146,7 @@ _DRIVER_PRIORITY = [
     "zorder_layout_events",
     "scd2_user_event_history",
     "pagerank_similarity_graph",
+    "canopy_blocking_docs",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -188,3 +188,73 @@ def test_pagerank_validation(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+
+
+def _sequential_canopy(ids, scored_pairs, t1, t2):
+    """Textbook sequential greedy canopy (min-id processing order)."""
+    sim = {}
+    for a, b, s in scored_pairs:
+        sim[(a, b)] = s
+        sim[(b, a)] = s
+    remaining = sorted(ids)
+    centers = []
+    pool = set(remaining)
+    for _ in range(len(remaining) + 1):
+        if not pool:
+            break
+        c = min(pool)
+        centers.append(c)
+        pool = {x for x in pool if x != c and sim.get((c, x), 0.0) < t2}
+    member = set()
+    for c in centers:
+        member.add((c, c, True))
+        for x in ids:
+            if x != c and sim.get((x, c), 0.0) >= t1:
+                member.add((x, c, False))
+    return member
+
+
+def test_canopy_matches_sequential_greedy(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.canopy import canopy_assignments
+
+    ids = list(range(12))
+    scored = []
+    for i in ids:
+        for j in ids:
+            if i < j:
+                s = round(1.0 / (1 + abs(i - j)), 6)  # closer ids more similar
+                scored.append((i, j, s))
+    recs = spark.createDataFrame([Row(id=i) for i in ids]).repartition(3)
+    pairs = spark.createDataFrame(scored, "left_id long, right_id long, score double")
+    got = {
+        (r["id"], r["canopy_id"], r["is_center"])
+        for r in canopy_assignments(recs, pairs, t1=0.25, t2=0.5).collect()
+    }
+    assert got == _sequential_canopy(ids, scored, 0.25, 0.5)
+    # overlap exists: some point belongs to 2+ canopies
+    from collections import Counter
+
+    counts = Counter(i for i, _, _ in got)
+    assert max(counts.values()) >= 2
+
+
+def test_canopy_isolated_points_are_their_own_canopy(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.canopy import canopy_assignments
+
+    recs = spark.createDataFrame([Row(id=i) for i in (1, 2, 9)])
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9)], "left_id long, right_id long, score double"
+    )
+    got = {
+        (r["id"], r["canopy_id"], r["is_center"])
+        for r in canopy_assignments(recs, pairs, t1=0.5, t2=0.8).collect()
+    }
+    assert got == {(1, 1, True), (2, 1, False), (9, 9, True)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        canopy_assignments(recs, pairs, t1=0.9, t2=0.5)
