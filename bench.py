@@ -199,6 +199,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "length_batch_layout",
         "source_sketch_similarity",
         "zipf_fit_report",
+        # final-session round-3 ops: weighted set-similarity join, hybrid
+        # string metrics, graph structure metrics, layout planning, SCD2
+        "tfidf_cosine_join_docs",
+        "soft_tfidf_part_names",
+        "similarity_graph_triangles",
+        "pagerank_similarity_graph",
+        "compaction_plan_documents",
+        "zorder_layout_events",
+        "scd2_user_event_history",
+        "bcubed_nmi_ari_metrics",
     ]:
         if name not in SPARK_QUERIES:
             continue
