@@ -236,3 +236,31 @@ def _register_vocab_monitor():
 
 
 _register_vocab_monitor()
+
+
+@query(
+    "heavy_hitters_per_window",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2, 3)
+    SELECT window_start, window_end, event_type, n_events,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start, window_end
+                                       ORDER BY n_events DESC, event_type) AS rank
+          FROM c)
+    WHERE rank <= 3
+    """,
+)
+def heavy_hitters_per_window(spark, sf_dir):
+    """Per-window top-3 heavy hitters (streaming/windows.py
+    top_k_per_window over windowed_event_counts): the batch twin of the
+    streaming composition pinned stream==batch in
+    test_streaming_windows.py; the rank partitions by window, so no
+    global sort."""
+    from ..streaming.windows import top_k_per_window, windowed_event_counts
+
+    counts = windowed_event_counts(_t(spark, sf_dir, "events"))
+    return top_k_per_window(counts, k=3).drop("sum_value")

@@ -147,6 +147,7 @@ _DRIVER_PRIORITY = [
     "scd2_user_event_history",
     "pagerank_similarity_graph",
     "canopy_blocking_docs",
+    "heavy_hitters_per_window",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -107,3 +107,31 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def top_k_per_window(
+    counts: DataFrame,
+    k: int = 5,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Heavy hitters: the k most frequent keys of each tumbling window ->
+    (window_start, window_end, key, n_events, rank). Deterministic
+    tie-break (count DESC, key ASC). This is the BATCH half of the
+    streaming heavy-hitters pair: ranking needs a window function, which
+    Structured Streaming forbids mid-stream, so production runs
+    ``windowed_event_counts`` as the stream (bounded state under the
+    watermark) and ranks per micro-batch in foreachBatch / downstream —
+    exactly how the stream==batch test composes it. The rank itself
+    partitions by the time window, so no global sort exists anywhere."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        F.col("n_events").desc(), F.col(key_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("window_start", "window_end", key_col, "n_events", "rank")
+    )

@@ -156,3 +156,37 @@ def test_interval_join_stream_equals_batch(spark):
         assert got == batch and batch
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_heavy_hitters_stream_equals_batch(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.streaming.windows import (
+        top_k_per_window,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = top_k_per_window(windowed_event_counts(events), k=3).toPandas()
+
+    inp = str(tmp_path / "in")
+    events.write.parquet(inp, mode="overwrite")
+    src = spark.readStream.schema(events.schema).parquet(inp)
+    counts = windowed_event_counts(src)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("hh_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = top_k_per_window(spark.table("hh_counts"), k=3).toPandas()
+
+    key = ["window_start", "window_end", "rank"]
+    a = batch.sort_values(key, ignore_index=True)
+    b = streamed.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby(["window_start", "window_end"])["rank"].max() <= 3).all()
