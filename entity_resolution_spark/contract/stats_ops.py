@@ -611,3 +611,54 @@ def scd2_user_event_history(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return scd2_from_events(e, ["user_id"], "ts", ["event_type"])
+
+
+@query(
+    "key_skew_events_user",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    t AS (SELECT sum(cnt) AS tot FROM c),
+    r AS (SELECT user_id, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+          FROM c)
+    SELECT user_id, cnt,
+           round(cnt * 1.0 / tot, 6) AS share,
+           round(sum(cnt * 1.0 / tot) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cum_share,
+           CAST(rank AS INT) AS rank
+    FROM r CROSS JOIN t WHERE rank <= 10
+    """,
+)
+def key_skew_events_user(spark, sf_dir):
+    """Top-10 heavy user_id keys of the events table with row shares
+    (operators/stats.py key_skew_report) — the salting-decision input;
+    windows run over the key census, never the rows."""
+    from ..operators.stats import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_k=10)
+
+
+@query(
+    "key_skew_summary_events",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(avg(cnt), 6) AS mean_cnt,
+           round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           round(max(cnt) * 1.0 / avg(cnt), 6) AS skew_ratio,
+           CAST(ceil(max(cnt) / greatest(quantile_cont(cnt, 0.5), 1.0)) AS BIGINT)
+             AS recommended_salt
+    FROM c
+    """,
+)
+def key_skew_summary_events(spark, sf_dir):
+    """Key-distribution shape of events.user_id: exact census percentiles,
+    max/mean skew ratio, and the salt factor that would split the hottest
+    key into median-sized slices."""
+    from ..operators.stats import key_skew_summary
+
+    return key_skew_summary(_t(spark, sf_dir, "events"), ["user_id"])

@@ -436,3 +436,76 @@ def iqr_outliers(
         .otherwise(False)
         .alias("is_outlier"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Heavy-key table for a prospective join/groupBy key: the ``top_k``
+    most frequent key values with (key..., cnt, share, cum_share, rank) —
+    rank ties broken by key ASC, shares round-6. The direct input to a
+    salting decision: if rank-1 holds 30% of the rows, a shuffle on this
+    key sends 30% of the table to one task.
+
+    One census aggregate; the rank window runs over the census (keys),
+    never the rows, and only top_k rows survive."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    census = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = census.agg(F.sum("cnt").alias("__tot"))
+    w = Window.partitionBy().orderBy(F.col("cnt").desc(), *[F.col(k) for k in keys])
+    ranked = (
+        census.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w_cum = Window.partitionBy().orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranked.select(
+        *keys,
+        "cnt",
+        F.round(F.col("cnt") / F.col("__tot"), 6).alias("share"),
+        F.round(F.sum(F.col("cnt") / F.col("__tot")).over(w_cum), 6).alias(
+            "cum_share"
+        ),
+        "rank",
+    )
+
+
+def key_skew_summary(
+    df: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """One row of key-distribution shape: (n_rows, n_keys, max_cnt,
+    mean_cnt, p50_cnt, p99_cnt round-6, skew_ratio = max/mean round-6,
+    recommended_salt = ceil(max_cnt / greatest(p50_cnt, 1))) — the salt
+    factor that would split the hottest key into median-sized slices.
+    Percentiles are exact over the census (key-sized, not row-sized).
+
+    Scale note: the rank window in key_skew_report and these census
+    aggregates all operate on the DISTINCT-key frame; the row-sized table
+    is touched exactly once by the census groupBy."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    census = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    return census.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 6).alias("mean_cnt"),
+        F.round(F.percentile(F.col("cnt"), F.lit(0.5)), 6).alias("p50_cnt"),
+        F.round(F.percentile(F.col("cnt"), F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+        F.ceil(
+            F.max("cnt") / F.greatest(F.percentile(F.col("cnt"), F.lit(0.5)), F.lit(1.0))
+        )
+        .cast("long")
+        .alias("recommended_salt"),
+    )

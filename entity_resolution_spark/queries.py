@@ -148,6 +148,8 @@ _DRIVER_PRIORITY = [
     "pagerank_similarity_graph",
     "canopy_blocking_docs",
     "heavy_hitters_per_window",
+    "key_skew_events_user",
+    "key_skew_summary_events",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

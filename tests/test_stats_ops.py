@@ -578,3 +578,36 @@ def test_iqr_outliers_ungrouped(spark):
     df = spark.createDataFrame([Row(v=float(x)) for x in [1, 2, 3, 4, 1000]])
     flagged = [r["v"] for r in iqr_outliers(df, "v").collect() if r["is_outlier"]]
     assert flagged == [1000.0]
+
+
+def test_key_skew_report_and_summary(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import (
+        key_skew_report,
+        key_skew_summary,
+    )
+
+    rows = (
+        [Row(k="hot")] * 60 + [Row(k="warm")] * 30 + [Row(k="a")] * 5 + [Row(k="b")] * 5
+    )
+    df = spark.createDataFrame(rows).repartition(4)
+    top = {
+        r["k"]: (r["cnt"], r["share"], r["cum_share"], r["rank"])
+        for r in key_skew_report(df, ["k"], top_k=3).collect()
+    }
+    assert top["hot"] == (60, 0.6, 0.6, 1)
+    assert top["warm"] == (30, 0.3, 0.9, 2)
+    assert top["a"] == (5, 0.05, 0.95, 3)  # tie with b broken by key ASC
+    assert "b" not in top
+
+    s = key_skew_summary(df, ["k"]).collect()[0]
+    assert s["n_rows"] == 100 and s["n_keys"] == 4 and s["max_cnt"] == 60
+    assert s["mean_cnt"] == 25.0 and s["p50_cnt"] == 17.5
+    assert s["skew_ratio"] == 2.4
+    assert s["recommended_salt"] == 4  # ceil(60 / 17.5)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        key_skew_report(df, [])
