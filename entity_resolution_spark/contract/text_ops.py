@@ -689,3 +689,98 @@ def chunk_documents_sliding(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return chunk_documents(d, chunk_chars=_CHUNK, overlap=_OVERLAP)
+
+
+# Hybrid retrieval: BM25 + tf-idf cosine fused with reciprocal rank fusion
+# (Cormack et al., SIGIR 2009). The oracle replays BOTH rankers (the BM25
+# CTEs mirror the bm25_search_topk replica; the cosine side mirrors the
+# tfidf_query_topk micro-quantized program) and the 1/(60+rank) fusion.
+@query(
+    "hybrid_rrf_search",
+    f"""
+    WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+    tf AS (
+      SELECT doc_id AS id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents) GROUP BY 1, 2),
+    dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+    consts AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl),
+    -- ---------- BM25 ranker ----------
+    b_qt AS (
+      SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '[a-z]+')) AS term
+      FROM q),
+    b_df AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM b_qt) GROUP BY 1),
+    b_contrib AS (
+      SELECT b_qt.query_id, m.id,
+             CAST(round(
+               ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * m.tf * (1.2 + 1.0)
+               / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))
+               * 1e6) AS BIGINT) AS micro
+      FROM tf m
+      JOIN b_qt ON m.term = b_qt.term
+      JOIN b_df d ON m.term = d.term
+      JOIN dl l ON m.id = l.id
+      CROSS JOIN consts c),
+    b_ranked AS (
+      SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sum(micro) DESC, id) AS rank
+      FROM b_contrib GROUP BY 1, 2),
+    -- ---------- tf-idf cosine ranker ----------
+    t_df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    t_wd AS (SELECT id, tf.term, tf.tf * ln(c.n_docs * 1.0 / d.df) AS w
+             FROM tf JOIN t_df d ON tf.term = d.term CROSS JOIN consts c
+             WHERE tf.tf * ln(c.n_docs * 1.0 / d.df) > 0),
+    t_nd AS (SELECT id, sqrt(sum(w * w)) AS nd FROM t_wd GROUP BY 1),
+    t_qtf AS (SELECT query_id, term, count(*) AS qtf FROM (
+                SELECT query_id,
+                       unnest(regexp_extract_all(lower(qtext), '[a-z]+')) AS term
+                FROM q) GROUP BY 1, 2),
+    t_wq AS (SELECT query_id, t_qtf.term,
+                    qtf * ln(c.n_docs * 1.0 / d.df) AS wq
+             FROM t_qtf JOIN t_df d ON t_qtf.term = d.term CROSS JOIN consts c
+             WHERE qtf * ln(c.n_docs * 1.0 / d.df) > 0),
+    t_nq AS (SELECT query_id, sqrt(sum(wq * wq)) AS nq FROM t_wq GROUP BY 1),
+    t_contrib AS (
+      SELECT w.query_id, d.id,
+             CAST(round(d.w / nd.nd * (w.wq / nq.nq) * 1e6) AS BIGINT) AS micro
+      FROM t_wd d
+      JOIN t_wq w ON d.term = w.term
+      JOIN t_nd nd ON nd.id = d.id
+      JOIN t_nq nq ON nq.query_id = w.query_id),
+    t_ranked AS (
+      SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sum(micro) DESC, id) AS rank
+      FROM t_contrib GROUP BY 1, 2),
+    -- ---------- reciprocal rank fusion ----------
+    fused AS (
+      SELECT query_id, id,
+             round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score
+      FROM (SELECT query_id, id, rank FROM b_ranked WHERE rank <= 10
+            UNION ALL
+            SELECT query_id, id, rank FROM t_ranked WHERE rank <= 10)
+      GROUP BY 1, 2)
+    SELECT query_id, id AS doc_id, rrf_score, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 and tf-idf cosine top-10 lists fused with
+    reciprocal rank fusion (operators/fusion.py rrf_fuse, k=60) — the
+    standard scoreless combiner for multi-ranker search."""
+    from ..operators.fusion import rrf_fuse
+    from ..operators.terms import bm25_topk, tfidf_query_topk
+
+    d = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(d, _BM25_QUERIES, k=10)
+    cos = tfidf_query_topk(d, _BM25_QUERIES, k=10)
+    return rrf_fuse([bm, cos], k=60, top_k=10)

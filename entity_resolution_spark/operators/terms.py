@@ -212,3 +212,80 @@ def vocab_coverage(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def tfidf_query_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """(query_id, id_col, score, rank) — classic tf-idf cosine retrieval:
+    the k documents whose L2-normalized tf-idf vectors score highest
+    against each query string's vector (idf = ln(N/df) from the corpus;
+    query terms absent from the corpus contribute nothing). The lexical
+    counterpart to BM25 — same tokenization, same salted two-phase
+    top-k, same micro-unit contribution quantization so the score is
+    partition- and engine-order-independent.
+
+    Scale shape: one corpus explode + df census (the tfidf_top_terms
+    passes); document norms from one join + aggregate; the query side is
+    a literal frame that stays broadcast end-to-end.
+    """
+    spark = docs.sparkSession
+    tf = term_counts(docs, id_col, text_col)
+    n_docs = docs.count()
+    df_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    wd = tf.join(df_all.hint("shuffle_hash"), "term").select(
+        "id", "term", (F.col("tf") * idf).alias("__w")
+    ).where(F.col("__w") > 0)
+    norms = wd.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nd")
+    )
+    qtf = (
+        spark.createDataFrame(queries, "query_id string, qtext string")
+        .select(
+            "query_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(qtext), '[a-z]+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    wq = qtf.join(df_all, "term").select(
+        "query_id", "term", (F.col("qtf") * idf).alias("__wq")
+    ).where(F.col("__wq") > 0)
+    qnorms = wq.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("__wq") * F.col("__wq"))).alias("__nq")
+    )
+    wqn = wq.join(qnorms, "query_id").select(
+        "query_id", "term", (F.col("__wq") / F.col("__nq")).alias("__wqn")
+    )
+    contrib_micro = F.round(
+        F.col("__w") / F.col("__nd") * F.col("__wqn") * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        wd.join(F.broadcast(wqn), "term")
+        .join(norms.hint("shuffle_hash"), "id")
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum(contrib_micro) / F.lit(1e6), 6).alias("score"))
+    )
+    salt = F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_salts)))
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    survivors = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
+    )

@@ -150,6 +150,7 @@ _DRIVER_PRIORITY = [
     "heavy_hitters_per_window",
     "key_skew_events_user",
     "key_skew_summary_events",
+    "hybrid_rrf_search",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -98,3 +98,55 @@ def test_bm25_partition_invariance(spark):
         map(tuple, bm25_topk(docs.repartition(7), [("q", "the join words")], k=10).collect())
     )
     assert a == b
+
+
+def test_tfidf_query_topk_ranks_matching_docs(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.terms import tfidf_query_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="dog emu ferret grouse heron"),
+            Row(doc_id=4, text="apple dog"),
+        ]
+    )
+    out = tfidf_query_topk(docs, [("qa", "apple"), ("qd", "dog heron")], k=3)
+    got = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in out.collect()
+    }
+    # 'apple': doc1 (2 of 3 tokens) beats doc4 (1 of 2 but lower tf share?)
+    assert set(k[0] for k in got) == {"qa", "qd"}
+    assert got[("qa", 1)] in (1, 4)
+    ranked_qa = [got[("qa", i)] for i in sorted(i for q, i in got if q == "qa")]
+    assert set(ranked_qa) == {1, 4}  # only apple-bearing docs retrieved
+    ranked_qd = [got[("qd", i)] for i in sorted(i for q, i in got if q == "qd")]
+    assert ranked_qd[0] == 3  # matches both 'dog' and 'heron'
+
+
+def test_rrf_fuse_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [Row(query_id="q", doc_id=1, rank=1), Row(query_id="q", doc_id=2, rank=2)]
+    )
+    b = spark.createDataFrame(
+        [Row(query_id="q", doc_id=2, rank=1), Row(query_id="q", doc_id=3, rank=2)]
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b], k=60).collect()
+    }
+    assert got[2] == (round(1 / 62 + 1 / 61, 6), 1)  # in both lists -> wins
+    assert got[1] == (round(1 / 61, 6), 2)  # rank tie vs doc3 broken by id
+    assert got[3] == (round(1 / 62, 6), 3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
