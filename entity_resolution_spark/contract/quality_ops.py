@@ -564,3 +564,66 @@ def iqr_outlier_orders(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice",
         "q25", "q75", "lo_fence", "hi_fence",
     )
+
+
+@query(
+    "expectations_orders_report",
+    """
+    SELECT 'orderkey unique' AS rule_name, 'o_orderkey' AS column, 'unique' AS kind,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           count(*) = count(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'custkey filled', 'o_custkey', 'not_null', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status domain', 'o_orderstatus', 'in_set', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'price non-negative', 'o_totalprice', 'range', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def expectations_orders_report(spark, sf_dir):
+    """Great-Expectations-style constraint report over the orders table
+    (operators/expectations.py): uniqueness, null, domain, and range
+    rules — each one aggregate, the report a union of rule-sized rows.
+
+    Note: `unique` here counts count(*) - count(DISTINCT) which matches the
+    engine's census arithmetic whenever the column has no NULLs (o_orderkey
+    doesn't; the NULL-group case is pinned in test_expectations.py)."""
+    from ..operators.expectations import check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        o,
+        [
+            {"name": "orderkey unique", "kind": "unique", "column": "o_orderkey"},
+            {"name": "custkey filled", "kind": "not_null", "column": "o_custkey"},
+            {
+                "name": "status domain",
+                "kind": "in_set",
+                "column": "o_orderstatus",
+                "values": ["O", "F", "P"],
+            },
+            {
+                "name": "price non-negative",
+                "kind": "range",
+                "column": "o_totalprice",
+                "lo": 0,
+            },
+        ],
+    )
