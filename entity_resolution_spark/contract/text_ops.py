@@ -784,3 +784,37 @@ def hybrid_rrf_search(spark, sf_dir):
     bm = bm25_topk(d, _BM25_QUERIES, k=10)
     cos = tfidf_query_topk(d, _BM25_QUERIES, k=10)
     return rrf_fuse([bm, cos], k=60, top_k=10)
+
+
+@query(
+    "pmi_collocations_top",
+    """
+    WITH t AS (SELECT [x FOR x IN string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+')
+                       IF x <> ''] AS w
+               FROM documents),
+    uni AS (SELECT u AS w, count(*) AS c FROM (SELECT unnest(w) AS u FROM t)
+            GROUP BY 1),
+    nuni AS (SELECT sum(c) AS n FROM uni),
+    bi AS (SELECT w1, w2, count(*) AS pair_count FROM (
+             SELECT unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+             FROM t WHERE len(w) >= 2)
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+    scored AS (
+      SELECT bi.w1, bi.w2, pair_count,
+             round(ln(pair_count * n / (a.c * 1.0 * b.c)), 6) AS pmi
+      FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2
+      CROSS JOIN nuni)
+    SELECT w1, w2, pair_count, pmi
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+          FROM scored)
+    WHERE rn <= 50
+    """,
+)
+def pmi_collocations_top(spark, sf_dir):
+    """Top-50 adjacent-token collocations by PMI (Church & Hanks 1990) at
+    pair-count floor 5 (operators/terms.py pmi_collocations) — two
+    censuses + census-sized joins; the phrase-mining vocabulary signal."""
+    from ..operators.terms import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)

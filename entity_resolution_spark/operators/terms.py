@@ -289,3 +289,82 @@ def tfidf_query_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, pair_count, pmi round-6) — the ``k`` adjacent-token pairs
+    with highest pointwise mutual information (Church & Hanks 1990),
+    the classic collocation/phrase-mining signal used to decide which
+    word pairs deserve a single vocabulary entry::
+
+        pmi(a, b) = ln( c_ab * N_uni / (c_a * c_b) )
+
+    with c_ab the adjacent-pair count, c_* unigram occurrence counts and
+    N_uni the total token count. ``min_count`` floors c_ab (PMI is
+    notoriously noisy on rare pairs). Ties break (pmi DESC, w1, w2).
+
+    Two censuses (unigram, bigram) + two broadcastable joins back onto
+    the bigram census — the corpus explodes twice and shuffles only
+    census-sized frames; top-k is a bounded window over survivors.
+    """
+    if min_count < 1 or k < 1:
+        raise ValueError("min_count and k must be >= 1")
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    base = docs.select(F.filter(toks, lambda t: t != "").alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("__n"))
+    bi = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("__t", 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1"), F.col("p.w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    scored = (
+        bi.join(u1.hint("shuffle_hash"), "w1")
+        .join(u2.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    F.col("pair_count")
+                    * F.col("__n")
+                    / (F.col("__c1") * F.col("__c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

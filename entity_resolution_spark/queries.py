@@ -152,6 +152,7 @@ _DRIVER_PRIORITY = [
     "key_skew_summary_events",
     "hybrid_rrf_search",
     "expectations_orders_report",
+    "pmi_collocations_top",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

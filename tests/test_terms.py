@@ -150,3 +150,28 @@ def test_rrf_fuse_hand_values(spark):
         rrf_fuse([], k=60)
     with pytest.raises(ValueError):
         rrf_fuse([a], k=0)
+
+
+def test_pmi_collocations_hand_values(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.terms import pmi_collocations
+
+    # 'new york' always adjacent; 'the cat' common words rarely adjacent
+    docs = [Row(doc_id=i, text="new york " + "the cat " * 2) for i in range(5)]
+    df = spark.createDataFrame(docs)
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+        for r in pmi_collocations(df, min_count=5, k=10).collect()
+    }
+    # unigrams: new 5, york 5, the 10, cat 10; N = 30
+    # bigrams: (new,york) 5, (york,the) 5, (the,cat) 10, (cat,the) 5
+    assert got[("new", "york")] == (5, round(math.log(5 * 30 / (5 * 5)), 6))
+    assert got[("the", "cat")] == (10, round(math.log(10 * 30 / (10 * 10)), 6))
+    assert got[("new", "york")][1] > got[("the", "cat")][1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)
