@@ -662,3 +662,45 @@ def key_skew_summary_events(spark, sf_dir):
     from ..operators.stats import key_skew_summary
 
     return key_skew_summary(_t(spark, sf_dir, "events"), ["user_id"])
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    rows_ AS (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             (SELECT count(*) FROM s1) AS users_reached
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+    SELECT stage_idx, stage, CAST(users_reached AS BIGINT) AS users_reached,
+           round(CASE WHEN lag(users_reached) OVER (ORDER BY stage_idx) IS NULL
+                      THEN 1.0
+                      WHEN lag(users_reached) OVER (ORDER BY stage_idx) > 0
+                      THEN users_reached * 1.0
+                           / lag(users_reached) OVER (ORDER BY stage_idx)
+                      ELSE 0.0 END, 6) AS conversion_from_prev,
+           round(CASE WHEN first_value(users_reached)
+                             OVER (ORDER BY stage_idx) > 0
+                      THEN users_reached * 1.0
+                           / first_value(users_reached) OVER (ORDER BY stage_idx)
+                      ELSE 0.0 END, 6) AS conversion_overall
+    FROM rows_
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Three-stage ordered funnel (view -> click -> purchase) over the
+    events table (operators/funnel.py): per-stage filtered min-aggregates
+    chained on the user key; strictly-after ordering."""
+    from ..operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )

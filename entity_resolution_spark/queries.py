@@ -153,6 +153,7 @@ _DRIVER_PRIORITY = [
     "hybrid_rrf_search",
     "expectations_orders_report",
     "pmi_collocations_top",
+    "funnel_view_click_purchase",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -1,0 +1,46 @@
+"""Ordered funnel conversion (operators/funnel.py)."""
+
+import pytest
+from pyspark.sql import Row
+
+from entity_resolution_spark.operators.funnel import funnel_conversion
+
+
+def _ev(u, t, k):
+    return Row(user_id=u, ts=t, event_type=k)
+
+
+def test_funnel_orders_and_counts(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        _ev(1, 1, "view"), _ev(1, 2, "click"), _ev(1, 3, "buy"),
+        # u2 clicks BEFORE viewing -> click doesn't count; no buy
+        _ev(2, 5, "click"), _ev(2, 6, "view"),
+        # u3 views only
+        _ev(3, 1, "view"),
+        # u4 buys before clicking -> stops at click stage
+        _ev(4, 1, "view"), _ev(4, 2, "buy"), _ev(4, 3, "click"),
+        # u5 same-timestamp view+click: strict ordering -> click dropped
+        _ev(5, 7, "view"), _ev(5, 7, "click"),
+        # u6 never views
+        _ev(6, 1, "click"), _ev(6, 2, "buy"),
+    ]
+    df = spark.createDataFrame(rows).repartition(4)
+    got = {
+        r["stage_idx"]: (
+            r["stage"],
+            r["users_reached"],
+            r["conversion_from_prev"],
+            r["conversion_overall"],
+        )
+        for r in funnel_conversion(df, ["view", "click", "buy"]).collect()
+    }
+    assert got[1] == ("view", 5, 1.0, 1.0)
+    assert got[2] == ("click", 2, 0.4, 0.4)  # u1 and u4
+    assert got[3] == ("buy", 1, 0.5, 0.2)  # only u1 (u4's buy precedes click)
+
+
+def test_funnel_validation(spark):
+    df = spark.createDataFrame([_ev(1, 1, "view")])
+    with pytest.raises(ValueError):
+        funnel_conversion(df, ["view"])
