@@ -1083,3 +1083,42 @@ def canopy_blocking_docs(spark, sf_dir):
         t2=0.35,
         score_col="jaccard",
     )
+
+
+def _hits_sql(iters: int = 10) -> str:
+    """Unrolled DuckDB replica of graphmetrics.hits (L1-normalized)."""
+    parts = [
+        """he0 AS (SELECT l AS a, r AS b FROM p
+                  WHERE c * 1.0 / (ln + rn - c) >= 0.2),
+    he1 AS (SELECT a, b FROM he0 UNION ALL SELECT b AS a, a AS b FROM he0),
+    hn AS (SELECT count(DISTINCT a) AS n FROM he1),
+    h0 AS (SELECT DISTINCT a AS id, 1.0 / n AS s FROM he1 CROSS JOIN hn)"""
+    ]
+    for i in range(1, iters + 1):
+        # normalize with a window sum, NOT a scalar subquery: a second
+        # reference to hr{i} would re-evaluate the whole chain (DuckDB may
+        # inline CTEs), turning 10 iterations into 2^10 evaluations
+        parts.append(f"""hr{i} AS (
+      SELECT he1.b AS id, sum(h{i - 1}.s) AS raw
+      FROM he1 JOIN h{i - 1} ON h{i - 1}.id = he1.a GROUP BY 1),
+    h{i} AS (SELECT id, raw / sum(raw) OVER () AS s FROM hr{i})""")
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {_NGRAM_PAIR_CTES}, {body}\n"
+        f"    SELECT id, round(s, 6) AS hub, round(s, 6) AS authority FROM h{iters}"
+    )
+
+
+@query("hits_similarity_graph", _hits_sql(10))
+def hits_similarity_graph(spark, sf_dir):
+    """10-iteration HITS hubs/authorities (L1-normalized) over the
+    trigram-jaccard similarity graph — the PageRank companion centrality;
+    oracle unrolls every iteration."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graphmetrics import hits
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    return hits(edges, iterations=10)

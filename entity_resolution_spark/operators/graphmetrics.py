@@ -153,3 +153,56 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return rank.select("id", F.round("rank", 6).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the undirected
+    simple graph -> (id, hub round-6, authority round-6) after a FIXED
+    number of iterations with L1 normalization each round (L1, not the
+    textbook L2, keeps the oracle free of cross-engine sqrt-sum drift;
+    the ranking is identical). On an undirected graph hub == authority
+    at convergence, but the per-iteration trajectories already agree, so
+    both columns are reported from the same vector for API parity with
+    directed callers.
+
+    Same scale/plan conventions as pagerank: edge list hashed once,
+    one join + aggregate per iteration, localCheckpoint per round.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = directed.select(F.col("a").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    score = nodes.select("id", F.lit(1.0 / n).alias("s"))
+    for _ in range(iterations):
+        nxt = (
+            directed.join(score.withColumnRenamed("id", "a").hint("shuffle_hash"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum("s").alias("__raw"))
+        )
+        tot = nxt.agg(F.sum("__raw").alias("__tot"))
+        score = (
+            nxt.crossJoin(F.broadcast(tot))
+            .select("id", (F.col("__raw") / F.col("__tot")).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+    return score.select(
+        "id", F.round("s", 6).alias("hub"), F.round("s", 6).alias("authority")
+    )

@@ -154,6 +154,7 @@ _DRIVER_PRIORITY = [
     "expectations_orders_report",
     "pmi_collocations_top",
     "funnel_view_click_purchase",
+    "hits_similarity_graph",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

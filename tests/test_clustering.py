@@ -258,3 +258,28 @@ def test_canopy_isolated_points_are_their_own_canopy(spark):
 
     with pytest.raises(ValueError):
         canopy_assignments(recs, pairs, t1=0.9, t2=0.5)
+
+
+def test_hits_matches_power_iteration(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import hits
+
+    edge_list = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    df = spark.createDataFrame([Row(left_id=a, right_id=b) for a, b in edge_list])
+    it = 8
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(df, iterations=it).collect()}
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    s = {v: 1.0 / len(adj) for v in adj}
+    for _ in range(it):
+        nxt = {v: sum(s[u] for u in adj[v]) for v in adj}
+        tot = sum(nxt.values())
+        s = {v: x / tot for v, x in nxt.items()}
+    for v in adj:
+        assert abs(got[v][0] - round(s[v], 6)) < 2e-6, (v, got[v], s[v])
+        assert got[v][0] == got[v][1]
+    assert got[0][0] == max(h for h, _ in got.values())  # the hub dominates
