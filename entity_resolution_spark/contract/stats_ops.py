@@ -704,3 +704,94 @@ def funnel_view_click_purchase(spark, sf_dir):
     return funnel_conversion(
         _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
+
+
+@query(
+    "schema_drift_events_halves",
+    """
+    WITH old_ AS (SELECT event_id, ts, user_id, event_type
+                  FROM events WHERE event_id % 2 = 0),
+    new_ AS (SELECT * FROM events WHERE event_id % 2 = 1),
+    so AS (SELECT count(*) AS n,
+                  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_event_id,
+                  count(DISTINCT event_id) AS d_event_id,
+                  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_ts,
+                  count(DISTINCT ts) AS d_ts,
+                  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user_id,
+                  count(DISTINCT user_id) AS d_user_id,
+                  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_event_type,
+                  count(DISTINCT event_type) AS d_event_type
+           FROM old_),
+    sn AS (SELECT count(*) AS n,
+                  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_event_id,
+                  count(DISTINCT event_id) AS d_event_id,
+                  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_ts,
+                  count(DISTINCT ts) AS d_ts,
+                  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user_id,
+                  count(DISTINCT user_id) AS d_user_id,
+                  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_event_type,
+                  count(DISTINCT event_type) AS d_event_type,
+                  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_value,
+                  count(DISTINCT value) AS d_value,
+                  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_props,
+                  count(DISTINCT props) AS d_props
+           FROM new_)
+    SELECT * FROM (
+      SELECT 'event_id' AS column, 'common' AS status,
+             'bigint' AS type_old, 'bigint' AS type_new, false AS type_changed,
+             round(so.n_event_id * 1.0 / so.n, 6) AS null_rate_old,
+             round(sn.n_event_id * 1.0 / sn.n, 6) AS null_rate_new,
+             round(round(sn.n_event_id * 1.0 / sn.n, 6)
+                   - round(so.n_event_id * 1.0 / so.n, 6), 6) AS null_rate_delta,
+             CAST(so.d_event_id AS BIGINT) AS distinct_old,
+             CAST(sn.d_event_id AS BIGINT) AS distinct_new
+      FROM so, sn
+      UNION ALL
+      SELECT 'event_type', 'common', 'string', 'string', false,
+             round(so.n_event_type * 1.0 / so.n, 6),
+             round(sn.n_event_type * 1.0 / sn.n, 6),
+             round(round(sn.n_event_type * 1.0 / sn.n, 6)
+                   - round(so.n_event_type * 1.0 / so.n, 6), 6),
+             CAST(so.d_event_type AS BIGINT), CAST(sn.d_event_type AS BIGINT)
+      FROM so, sn
+      UNION ALL
+      SELECT 'props', 'added', NULL, 'string', false,
+             NULL, round(sn.n_props * 1.0 / sn.n, 6), NULL,
+             NULL, CAST(sn.d_props AS BIGINT)
+      FROM sn
+      UNION ALL
+      SELECT 'ts', 'common', 'timestamp_ntz', 'timestamp_ntz', false,
+             round(so.n_ts * 1.0 / so.n, 6), round(sn.n_ts * 1.0 / sn.n, 6),
+             round(round(sn.n_ts * 1.0 / sn.n, 6)
+                   - round(so.n_ts * 1.0 / so.n, 6), 6),
+             CAST(so.d_ts AS BIGINT), CAST(sn.d_ts AS BIGINT)
+      FROM so, sn
+      UNION ALL
+      SELECT 'user_id', 'common', 'bigint', 'bigint', false,
+             round(so.n_user_id * 1.0 / so.n, 6), round(sn.n_user_id * 1.0 / sn.n, 6),
+             round(round(sn.n_user_id * 1.0 / sn.n, 6)
+                   - round(so.n_user_id * 1.0 / so.n, 6), 6),
+             CAST(so.d_user_id AS BIGINT), CAST(sn.d_user_id AS BIGINT)
+      FROM so, sn
+      UNION ALL
+      SELECT 'value', 'added', NULL, 'double', false,
+             NULL, round(sn.n_value * 1.0 / sn.n, 6), NULL,
+             NULL, CAST(sn.d_value AS BIGINT)
+      FROM sn
+    )
+    """,
+)
+def schema_drift_events_halves(spark, sf_dir):
+    """Schema + column-stat drift report (operators/schema_drift.py)
+    between two snapshots of the events table: even ids projected to four
+    columns vs odd ids with the full schema — 'value' and 'props' surface
+    as added columns, common columns carry null-rate and cardinality
+    deltas."""
+    from ..operators.schema_drift import schema_drift_report
+
+    e = _t(spark, sf_dir, "events")
+    old = e.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    new = e.where(F.col("event_id") % 2 == 1)
+    return schema_drift_report(old, new)

@@ -155,6 +155,7 @@ _DRIVER_PRIORITY = [
     "pmi_collocations_top",
     "funnel_view_click_purchase",
     "hits_similarity_graph",
+    "schema_drift_events_halves",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -611,3 +611,27 @@ def test_key_skew_report_and_summary(spark):
 
     with pytest.raises(ValueError):
         key_skew_report(df, [])
+
+
+def test_schema_drift_report_statuses_and_deltas(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.schema_drift import schema_drift_report
+
+    old = spark.createDataFrame(
+        [Row(a=1, b="x", gone=1.0), Row(a=2, b=None, gone=2.0)]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(a=1, b="x", fresh=True),
+            Row(a=1, b="y", fresh=None),
+            Row(a=3, b="z", fresh=False),
+        ]
+    ).withColumn("a", __import__("pyspark.sql.functions", fromlist=["col"]).col("a").cast("int"))
+    got = {r["column"]: r.asDict() for r in schema_drift_report(old, new).collect()}
+    assert got["gone"]["status"] == "removed" and got["gone"]["null_rate_new"] is None
+    assert got["fresh"]["status"] == "added" and got["fresh"]["null_rate_new"] == round(1 / 3, 6)
+    assert got["a"]["status"] == "common" and got["a"]["type_changed"] is True
+    assert got["a"]["distinct_old"] == 2 and got["a"]["distinct_new"] == 2
+    assert got["b"]["null_rate_old"] == 0.5 and got["b"]["null_rate_new"] == 0.0
+    assert got["b"]["null_rate_delta"] == -0.5
