@@ -795,3 +795,32 @@ def schema_drift_events_halves(spark, sf_dir):
     )
     new = e.where(F.col("event_id") % 2 == 1)
     return schema_drift_report(old, new)
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH first_ AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                    FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS b FROM events),
+    cells AS (
+      SELECT cohort,
+             CAST(date_diff('day', CAST(cohort AS DATE), CAST(b AS DATE)) // 7
+                  AS BIGINT) AS "offset",
+             count(*) AS active_users
+      FROM act JOIN first_ USING (user_id) GROUP BY 1, 2),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM first_ GROUP BY 1)
+    SELECT cohort, "offset",
+           CAST(active_users AS BIGINT) AS active_users,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           round(active_users * 1.0 / cohort_size, 6) AS retention
+    FROM cells JOIN sizes USING (cohort)
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table
+    (operators/funnel.py cohort_retention): first-seen cohorts x calendar
+    week offsets — two aggregates + user-key joins, matrix-sized output."""
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), bucket="week")

@@ -84,3 +84,56 @@ def funnel_conversion(
             6,
         ).alias("conversion_overall"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort, offset, active_users, cohort_size, retention round-6) —
+    the classic retention matrix: users grouped by the time bucket of
+    their FIRST event (their cohort), then counted in every later bucket
+    they appear in; offset is buckets-since-cohort (offset 0 row carries
+    retention 1.0 by construction). ``bucket``: 'week' | 'day' | 'month'
+    (date_trunc units).
+
+    Two aggregates over the events (first-seen per user, then distinct
+    user-bucket activity) joined on the user key; the matrix itself is
+    cohort x offset sized. Offsets count CALENDAR buckets via date
+    difference, not bucket-row gaps, so empty buckets still advance the
+    offset.
+    """
+    if bucket not in ("day", "week", "month"):
+        raise ValueError("bucket must be day|week|month")
+    b = lambda c: F.date_trunc(bucket, c)  # noqa: E731
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        b(F.min(ts_col)).alias("__cohort")
+    )
+    activity = events.select(
+        F.col(user_col).alias("__u"), b(F.col(ts_col)).alias("__b")
+    ).distinct()
+    if bucket == "day":
+        off = F.datediff(F.col("__b"), F.col("__cohort"))
+    elif bucket == "week":
+        off = F.floor(F.datediff(F.col("__b"), F.col("__cohort")) / 7)
+    else:
+        off = (F.year("__b") - F.year("__cohort")) * 12 + (
+            F.month("__b") - F.month("__cohort")
+        )
+    cells = (
+        activity.join(first.hint("shuffle_hash"), "__u")
+        .groupBy(F.col("__cohort").alias("cohort"), off.cast("long").alias("offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    sizes = first.groupBy(F.col("__cohort").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(sizes.hint("shuffle_hash"), "cohort").select(
+        "cohort",
+        "offset",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+    )

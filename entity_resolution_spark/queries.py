@@ -156,6 +156,7 @@ _DRIVER_PRIORITY = [
     "funnel_view_click_purchase",
     "hits_similarity_graph",
     "schema_drift_events_halves",
+    "cohort_retention_weekly",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -44,3 +44,40 @@ def test_funnel_validation(spark):
     df = spark.createDataFrame([_ev(1, 1, "view")])
     with pytest.raises(ValueError):
         funnel_conversion(df, ["view"])
+
+
+def test_cohort_retention_hand_matrix(spark):
+    import datetime as dt
+
+    from entity_resolution_spark.operators.funnel import cohort_retention
+
+    T = lambda d: dt.datetime(2024, 1, d)  # Jan 2024: the 1st is a Monday
+    rows = [
+        # cohort week of Jan 1: users 1, 2
+        Row(user_id=1, ts=T(2), event_type="x"),
+        Row(user_id=1, ts=T(9), event_type="x"),   # week +1
+        Row(user_id=1, ts=T(22), event_type="x"),  # week +3 (skips +2)
+        Row(user_id=2, ts=T(3), event_type="x"),
+        # cohort week of Jan 8: user 3
+        Row(user_id=3, ts=T(10), event_type="x"),
+        Row(user_id=3, ts=T(15), event_type="x"),  # week +1
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = {
+        (str(r["cohort"])[:10], r["offset"]): (
+            r["active_users"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in cohort_retention(df, bucket="week").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert ("2024-01-01", 2) not in got  # empty week leaves no row
+    assert got[("2024-01-01", 3)] == (1, 2, 0.5)  # offset counts calendar weeks
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 1)] == (1, 1, 1.0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        cohort_retention(df, bucket="fortnight")
