@@ -1122,3 +1122,45 @@ def hits_similarity_graph(spark, sf_dir):
         docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
     )
     return hits(edges, iterations=10)
+
+
+@query(
+    "k_core_similarity_graph",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    ke AS (SELECT l AS a, r AS b FROM p
+           WHERE c * 1.0 / (ln + rn - c) >= 0.2),
+    seq AS (
+      SELECT 0 AS i,
+             (SELECT coalesce(list({{'a': a, 'b': b}}), []) FROM ke) AS es
+      UNION ALL
+      SELECT i + 1,
+             [x FOR x IN es IF list_contains(good, x.a)
+                               AND list_contains(good, x.b)]
+      FROM (
+        SELECT i, es,
+               [n FOR n IN list_distinct(flatten([[x.a, x.b] FOR x IN es]))
+                IF len([y FOR y IN es IF y.a = n OR y.b = n]) >= 2] AS good
+        FROM seq) s
+      WHERE len([n FOR n IN list_distinct(flatten([[x.a, x.b] FOR x IN es]))
+                 IF len([y FOR y IN es IF y.a = n OR y.b = n]) < 2]) > 0
+    ),
+    fin AS (SELECT es FROM seq ORDER BY i DESC LIMIT 1),
+    surv AS (SELECT unnest(es) AS ed FROM fin)
+    SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT ed.a AS id FROM surv UNION ALL SELECT ed.b AS id FROM surv)
+    GROUP BY 1
+    """,
+)
+def k_core_similarity_graph(spark, sf_dir):
+    """2-core of the trigram-jaccard similarity graph (Seidman 1983,
+    operators/graphmetrics.py k_core): parallel peeling to the unique
+    fixpoint; the oracle replays the peel with list-state recursion."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graphmetrics import k_core
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    return k_core(edges, k=2)

@@ -206,3 +206,50 @@ def hits(
     return score.select(
         "id", F.round("s", 6).alias("hub"), F.round("s", 6).alias("authority")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(id, degree) — the k-core of the undirected simple graph: the
+    maximal subgraph where every node keeps >= k neighbors (Seidman
+    1983). On a similarity graph the 2-core separates densely-supported
+    duplicate groups from pendant chains — the structural complement of
+    the triangle audit. Computed by the standard parallel peeling loop:
+    drop all nodes of degree < k simultaneously, recompute, repeat to a
+    fixpoint (the result is unique, so peeling order cannot matter);
+    per round one census + two anti-joins, driver sees one empty-check
+    scalar (the CC/canopy control-plane convention).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a").alias("id"))
+            .unionAll(cur.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        weak = deg.where(F.col("degree") < k).select("id").localCheckpoint(eager=True)
+        if weak.isEmpty():
+            return deg
+        cur = (
+            cur.join(weak.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("id", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")

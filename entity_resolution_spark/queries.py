@@ -157,6 +157,7 @@ _DRIVER_PRIORITY = [
     "hits_similarity_graph",
     "schema_drift_events_halves",
     "cohort_retention_weekly",
+    "k_core_similarity_graph",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

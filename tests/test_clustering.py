@@ -283,3 +283,29 @@ def test_hits_matches_power_iteration(spark):
         assert abs(got[v][0] - round(s[v], 6)) < 2e-6, (v, got[v], s[v])
         assert got[v][0] == got[v][1]
     assert got[0][0] == max(h for h, _ in got.values())  # the hub dominates
+
+
+def test_k_core_peels_pendants(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import k_core
+
+    # K4 {1,2,3,4} + pendant path 4-5-6 + triangle {7,8,9}
+    edge_list = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        + [(4, 5), (5, 6)]
+        + [(7, 8), (8, 9), (7, 9)]
+    )
+    df = spark.createDataFrame(
+        [Row(left_id=a, right_id=b) for a, b in edge_list]
+    ).repartition(3)
+    got2 = {r["id"]: r["degree"] for r in k_core(df, k=2).collect()}
+    # 2-core: K4 (each deg 3 after pendants go) + the triangle (deg 2)
+    assert got2 == {1: 3, 2: 3, 3: 3, 4: 3, 7: 2, 8: 2, 9: 2}
+    got3 = {r["id"]: r["degree"] for r in k_core(df, k=3).collect()}
+    assert got3 == {1: 3, 2: 3, 3: 3, 4: 3}  # only K4 survives
+    assert k_core(df, k=4).isEmpty()
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
