@@ -824,3 +824,36 @@ def cohort_retention_weekly(spark, sf_dir):
     from ..operators.funnel import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"), bucket="week")
+
+
+@query(
+    "resample_user_events_daily",
+    """
+    WITH agg AS (
+      SELECT user_id AS key, date_trunc('day', ts) AS bucket,
+             count(*) AS n_events, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+              FROM agg GROUP BY 1),
+    grid AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+             FROM spans),
+    filled AS (SELECT g.key, g.bucket, agg.n_events, agg.sum_value
+               FROM grid g LEFT JOIN agg ON agg.key = g.key
+                                        AND agg.bucket = g.bucket)
+    SELECT key AS user_id, bucket,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           sum_value,
+           last(round(sum_value / n_events, 6) IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS avg_filled
+    FROM filled
+    """,
+)
+def resample_user_events_daily(spark, sf_dir):
+    """Per-user daily resampling with gap buckets and LOCF-filled daily
+    averages (operators/timeseries.py): the grid explodes SPANS, never
+    events, and the fill is one key-partitioned window."""
+    from ..operators.timeseries import resample_events
+
+    return resample_events(_t(spark, sf_dir, "events"), unit="day")

@@ -1,0 +1,69 @@
+"""Time-series regularization: gap-filled resampling + forward fill.
+
+Event streams are irregular; models and dashboards want a value per
+(key, bucket) for EVERY bucket in the key's active span, with empty
+buckets surfaced as zeros/NULLs and carried-forward observations where
+last-observation-carried-forward (LOCF) semantics apply. Pairs with the
+as-of join (point lookups) and SCD2 (validity episodes).
+
+Scale shape: one bucket aggregate over the events, one tiny per-key span
+aggregate, and a `sequence()` explode over SPANS (bucket-count rows per
+key, never event rows) left-joined back — all JVM, one shuffle on the
+key. The LOCF is a key-partitioned running `last(ignorenulls)` window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNITS = ("hour", "day", "week")
+
+
+def resample_events(
+    events: DataFrame,
+    unit: str = "day",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, bucket, n_events, sum_value round-6, avg_filled round-6) —
+    one row per ``unit`` bucket in each key's [first, last] activity
+    span: observed buckets carry their count/sum/avg, gap buckets carry
+    n_events = 0 with NULL sum and the previous bucket's rounded average
+    forward-filled into ``avg_filled`` (LOCF; the first bucket is always
+    observed, so the fill never lacks a seed)."""
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {_UNITS}")
+    b = F.date_trunc(unit, F.col(ts_col))
+    agg = (
+        events.select(F.col(key_col).alias("key"), b.alias("bucket"), F.col(value_col))
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )
+    spans = agg.groupBy("key").agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval 1 {unit})")
+        ).alias("bucket"),
+    )
+    filled = grid.join(agg.hint("shuffle_hash"), ["key", "bucket"], "left")
+    avg = F.round(F.col("sum_value") / F.col("n_events"), 6)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last(avg, ignorenulls=True).over(w).alias("avg_filled"),
+    )

@@ -158,6 +158,7 @@ _DRIVER_PRIORITY = [
     "schema_drift_events_halves",
     "cohort_retention_weekly",
     "k_core_similarity_graph",
+    "resample_user_events_daily",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -1,0 +1,36 @@
+"""Gap-filled resampling + LOCF (operators/timeseries.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from entity_resolution_spark.operators.timeseries import resample_events
+
+
+def test_resample_fills_gaps_and_locf(spark):
+    T = lambda d, h=0: dt.datetime(2024, 3, d, h)
+    rows = [
+        Row(user_id=1, ts=T(1), value=10.0),
+        Row(user_id=1, ts=T(1, 6), value=20.0),  # same day -> one bucket
+        # March 2 and 3 silent
+        Row(user_id=1, ts=T(4), value=40.0),
+        Row(user_id=2, ts=T(5), value=1.0),
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = {
+        (r["user_id"], str(r["bucket"])[:10]): (
+            r["n_events"],
+            r["sum_value"],
+            r["avg_filled"],
+        )
+        for r in resample_events(df, unit="day").collect()
+    }
+    assert got[(1, "2024-03-01")] == (2, 30.0, 15.0)
+    assert got[(1, "2024-03-02")] == (0, None, 15.0)  # gap: zero, LOCF avg
+    assert got[(1, "2024-03-03")] == (0, None, 15.0)
+    assert got[(1, "2024-03-04")] == (1, 40.0, 40.0)
+    assert got[(2, "2024-03-05")] == (1, 1.0, 1.0)
+    assert len(got) == 5  # spans are per-key, not global
+    with pytest.raises(ValueError):
+        resample_events(df, unit="fortnight")
