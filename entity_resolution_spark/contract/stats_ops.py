@@ -857,3 +857,58 @@ def resample_user_events_daily(spark, sf_dir):
     from ..operators.timeseries import resample_events
 
     return resample_events(_t(spark, sf_dir, "events"), unit="day")
+
+
+@query(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS to_state,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_type) AS from_state
+      FROM events),
+    pairs AS (SELECT from_state, to_state, count(*) AS n FROM seq
+              WHERE from_state IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_state, sum(n) AS t FROM pairs GROUP BY 1)
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / t, 6) AS prob
+    FROM pairs JOIN tot USING (from_state)
+    """,
+)
+def markov_event_transitions(spark, sf_dir):
+    """Order-1 Markov transition matrix of per-user event sequences
+    (operators/funnel.py markov_transitions): one lag window + one
+    census; rows normalize per from-state."""
+    from ..operators.funnel import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "ab_test_events_value",
+    """
+    WITH s AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+             count(*) AS n, avg(value) AS m, var_samp(value) AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT a.v AS variant_a, b.v AS variant_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+           round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS z_score,
+           abs((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n)) >= 1.96
+             AS significant
+    FROM s a JOIN s b ON a.v < b.v
+    """,
+)
+def ab_test_events_value(spark, sf_dir):
+    """Two-sample Welch z-test (operators/stats.py ab_test_report) on the
+    event value metric with users split into A/B by id parity — one
+    variant-keyed aggregate, the comparison over the variants frame."""
+    from ..operators.stats import ab_test_report
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return ab_test_report(e, "variant", "value")

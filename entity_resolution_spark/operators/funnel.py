@@ -137,3 +137,36 @@ def cohort_retention(
         "cohort_size",
         F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: bool = True,
+) -> DataFrame:
+    """(from_state, to_state, n, prob round-6) — the order-1 Markov
+    transition matrix of per-user event sequences (each user's events in
+    (ts, type) order; consecutive pairs counted across the whole corpus;
+    rows normalized per from_state). The behavioral-model companion to
+    the funnel: funnels test ONE path, the matrix shows them all.
+
+    One key-partitioned lag window + one state-pair census; the matrix is
+    |states|^2-sized."""
+    order = [F.col(ts_col)] + ([F.col("to_state")] if order_tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(F.col(user_col), F.col(ts_col), F.col(type_col).alias("to_state"))
+        .withColumn("from_state", F.lag("to_state").over(w))
+        .where(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return pairs.join(totals.hint("shuffle_hash"), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("prob"),
+    )

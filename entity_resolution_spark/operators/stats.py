@@ -509,3 +509,57 @@ def key_skew_summary(
         .cast("long")
         .alias("recommended_salt"),
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    z_critical: float = 1.96,
+) -> DataFrame:
+    """One row per variant pair (variant ASC order): (variant_a,
+    variant_b, n_a, n_b, mean_a, mean_b, mean_diff, z_score round-6,
+    significant) — the two-sample Welch z-test on a continuous metric,
+    the experiment-analysis staple. NULL metrics are excluded from both
+    n and the moments.
+
+    One variant-keyed aggregate (variants-sized frame), then a self-join
+    over the variant pairs — never the rows."""
+    stats = (
+        df.where(F.col(metric_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(metric_col).alias("m"),
+            F.var_samp(metric_col).alias("s2"),
+        )
+    )
+    a = stats.select(
+        F.col("v").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("__ma"),
+        F.col("s2").alias("__sa"),
+    )
+    b = stats.select(
+        F.col("v").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("__mb"),
+        F.col("s2").alias("__sb"),
+    )
+    z = (F.col("__ma") - F.col("__mb")) / F.sqrt(
+        F.col("__sa") / F.col("n_a") + F.col("__sb") / F.col("n_b")
+    )
+    return (
+        a.join(b, F.col("variant_a") < F.col("variant_b"))
+        .select(
+            "variant_a",
+            "variant_b",
+            "n_a",
+            "n_b",
+            F.round("__ma", 6).alias("mean_a"),
+            F.round("__mb", 6).alias("mean_b"),
+            F.round(F.col("__ma") - F.col("__mb"), 6).alias("mean_diff"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) >= z_critical).alias("significant"),
+        )
+    )

@@ -159,6 +159,8 @@ _DRIVER_PRIORITY = [
     "cohort_retention_weekly",
     "k_core_similarity_graph",
     "resample_user_events_daily",
+    "markov_event_transitions",
+    "ab_test_events_value",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

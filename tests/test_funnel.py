@@ -81,3 +81,22 @@ def test_cohort_retention_hand_matrix(spark):
 
     with pytest.raises(ValueError):
         cohort_retention(df, bucket="fortnight")
+
+
+def test_markov_transitions_hand_matrix(spark):
+    from entity_resolution_spark.operators.funnel import markov_transitions
+
+    rows = [
+        _ev(1, 1, "a"), _ev(1, 2, "b"), _ev(1, 3, "a"), _ev(1, 4, "b"),
+        _ev(2, 1, "a"), _ev(2, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+        for r in markov_transitions(df).collect()
+    }
+    # from a: a->b twice (u1), a->a once (u2) ; from b: b->a once
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "a")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3

@@ -635,3 +635,25 @@ def test_schema_drift_report_statuses_and_deltas(spark):
     assert got["a"]["distinct_old"] == 2 and got["a"]["distinct_new"] == 2
     assert got["b"]["null_rate_old"] == 0.5 and got["b"]["null_rate_new"] == 0.0
     assert got["b"]["null_rate_delta"] == -0.5
+
+
+def test_ab_test_report_hand_z(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import ab_test_report
+
+    rows = [Row(v="A", x=float(x)) for x in (10, 12, 14, 16)] + [
+        Row(v="B", x=float(x)) for x in (9, 10, 11)
+    ] + [Row(v="B", x=None)]
+    df = spark.createDataFrame(rows)
+    r = ab_test_report(df, "v", "x").collect()[0]
+    ma, mb = 13.0, 10.0
+    sa = sum((x - ma) ** 2 for x in (10, 12, 14, 16)) / 3
+    sb = sum((x - mb) ** 2 for x in (9, 10, 11)) / 2
+    z = (ma - mb) / math.sqrt(sa / 4 + sb / 3)
+    assert (r["variant_a"], r["variant_b"], r["n_a"], r["n_b"]) == ("A", "B", 4, 3)
+    assert r["mean_a"] == 13.0 and r["mean_b"] == 10.0 and r["mean_diff"] == 3.0
+    assert abs(r["z_score"] - round(z, 6)) < 2e-6
+    assert r["significant"] == (abs(z) >= 1.96)
