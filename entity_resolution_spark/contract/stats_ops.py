@@ -912,3 +912,33 @@ def ab_test_events_value(spark, sf_dir):
         F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
     )
     return ab_test_report(e, "variant", "value")
+
+
+@query(
+    "association_rules_lineitem",
+    """
+    WITH inc AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n FROM inc),
+    ic AS (SELECT i, count(*) AS c FROM inc GROUP BY 1),
+    pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_baskets
+           FROM inc a JOIN inc c ON a.b = c.b AND a.i <> c.i
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT item_a, item_b, CAST(n_baskets AS BIGINT) AS n_baskets,
+           round(n_baskets * 1.0 / nb.n, 6) AS support,
+           round(n_baskets * 1.0 / ca.c, 6) AS confidence,
+           round(n_baskets * 1.0 * nb.n / (ca.c * 1.0 * cb.c), 6) AS lift
+    FROM pc
+    JOIN ic ca ON ca.i = pc.item_a
+    JOIN ic cb ON cb.i = pc.item_b
+    CROSS JOIN nb
+    """,
+)
+def association_rules_lineitem(spark, sf_dir):
+    """Directed association rules over order baskets of parts
+    (operators/basket.py): support/confidence/lift at min co-basket 3 —
+    pairs exist only within baskets, never corpus-wide."""
+    from ..operators.basket import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=3
+    )
