@@ -942,3 +942,25 @@ def association_rules_lineitem(spark, sf_dir):
     return association_rules(
         _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=3
     )
+
+
+@query(
+    "activity_streaks_users",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                          AS INT) AS grp
+          FROM days)
+    SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def activity_streaks_users(spark, sf_dir):
+    """Consecutive-active-day streaks per user (gaps-and-islands,
+    operators/timeseries.py activity_streaks): distinct days, one
+    key-window, one aggregate."""
+    from ..operators.timeseries import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))

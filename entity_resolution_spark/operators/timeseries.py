@@ -67,3 +67,35 @@ def resample_events(
         "sum_value",
         F.last(avg, ignorenulls=True).over(w).alias("avg_filled"),
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, streak_start, streak_end, n_days) — maximal runs of
+    CONSECUTIVE active calendar days per key (the gaps-and-islands
+    pattern: distinct active days minus their per-key row_number is
+    constant exactly within a consecutive run). One distinct + one
+    key-partitioned window + one aggregate; rows are streak-sized."""
+    days = events.select(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("d")
+    grp = F.date_sub(F.col("d"), F.row_number().over(w))
+    return (
+        days.withColumn("__g", grp)
+        .groupBy("key", "__g")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "streak_start",
+            "streak_end",
+            "n_days",
+        )
+    )

@@ -162,6 +162,7 @@ _DRIVER_PRIORITY = [
     "markov_event_transitions",
     "ab_test_events_value",
     "association_rules_lineitem",
+    "activity_streaks_users",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

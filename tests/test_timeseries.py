@@ -34,3 +34,24 @@ def test_resample_fills_gaps_and_locf(spark):
     assert len(got) == 5  # spans are per-key, not global
     with pytest.raises(ValueError):
         resample_events(df, unit="fortnight")
+
+
+def test_activity_streaks_hand(spark):
+    T = lambda d: dt.datetime(2024, 5, d, 12)
+    rows = (
+        [Row(user_id=1, ts=T(d)) for d in (1, 2, 3, 7, 8, 20)]
+        + [Row(user_id=1, ts=T(2))]  # duplicate day deduped
+        + [Row(user_id=2, ts=T(10))]
+    )
+    df = spark.createDataFrame(rows).repartition(3)
+    from entity_resolution_spark.operators.timeseries import activity_streaks
+
+    got = {
+        (r["user_id"], str(r["streak_start"])): (str(r["streak_end"]), r["n_days"])
+        for r in activity_streaks(df).collect()
+    }
+    assert got[(1, "2024-05-01")] == ("2024-05-03", 3)
+    assert got[(1, "2024-05-07")] == ("2024-05-08", 2)
+    assert got[(1, "2024-05-20")] == ("2024-05-20", 1)
+    assert got[(2, "2024-05-10")] == ("2024-05-10", 1)
+    assert len(got) == 4
