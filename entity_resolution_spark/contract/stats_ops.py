@@ -964,3 +964,64 @@ def activity_streaks_users(spark, sf_dir):
     from ..operators.timeseries import activity_streaks
 
     return activity_streaks(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "ols_trend_value_by_type",
+    """
+    WITH b AS (SELECT event_type, floor(epoch(ts)) AS x, value AS y FROM events
+               WHERE ts IS NOT NULL AND value IS NOT NULL),
+    a AS (SELECT event_type, count(*) AS n, covar_samp(x, y) AS cxy,
+                 var_samp(x) AS vx, var_samp(y) AS vy,
+                 avg(x) AS mx, avg(y) AS my
+          FROM b GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS slope,
+           round(my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx, 6) AS intercept,
+           round(CASE WHEN vx > 0 AND vy > 0
+                      THEN cxy * cxy / (vx * vy) END, 6) AS r2
+    FROM a
+    """,
+)
+def ols_trend_value_by_type(spark, sf_dir):
+    """Closed-form per-event-type OLS trend of value over epoch seconds
+    (operators/stats.py ols_trend) — one moment aggregate per group."""
+    from ..operators.stats import ols_trend
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .withColumn("x", F.unix_timestamp("ts").cast("double"))
+    )
+    return ols_trend(e, "x", "value", ["event_type"])
+
+
+@query(
+    "chi2_lang_source_documents",
+    """
+    WITH cont AS (SELECT lang AS a, source AS b, count(*) AS n
+                  FROM documents GROUP BY 1, 2),
+    r AS (SELECT a, sum(n) AS ra FROM cont GROUP BY 1),
+    c AS (SELECT b, sum(n) AS cb FROM cont GROUP BY 1),
+    t AS (SELECT sum(n) AS nn FROM cont),
+    chi AS (SELECT sum(pow(cont.n - ra * cb * 1.0 / nn, 2)
+                       / (ra * cb * 1.0 / nn)) AS chi2
+            FROM cont JOIN r USING (a) JOIN c USING (b) CROSS JOIN t),
+    shape AS (SELECT (SELECT count(*) FROM r) AS nr,
+                     (SELECT count(*) FROM c) AS nc)
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS df_degrees,
+           round(chi2, 6) AS chi2,
+           round(CASE WHEN least(nr, nc) > 1
+                      THEN sqrt(chi2 / (nn * (least(nr, nc) - 1)))
+                      ELSE 0.0 END, 6) AS cramers_v
+    FROM t, chi, shape
+    """,
+)
+def chi2_lang_source_documents(spark, sf_dir):
+    """Pearson chi-square independence of (lang, source) with Cramer's V
+    (operators/stats.py chi_square_independence) — contingency-census
+    arithmetic only."""
+    from ..operators.stats import chi_square_independence
+
+    return chi_square_independence(_t(spark, sf_dir, "documents"), "lang", "source")

@@ -563,3 +563,91 @@ def ab_test_report(
             (F.abs(z) >= z_critical).alias("significant"),
         )
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group simple linear regression y = a + b*x in closed form ->
+    (group..., n, slope round-6, intercept round-6, r2 round-6):
+    b = cov(x,y)/var(x), a = mean(y) - b*mean(x), r2 = corr^2. One hash
+    aggregate per group over the five sufficient moments — the drift /
+    trend fit for any metric over time without an ML library. Groups
+    with constant x (var 0) or n < 2 report NULL slope/intercept/r2.
+    Rows with a NULL in either column are excluded."""
+    gc = list(group_cols or [])
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    grouped = base.groupBy(*gc) if gc else base.groupBy()
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_samp(x_col, y_col).alias("__cxy"),
+        F.var_samp(x_col).alias("__vx"),
+        F.var_samp(y_col).alias("__vy"),
+        F.avg(x_col).alias("__mx"),
+        F.avg(y_col).alias("__my"),
+    )
+    slope = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx"))
+    return agg.select(
+        *gc,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias("intercept"),
+        F.round(
+            F.when(
+                (F.col("__vx") > 0) & (F.col("__vy") > 0),
+                F.col("__cxy") * F.col("__cxy") / (F.col("__vx") * F.col("__vy")),
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """One row: (n, df_degrees, chi2 round-6, cramers_v round-6) — the
+    Pearson chi-square independence statistic over the (col_a, col_b)
+    contingency table plus Cramer's V effect size. All from one
+    contingency census (the extended_cluster_metrics scale shape); NULL
+    categories count as their own level. Callers compare chi2 to their
+    critical value — no p-value, which keeps the arithmetic closed-form
+    and engine-exact."""
+    cont = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rows = cont.groupBy("__a").agg(F.sum("n").alias("ra"))
+    cols = cont.groupBy("__b").agg(F.sum("n").alias("cb"))
+    tot = cont.agg(F.sum("n").alias("__n"))
+    chi = (
+        cont.join(rows.hint("shuffle_hash"), "__a")
+        .join(cols.hint("shuffle_hash"), "__b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.pow(F.col("n") - F.col("ra") * F.col("cb") / F.col("__n"), 2)
+                / (F.col("ra") * F.col("cb") / F.col("__n"))
+            ).alias("__term")
+        )
+        .agg(F.sum("__term").alias("chi2"))
+    )
+    shape = rows.agg(F.count(F.lit(1)).alias("__nr")).crossJoin(
+        cols.agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    out = tot.crossJoin(chi).crossJoin(F.broadcast(shape))
+    k = F.least(F.col("__nr"), F.col("__nc")) - 1
+    return out.select(
+        F.col("__n").cast("long").alias("n"),
+        ((F.col("__nr") - 1) * (F.col("__nc") - 1)).cast("long").alias("df_degrees"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.when(k > 0, F.sqrt(F.col("chi2") / (F.col("__n") * k))).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

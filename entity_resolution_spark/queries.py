@@ -163,6 +163,8 @@ _DRIVER_PRIORITY = [
     "ab_test_events_value",
     "association_rules_lineitem",
     "activity_streaks_users",
+    "ols_trend_value_by_type",
+    "chi2_lang_source_documents",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

@@ -657,3 +657,39 @@ def test_ab_test_report_hand_z(spark):
     assert r["mean_a"] == 13.0 and r["mean_b"] == 10.0 and r["mean_diff"] == 3.0
     assert abs(r["z_score"] - round(z, 6)) < 2e-6
     assert r["significant"] == (abs(z) >= 1.96)
+
+
+def test_ols_trend_exact_line_and_degenerate(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import ols_trend
+
+    rows = [Row(g="lin", x=float(x), y=3.0 * x + 7.0) for x in range(5)] + [
+        Row(g="flat", x=1.0, y=9.0),
+        Row(g="flat", x=1.0, y=11.0),  # constant x -> NULL fit
+        Row(g="lin", x=None, y=1.0),   # excluded
+    ]
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in ols_trend(spark.createDataFrame(rows), "x", "y", ["g"]).collect()
+    }
+    assert got["lin"] == (5, 3.0, 7.0, 1.0)
+    assert got["flat"] == (2, None, None, None)
+
+
+def test_chi_square_independence_hand_table(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import chi_square_independence
+
+    # 2x2 table: a/x 30, a/y 10, b/x 10, b/y 30 -> chi2 = 20, V = sqrt(20/80)
+    rows = (
+        [Row(a="a", b="x")] * 30
+        + [Row(a="a", b="y")] * 10
+        + [Row(a="b", b="x")] * 10
+        + [Row(a="b", b="y")] * 30
+    )
+    r = chi_square_independence(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert r["n"] == 80 and r["df_degrees"] == 1
+    assert r["chi2"] == 20.0
+    assert abs(r["cramers_v"] - (20.0 / 80.0) ** 0.5) < 2e-6
