@@ -209,6 +209,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "zorder_layout_events",
         "scd2_user_event_history",
         "bcubed_nmi_ari_metrics",
+        # analytics/retrieval batch: hybrid search, baskets, graph core,
+        # time-series regularization, behavioral matrices
+        "hybrid_rrf_search",
+        "association_rules_lineitem",
+        "k_core_similarity_graph",
+        "resample_user_events_daily",
+        "markov_event_transitions",
+        "cohort_retention_weekly",
     ]:
         if name not in SPARK_QUERIES:
             continue

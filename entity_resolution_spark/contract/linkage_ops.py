@@ -1164,3 +1164,42 @@ def k_core_similarity_graph(spark, sf_dir):
         docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
     )
     return k_core(edges, k=2)
+
+
+@query(
+    "bfs_labels_similarity_graph",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    be AS (SELECT l AS a, r AS b FROM p
+           WHERE c * 1.0 / (ln + rn - c) >= 0.2),
+    bdir AS (SELECT a, b FROM be UNION ALL SELECT b AS a, a AS b FROM be),
+    srcs AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+    walk(id, hops, root) AS (
+      SELECT id, 0, id FROM srcs
+      UNION
+      SELECT d.b, w.hops + 1, w.root
+      FROM walk w JOIN bdir d ON d.a = w.id
+      WHERE w.hops < 10),
+    best AS (SELECT id, min(hops) AS hops FROM walk GROUP BY 1)
+    SELECT best.id, CAST(best.hops AS INT) AS hops,
+           min(w.root) AS root
+    FROM best JOIN walk w ON w.id = best.id AND w.hops = best.hops
+    GROUP BY 1, 2
+    """,
+)
+def bfs_labels_similarity_graph(spark, sf_dir):
+    """Multi-source BFS label spreading over the trigram-jaccard graph
+    (operators/graphmetrics.py bfs_distance): every doc within 10 hops of
+    a seed (doc_id % 97 == 0) gets min hops + smallest min-distance seed;
+    the oracle's recursive UNION dedups states so cycles can't explode."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graphmetrics import bfs_distance
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    sources = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return bfs_distance(edges, sources, max_hops=10)

@@ -253,3 +253,61 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")
+
+
+def bfs_distance(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 10,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, hops, root) — multi-source BFS over the undirected simple
+    graph: every node reachable within ``max_hops`` of any source gets
+    its minimum hop count and a deterministic ``root`` (the smallest
+    source id among those at minimum distance). The label-spreading /
+    nearest-labeled-record primitive: seed the sources with reviewed
+    records and every neighbor learns who vouches for it.
+
+    Frontier expansion, one join per hop: the frontier joins the edge
+    list, discovered nodes drop via anti-join against the settled set,
+    per-node min-(root) resolves simultaneous discoveries;
+    localCheckpoint per round (the CC convention). Work per hop is
+    O(edges touching the frontier)."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    settled = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).alias("hops"), F.col("id").alias("root"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        discovered = (
+            directed.join(
+                frontier.withColumnRenamed("id", "a").hint("shuffle_hash"), "a"
+            )
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("root").alias("root"))
+            .join(settled.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).alias("hops"), "root")
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionAll(discovered).localCheckpoint(eager=True)
+        frontier = discovered
+    return settled

@@ -309,3 +309,37 @@ def test_k_core_peels_pendants(spark):
 
     with pytest.raises(ValueError):
         k_core(df, k=0)
+
+
+def test_bfs_distance_hops_and_roots(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import bfs_distance
+
+    # path 1-2-3-4-5, source {1, 5}; isolated 9 unreachable
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    edges = spark.createDataFrame(
+        [Row(left_id=a, right_id=b) for a, b in edge_list]
+    ).repartition(3)
+    sources = spark.createDataFrame([Row(id=1), Row(id=5)])
+    got = {
+        r["id"]: (r["hops"], r["root"])
+        for r in bfs_distance(edges, sources, max_hops=10).collect()
+    }
+    assert got == {
+        1: (0, 1),
+        5: (0, 5),
+        2: (1, 1),
+        4: (1, 5),
+        3: (2, 1),  # equidistant: smallest root wins
+    }
+    # hop cap respected
+    capped = {
+        r["id"]: r["hops"]
+        for r in bfs_distance(edges, sources, max_hops=1).collect()
+    }
+    assert set(capped) == {1, 5, 2, 4}
+    import pytest
+
+    with pytest.raises(ValueError):
+        bfs_distance(edges, sources, max_hops=-1)
