@@ -145,10 +145,14 @@ def _tfidf_postings(
         .where(F.col("__w") > 0)
         .select("id", "token", "__w")
     )
+    # __df rides along so prefix builders can order features rarest-first
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
     return (
         w.join(norms.hint("shuffle_hash"), "id")
-        .select("id", "token", (F.col("__w") / F.col("__nrm")).alias("wn"))
+        .join(df_census.hint("shuffle_hash"), "token")
+        .select(
+            "id", "token", (F.col("__w") / F.col("__nrm")).alias("wn"), "__df"
+        )
     )
 
 
@@ -161,13 +165,21 @@ def tfidf_cosine_join(
     """Exact tf-idf cosine similarity self-join >= threshold (AllPairs-style).
 
     Bayardo/Ma/Srikant (WWW 2007) suffix-norm prefix filtering over
-    L2-normalized tf-idf vectors: sort each doc's features heaviest-first
-    and index a feature only while the L2 norm of the REMAINING suffix is
-    still >= t. If a pair reaches cosine >= t, its shared features cannot
-    all sit in the left doc's suffix (cos <= ||x_suffix|| * ||y|| < t), so
-    joining the short prefix index against the full posting list is
-    complete; exact verification (sum of weight products over shared
-    tokens) then makes the operator EXACT — the prefix only prunes.
+    L2-normalized tf-idf vectors: sort each doc's features RAREST-first
+    (corpus df ASC — the bound below is sound for ANY feature order, and
+    rare-first keeps high-tf COMMON tokens out of prefixes, whose posting
+    lists would otherwise quadratically flood the candidate join) and
+    index a feature only while the L2 norm of the REMAINING suffix is
+    still >= t. Because the order is GLOBAL, prefixes are downward-closed
+    in it, so for any pair with cosine >= t the globally-first shared
+    feature lies in BOTH prefixes (if it were past either side's prefix,
+    every shared feature would be too, and cos <= ||suffix|| < t — the
+    PPJoin prefix argument transplanted to the weighted case); the
+    candidate join therefore runs prefix x prefix, never prefix x full
+    index (which floods quadratically on templated corpora: 12M
+    candidates vs ~40k at sf0.1/t=0.9). Exact verification (sum of
+    weight products over shared tokens) then makes the operator EXACT —
+    the prefix only prunes.
 
     Weighted complement of ppjoin_token_jaccard (reference semantics:
     content-similarity joins in /root/reference/src/similarity.py scope;
@@ -184,7 +196,7 @@ def tfidf_cosine_join(
     # the prefix, keeping the filter complete under FP rounding)
     rev = (
         Window.partitionBy("id")
-        .orderBy(F.col("wn").desc(), F.col("token"))
+        .orderBy(F.col("__df").asc(), F.col("token"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     pre = v.withColumn("__rest", F.sum(F.col("wn") * F.col("wn")).over(rev)).where(
@@ -192,23 +204,38 @@ def tfidf_cosine_join(
     )
     cand = (
         pre.select("token", F.col("id").alias("__ql"))
-        .join(v.select("token", F.col("id").alias("__pr")), "token")
-        .where(F.col("__ql") != F.col("__pr"))
+        .join(pre.select("token", F.col("id").alias("__pr")), "token")
+        .where(F.col("__ql") < F.col("__pr"))
         .select(
-            F.least("__ql", "__pr").alias("left_id"),
-            F.greatest("__ql", "__pr").alias("right_id"),
+            F.col("__ql").alias("left_id"),
+            F.col("__pr").alias("right_id"),
         )
         .distinct()
     )
-    lw = v.select(F.col("id").alias("left_id"), "token", F.col("wn").alias("__wl"))
-    rw = v.select(F.col("id").alias("right_id"), "token", F.col("wn").alias("__wr"))
+    # verification over PACKED vectors: one row per candidate pair, the
+    # dot product computed in-row by codegen over token-sorted entries
+    # (deterministic sum order) with map lookups into the partner —
+    # joining exploded postings instead multiplies the candidate frame by
+    # tokens-per-doc (10.7M pairs -> ~150M rows at sf0.1) before the
+    # aggregate; this shape cut the sf0.1 verification ~4x
+    packed = v.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("token", "wn"))).alias("__e")
+    )
+    lv = packed.select(F.col("id").alias("left_id"), F.col("__e").alias("__el"))
+    rv = packed.select(
+        F.col("id").alias("right_id"), F.map_from_entries("__e").alias("__mr")
+    )
+    dot = F.aggregate(
+        F.col("__el"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.coalesce(F.element_at(F.col("__mr"), e["token"]), F.lit(0.0)) * e["wn"],
+    )
     return (
-        cand.join(lw.hint("shuffle_hash"), "left_id")
-        .join(rw.hint("shuffle_hash"), ["right_id", "token"])
-        .groupBy("left_id", "right_id")
-        .agg(F.round(F.sum(F.col("__wl") * F.col("__wr")), 6).alias("cosine"))
+        cand.join(lv.hint("shuffle_hash"), "left_id")
+        .join(rv.hint("shuffle_hash"), "right_id")
+        .select("left_id", "right_id", F.round(dot, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
-        .select("left_id", "right_id", "cosine")
     )
 
 
@@ -224,7 +251,7 @@ def tfidf_cosine_candidate_count(
     v = _tfidf_postings(docs, id_col, text_col)
     rev = (
         Window.partitionBy("id")
-        .orderBy(F.col("wn").desc(), F.col("token"))
+        .orderBy(F.col("__df").asc(), F.col("token"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     pre = v.withColumn("__rest", F.sum(F.col("wn") * F.col("wn")).over(rev)).where(
@@ -232,9 +259,9 @@ def tfidf_cosine_candidate_count(
     )
     return (
         pre.select("token", F.col("id").alias("l"))
-        .join(v.select("token", F.col("id").alias("r")), "token")
-        .where(F.col("l") != F.col("r"))
-        .select(F.least("l", "r").alias("a"), F.greatest("l", "r").alias("b"))
+        .join(pre.select("token", F.col("id").alias("r")), "token")
+        .where(F.col("l") < F.col("r"))
+        .select("l", "r")
         .distinct()
         .count()
     )
