@@ -1025,3 +1025,37 @@ def chi2_lang_source_documents(spark, sf_dir):
     from ..operators.stats import chi_square_independence
 
     return chi_square_independence(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+@query(
+    "weighted_median_lineitem",
+    """
+    WITH c AS (SELECT l_returnflag, l_extendedprice AS v,
+                      sum(l_quantity) AS w
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+               GROUP BY 1, 2),
+    r AS (SELECT l_returnflag, v,
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tot
+          FROM c)
+    SELECT l_returnflag, round(tot, 6) AS total_weight,
+           round(min(v), 6) AS weighted_median
+    FROM r WHERE cum * 2 >= tot
+    GROUP BY l_returnflag, tot
+    """,
+)
+def weighted_median_lineitem(spark, sf_dir):
+    """Quantity-weighted lower median of extended price per return flag
+    (operators/stats.py weighted_median) — one cumulative window over the
+    per-group value census."""
+    from ..operators.stats import weighted_median
+
+    return weighted_median(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        ["l_returnflag"],
+    )

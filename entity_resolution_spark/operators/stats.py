@@ -651,3 +651,48 @@ def chi_square_independence(
             6,
         ).alias("cramers_v"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """(group..., total_weight round-6, weighted_median round-6) — the
+    lower weighted median: the smallest value whose running weight (in
+    value ASC order, value as tie-break) reaches half the group's total.
+    Rows with NULL or non-positive weight and NULL values are excluded.
+    One key-partitioned cumulative window over the group's value census —
+    no global sort."""
+    gc = list(group_cols or [])
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    census = base.groupBy(*gc, F.col(value_col).alias("__v")).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in gc])
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in gc])
+    ranked = census.select(
+        *gc,
+        "__v",
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_all).alias("__tot"),
+    ).where(F.col("__cum") * 2 >= F.col("__tot"))
+    w_pick = Window.partitionBy(*[F.col(c) for c in gc]).orderBy("__v")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            *gc,
+            F.round("__tot", 6).alias("total_weight"),
+            F.round("__v", 6).alias("weighted_median"),
+        )
+    )

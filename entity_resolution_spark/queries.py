@@ -166,6 +166,7 @@ _DRIVER_PRIORITY = [
     "ols_trend_value_by_type",
     "chi2_lang_source_documents",
     "bfs_labels_similarity_graph",
+    "weighted_median_lineitem",
     # never driver-verified (added round 3; strictly before the reworked
     # trio below, which at least carries pre-rework r2-green rows +
     # full-probe equality pytest gates)

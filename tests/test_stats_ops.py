@@ -693,3 +693,29 @@ def test_chi_square_independence_hand_table(spark):
     assert r["n"] == 80 and r["df_degrees"] == 1
     assert r["chi2"] == 20.0
     assert abs(r["cramers_v"] - (20.0 / 80.0) ** 0.5) < 2e-6
+
+
+def test_weighted_median_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import weighted_median
+
+    rows = [
+        Row(g="a", v=1.0, w=1.0),
+        Row(g="a", v=2.0, w=1.0),
+        Row(g="a", v=3.0, w=10.0),  # heavy tail value dominates
+        Row(g="b", v=5.0, w=2.0),
+        Row(g="b", v=7.0, w=2.0),  # exact half at v=5 -> lower median
+        Row(g="c", v=9.0, w=0.0),  # non-positive weight excluded
+        Row(g="c", v=4.0, w=1.0),
+        Row(g="c", v=None, w=3.0),
+    ]
+    got = {
+        r["g"]: (r["total_weight"], r["weighted_median"])
+        for r in weighted_median(
+            spark.createDataFrame(rows), "v", "w", ["g"]
+        ).collect()
+    }
+    assert got["a"] == (12.0, 3.0)
+    assert got["b"] == (4.0, 5.0)  # cum(5)=2, 2*2>=4 -> lower median
+    assert got["c"] == (1.0, 4.0)
