@@ -36,6 +36,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canonical_token_arrays(
@@ -127,6 +128,8 @@ def _tfidf_postings(
     tokens with df == N carry weight 0 and are dropped (they cannot move a
     cosine, and keeping them would divide empty-signal docs by a zero norm).
     """
+    from pyspark.sql import Window
+
     tok = F.explode(
         F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     )
@@ -137,23 +140,166 @@ def _tfidf_postings(
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
     n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
-    df_census = e.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    # df and the per-doc norm come from two WINDOW passes (one shuffle on
+    # token, one on id) instead of census joins — same values, shorter plan
     w = (
-        e.join(df_census.hint("shuffle_hash"), "token")
+        e.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("__w", F.col("__tf") * F.log(F.col("__n") / F.col("__df")))
         .where(F.col("__w") > 0)
-        .select("id", "token", "__w")
+        .select("id", "token", "__w", "__df")
     )
     # __df rides along so prefix builders can order features rarest-first
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
+    nrm = F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(Window.partitionBy("id")))
+    return w.select(
+        "id", "token", (F.col("__w") / nrm).alias("wn"), "__df"
+    )
+
+
+def _verify_cosine_pairs(v: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact verification of (left_id, right_id) candidates against the
+    postings frame ``v`` -> (left_id, right_id, cosine round-6) >= threshold.
+
+    Runs over PACKED vectors: one row per candidate pair, the dot product
+    computed in-row by codegen over token-sorted entries (deterministic sum
+    order) with map lookups into the partner — joining exploded postings
+    instead multiplies the candidate frame by tokens-per-doc before the
+    aggregate. Both the sparse-prefix and dense-matmul candidate paths end
+    here, so reported cosines are bit-identical regardless of path.
+    """
+    packed = v.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("token", "wn"))).alias("__e")
+    )
+    lv = packed.select(F.col("id").alias("left_id"), F.col("__e").alias("__el"))
+    rv = packed.select(
+        F.col("id").alias("right_id"), F.map_from_entries("__e").alias("__mr")
+    )
+    dot = F.aggregate(
+        F.col("__el"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.coalesce(F.element_at(F.col("__mr"), e["token"]), F.lit(0.0)) * e["wn"],
+    )
     return (
-        w.join(norms.hint("shuffle_hash"), "id")
-        .join(df_census.hint("shuffle_hash"), "token")
+        cand.join(lv.hint("shuffle_hash"), "left_id")
+        .join(rv.hint("shuffle_hash"), "right_id")
+        .select("left_id", "right_id", F.round(dot, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _dense_cosine_candidates(
+    v: DataFrame, threshold: float, dim: int, chunk_rows: int | None = None
+) -> DataFrame:
+    """Candidate (left_id, right_id) pairs via chunked dense matmul.
+
+    When the vocabulary is SMALL, tf-idf vectors are effectively dense and
+    prefix filtering is structurally hopeless (every doc shares nearly
+    every token with every other doc — at sf0.1 the documents corpus has a
+    31-token vocabulary and the prefix join emits 10.7M of the 12.5M
+    possible pairs). Any exact algorithm must then look at Ω(n²) pair
+    interactions, so the fastest shape is the vectorized one: densify each
+    doc's weights into a dim-length vector, hash-chunk the corpus, and
+    score each of the C(n_chunks+1, 2) chunk pairs with ONE float64
+    (chunk × dim)·(dim × chunk) matmul inside an Arrow batch. Each
+    unordered doc pair lives in exactly one chunk pair (hash partition),
+    so no distinct is needed. The 1e-6 slack keeps BLAS summation-order
+    ulps from dropping a boundary pair — final cosines are recomputed
+    exactly by `_verify_cosine_pairs`, so the matmul only PRUNES.
+
+    Chunk rows are sized so a chunk's dense matrix stays ~16 MB
+    (executor-memory-safe at any dim); chunk pairs grow as (n/chunk)², the
+    intrinsic cost of an exact join on a dense corpus — for approximate
+    scale paths over embeddings use dedup.embedding_cosine_pairs (LSH).
+    """
+    import math
+
+    import numpy as np
+
+    spark = v.sparkSession
+    if chunk_rows is None:
+        chunk_rows = max(256, int(16e6 / (8 * max(dim, 1))))
+    toks = [r["token"] for r in v.select("token").distinct().orderBy("token").collect()]
+    idx_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)], "token string, __ix int"
+    )
+    # per-doc entries as PARALLEL primitive arrays (not array<struct>): Arrow
+    # hands the Python side numpy int/double arrays directly, so the matrix
+    # fill is two vectorized scatter assignments per doc instead of a
+    # per-entry dict walk
+    entries = (
+        v.join(F.broadcast(idx_df), "token")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("__ix", "wn"))).alias("__e"))
         .select(
-            "id", "token", (F.col("__w") / F.col("__nrm")).alias("wn"), "__df"
+            "id",
+            F.col("__e.__ix").alias("__ixs"),
+            F.col("__e.wn").alias("__wns"),
         )
     )
+    n = entries.count()
+    # two lower bounds on chunk count: chunk matrices must fit memory, and
+    # C(n_chunks+1, 2) tasks should cover the cluster (~2x parallelism)
+    par_chunks = math.ceil(math.sqrt(4 * spark.sparkContext.defaultParallelism))
+    n_chunks = max(1, min(n, max(math.ceil(n / chunk_rows), par_chunks)))
+    packed = (
+        entries.withColumn(
+            "__c", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_chunks)).cast("int")
+        )
+        .groupBy("__c")
+        .agg(F.collect_list(F.struct("id", "__ixs", "__wns")).alias("__m"))
+    )
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(n_chunks) for j in range(i, n_chunks)],
+        "__ca int, __cb int",
+    )
+    joined = (
+        keys.join(packed.select(F.col("__c").alias("__ca"), F.col("__m").alias("__ma")), "__ca")
+        .join(packed.select(F.col("__c").alias("__cb"), F.col("__m").alias("__mb")), "__cb")
+        .repartition(max(n_chunks * (n_chunks + 1) // 2, 1))
+    )
+    id_type = v.schema["id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("left_id", id_type), T.StructField("right_id", id_type)]
+    )
+    thr = float(threshold) - 1e-6
+
+    def _mat(members):
+        ids, mat = [], np.zeros((len(members), dim), dtype="float64")
+        for r, m in enumerate(members):
+            ids.append(m["id"])
+            mat[r, np.asarray(m["__ixs"], dtype="int64")] = np.asarray(
+                m["__wns"], dtype="float64"
+            )
+        return ids, mat
+
+    def gen(batches):
+        for pdf in batches:
+            out_l, out_r = [], []
+            for ca, cb, ma, mb in zip(
+                pdf["__ca"], pdf["__cb"], pdf["__ma"], pdf["__mb"]
+            ):
+                ids_a, A = _mat(ma)
+                if ca == cb:
+                    ids_b, B = ids_a, A
+                else:
+                    ids_b, B = _mat(mb)
+                S = A @ B.T
+                if ca == cb:
+                    # one index cell per unordered pair; kills the diagonal
+                    S = np.triu(S, k=1)
+                ii, jj = np.nonzero(S >= thr)
+                for i, j in zip(ii.tolist(), jj.tolist()):
+                    ia, ib = ids_a[i], ids_b[j]
+                    if ia < ib:
+                        out_l.append(ia)
+                        out_r.append(ib)
+                    else:
+                        out_l.append(ib)
+                        out_r.append(ia)
+            yield pd.DataFrame({"left_id": out_l, "right_id": out_r})
+
+    return joined.mapInPandas(gen, out_schema)
 
 
 def tfidf_cosine_join(
@@ -161,10 +307,15 @@ def tfidf_cosine_join(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dense_vocab_max: int = 4096,
 ) -> DataFrame:
-    """Exact tf-idf cosine similarity self-join >= threshold (AllPairs-style).
+    """Exact tf-idf cosine similarity self-join >= threshold.
 
-    Bayardo/Ma/Srikant (WWW 2007) suffix-norm prefix filtering over
+    Two candidate-generation paths behind one exact verifier, selected by
+    the corpus's measured vocabulary size:
+
+    SPARSE (vocab > dense_vocab_max — real text): AllPairs-style
+    (Bayardo/Ma/Srikant, WWW 2007) suffix-norm prefix filtering over
     L2-normalized tf-idf vectors: sort each doc's features RAREST-first
     (corpus df ASC — the bound below is sound for ANY feature order, and
     rare-first keeps high-tf COMMON tokens out of prefixes, whose posting
@@ -176,10 +327,19 @@ def tfidf_cosine_join(
     every shared feature would be too, and cos <= ||suffix|| < t — the
     PPJoin prefix argument transplanted to the weighted case); the
     candidate join therefore runs prefix x prefix, never prefix x full
-    index (which floods quadratically on templated corpora: 12M
-    candidates vs ~40k at sf0.1/t=0.9). Exact verification (sum of
-    weight products over shared tokens) then makes the operator EXACT —
-    the prefix only prunes.
+    index.
+
+    DENSE (vocab <= dense_vocab_max — templated/categorical corpora,
+    within-block joins): prefix filtering cannot prune when every doc
+    shares nearly every token (measured at sf0.1: 31-token vocabulary,
+    10.7M of 12.5M possible pairs survive the prefix filter), so
+    candidates come from `_dense_cosine_candidates` — chunked float64
+    matmuls over densified vectors, the vectorized shape for an
+    intrinsically Ω(n²) exact join.
+
+    Either way, `_verify_cosine_pairs` recomputes the dot product exactly
+    (deterministic token-sorted sum, JVM codegen) — candidates only prune,
+    so the operator is EXACT and both paths return bit-identical values.
 
     Weighted complement of ppjoin_token_jaccard (reference semantics:
     content-similarity joins in /root/reference/src/similarity.py scope;
@@ -191,6 +351,10 @@ def tfidf_cosine_join(
     from pyspark.sql import Window
 
     v = _tfidf_postings(docs, id_col, text_col).localCheckpoint(eager=True)
+    vocab = v.select("token").distinct().count()
+    if vocab <= dense_vocab_max:
+        cand = _dense_cosine_candidates(v, threshold, dim=vocab)
+        return _verify_cosine_pairs(v, cand, threshold)
     # reverse-inclusive sum of squares: a feature is in the prefix while the
     # norm mass from it to the end is >= t^2 (1e-9 slack only ever LENGTHENS
     # the prefix, keeping the filter complete under FP rounding)
@@ -212,31 +376,7 @@ def tfidf_cosine_join(
         )
         .distinct()
     )
-    # verification over PACKED vectors: one row per candidate pair, the
-    # dot product computed in-row by codegen over token-sorted entries
-    # (deterministic sum order) with map lookups into the partner —
-    # joining exploded postings instead multiplies the candidate frame by
-    # tokens-per-doc (10.7M pairs -> ~150M rows at sf0.1) before the
-    # aggregate; this shape cut the sf0.1 verification ~4x
-    packed = v.groupBy("id").agg(
-        F.array_sort(F.collect_list(F.struct("token", "wn"))).alias("__e")
-    )
-    lv = packed.select(F.col("id").alias("left_id"), F.col("__e").alias("__el"))
-    rv = packed.select(
-        F.col("id").alias("right_id"), F.map_from_entries("__e").alias("__mr")
-    )
-    dot = F.aggregate(
-        F.col("__el"),
-        F.lit(0.0),
-        lambda acc, e: acc
-        + F.coalesce(F.element_at(F.col("__mr"), e["token"]), F.lit(0.0)) * e["wn"],
-    )
-    return (
-        cand.join(lv.hint("shuffle_hash"), "left_id")
-        .join(rv.hint("shuffle_hash"), "right_id")
-        .select("left_id", "right_id", F.round(dot, 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+    return _verify_cosine_pairs(v, cand, threshold)
 
 
 def tfidf_cosine_candidate_count(
