@@ -290,6 +290,33 @@ def rollup_lineitem_revenue(spark, sf_dir):
     )
 
 
+# --- OLAP cube (all grouping-set combinations) ------------------------------
+@query(
+    "cube_lineitem_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_revenue(spark, sf_dir):
+    """CUBE companion to the rollup query: every grouping-set combination
+    (both keys, each key alone, grand total) in ONE pass — Catalyst expands
+    the cube into a single Expand + hash-aggregate, so the plan reads the
+    fact table once regardless of the number of grouping sets (the same
+    property the oracle's GROUP BY CUBE has)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 # --- pivot (wide aggregation with a fixed category list) -------------------
 @query(
     "pivot_event_type_counts",

@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "f_jw_levenshtein",
     "stream_interval_join",
     # new in round 3 (later session)
+    "cube_lineitem_revenue",
     "corrclust_pivot_ngram",
     "dbscan_embeddings",
     "bm25_search_topk",
