@@ -507,17 +507,27 @@ def soft_tfidf_score(
     rp = v.select(
         F.col("id").alias(right_col), F.col("token").alias("__tr"), F.col("wn").alias("__wr")
     )
-    tok_raw = (
-        pairs.select(left_col, right_col)
-        .join(lp.hint("shuffle_hash"), left_col)
-        .join(rp.hint("shuffle_hash"), right_col)
-    )
     jw_tab = _vocab_jw_table(v.select("token").distinct(), _jw, theta)
     if jw_tab is not None:
-        tok_pairs = tok_raw.join(F.broadcast(jw_tab), ["__tl", "__tr"])
+        # join ORDER matters: expanding the left postings by their
+        # theta-matching partner tokens BEFORE touching the right postings
+        # keeps the intermediate at |pairs| x tokens x matches-per-token
+        # (~1.05x after theta) instead of |pairs| x tokens² — the right
+        # join then runs on the composite (right_id, __tr) key and only
+        # token-compatible rows ever materialize
+        tok_pairs = (
+            pairs.select(left_col, right_col)
+            .join(lp.hint("shuffle_hash"), left_col)
+            .join(F.broadcast(jw_tab), "__tl")
+            .join(rp.hint("shuffle_hash"), [right_col, "__tr"])
+        )
     else:
-        tok_pairs = tok_raw.withColumn("__jw", _jw(F.col("__tl"), F.col("__tr"))).where(
-            F.col("__jw") >= theta
+        tok_pairs = (
+            pairs.select(left_col, right_col)
+            .join(lp.hint("shuffle_hash"), left_col)
+            .join(rp.hint("shuffle_hash"), right_col)
+            .withColumn("__jw", _jw(F.col("__tl"), F.col("__tr")))
+            .where(F.col("__jw") >= theta)
         )
     w_l = Window.partitionBy(left_col, right_col, "__tl").orderBy(
         F.col("__jw").desc(), F.col("__tr")
