@@ -56,12 +56,10 @@ from .contract import (  # noqa: E402,F401
 # ROTATION STRATEGY (for the next round): once CORRECTNESS_r03 lands,
 # move every query that received a green r3 row BELOW the ones that
 # didn't — the window rotates each round until every registered query has
-# at least one driver-green row on record. Queries past the window today:
-# everything after position ~50 (the classic-ER suite added late in r3:
-# snm/metablocking/survivorship/ppjoin/fs_em_linkage_tf/
-# fs_linkage_clusters/dedup_containment/token_entropy_stats, plus the
-# earlier chunk/quantize/semantic-dedup/leakage/dsir block and the
-# re-verification tail).
+# at least one driver-green row on record. 168 registered / ~50-query
+# window: everything after position ~50 waits for a later rotation; the
+# 46 names not listed here at all are r1/r2-driver-green and deliberately
+# land at the tail in registration order.
 _DRIVER_PRIORITY = [
     # never received a driver CORRECTNESS row (round 1-2 window overflow)
     "doc_repetition_stats",
