@@ -1,0 +1,258 @@
+"""Driver-contract batch: warehouse-maintenance + graph/mining operators
+added in the round-3 closing sessions. Every query carries a full DuckDB
+value-hash oracle.
+
+Covers: CDC changelog application / MERGE semantics (operators/cdc.py),
+incremental view maintenance for distributive aggregates
+(operators/ivm.py), last-touch conversion attribution
+(operators/funnel.py), synchronous label-propagation communities
+(operators/graphmetrics.py), and margin-based bitext-style pair mining
+over two embedding collections (operators/bitext.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..queries import _t, query
+from .dedup_ops import _NGRAM_PAIR_CTES
+
+
+# --- CDC changelog apply (MERGE INTO semantics) ----------------------------
+# Base snapshot = each user's first event; changelog = every later event,
+# 'error' rows as delete tombstones, everything else as upserts, ordered
+# by (ts, event_id). The maintained snapshot must equal a sequential
+# MERGE replay — which the oracle states directly with window functions.
+@query(
+    "cdc_apply_user_state",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    base AS (SELECT user_id, event_type, value FROM r WHERE rn = 1),
+    chg AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type, value
+      FROM r WHERE rn > 1),
+    last AS (
+      SELECT user_id, op, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn2
+        FROM chg) WHERE rn2 = 1)
+    SELECT b.user_id, b.event_type, round(b.value, 6) AS value
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.user_id = b.user_id)
+    UNION ALL
+    SELECT user_id, event_type, round(value, 6) AS value
+    FROM last WHERE op <> 'D'
+    """,
+)
+def cdc_apply_user_state(spark, sf_dir):
+    """Fold a CDC changelog into a base snapshot (operators/cdc.py
+    apply_changelog): last change per key wins, delete ops tombstone the
+    key, untouched keys pass through — the Iceberg MERGE INTO shape with
+    the base never shuffled (delta-sized hash agg + anti join)."""
+    from ..operators.cdc import apply_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("__rn", F.row_number().over(w))
+    base = r.filter("__rn = 1").select("user_id", "event_type", "value")
+    chg = r.filter("__rn > 1").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    out = apply_changelog(base, chg, ["user_id"], ["ts", "event_id"], op_col="op")
+    return out.select("user_id", "event_type", F.round("value", 6).alias("value"))
+
+
+# --- incremental view maintenance ------------------------------------------
+# Base facts = events with event_id % 5 != 0; the delta INSERTS the
+# remaining fifth and RETRACTS the base's error rows. The maintained
+# per-type (count, decimal sum) view must equal a from-scratch recompute
+# over the post-delta fact set — exactly, because the sums run in decimal
+# (addition associative), which is the point of the operator's contract.
+@query(
+    "ivm_event_type_totals",
+    """
+    WITH kept AS (
+      SELECT event_type, CAST(value AS DECIMAL(28,6)) AS v
+      FROM events
+      WHERE event_id % 5 = 0
+         OR event_type IS DISTINCT FROM 'error')
+    SELECT event_type, count(*) AS n_rows,
+           round(CAST(sum(v) AS DOUBLE), 6) AS total_value
+    FROM kept GROUP BY 1
+    """,
+)
+def ivm_event_type_totals(spark, sf_dir):
+    """Delta-maintained distributive aggregate (operators/ivm.py): two
+    delta-sized hash aggs + a group-domain merge reproduce the full
+    recompute bit-for-bit (decimal sums), with the base facts never
+    rescanned."""
+    from ..operators.ivm import aggregate_partials, maintain_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(28,6)").alias("v")
+    )
+    base_facts = ev.filter(F.col("event_id") % 5 != 0)
+    inserts = ev.filter(F.col("event_id") % 5 == 0)
+    deletes = base_facts.filter(F.col("event_type") == "error")
+    base_partials = aggregate_partials(base_facts, ["event_type"], ["v"])
+    out = maintain_aggregate(base_partials, inserts, deletes, ["event_type"], ["v"])
+    return out.select(
+        "event_type",
+        F.col("__cnt").alias("n_rows"),
+        F.round(F.col("sum_v").cast("double"), 6).alias("total_value"),
+    )
+
+
+# --- last-touch attribution -------------------------------------------------
+@query(
+    "attribution_last_touch",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN {'t_ts': ts, 't_id': event_id, 't_type': event_type}
+               END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+      FROM events),
+    c AS (
+      SELECT event_id AS conversion_id, user_id, ts, t,
+             (epoch_us(ts) - epoch_us(t.t_ts)) / 1000000.0 AS lag
+      FROM w WHERE event_type = 'purchase')
+    SELECT conversion_id, user_id, ts,
+           CASE WHEN t IS NOT NULL AND lag <= 86400.0 THEN t.t_id END
+             AS attributed_event_id,
+           CASE WHEN t IS NOT NULL AND lag <= 86400.0 THEN t.t_type
+                ELSE 'direct' END AS attributed_type,
+           CASE WHEN t IS NOT NULL AND lag <= 86400.0 THEN round(lag, 6) END
+             AS lag_seconds
+    FROM c
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution with a 1-day lookback (operators/funnel.py
+    attribute_conversions): one per-user carry-forward window pass — no
+    self-join — credits each purchase to the latest preceding view/click
+    or to 'direct'."""
+    from ..operators.funnel import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        conversion_type="purchase",
+        touch_types=("view", "click"),
+        window_seconds=86400.0,
+    )
+
+
+# --- label-propagation communities ------------------------------------------
+def _lpa_sql(iters: int = 5) -> str:
+    """Unrolled DuckDB replica of graphmetrics.label_propagation over the
+    0.2 trigram-jaccard graph: per round, a neighbor-label census and the
+    (max count, min label) arg-max."""
+    parts = [
+        """e0 AS (SELECT l AS a, r AS b FROM p
+                 WHERE c * 1.0 / (ln + rn - c) >= 0.2),
+    e1 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    l0 AS (SELECT DISTINCT a AS id, a AS lab FROM e1)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+      SELECT e1.b AS id, l{i - 1}.lab AS lab, count(*) AS cnt
+      FROM e1 JOIN l{i - 1} ON l{i - 1}.id = e1.a
+      GROUP BY 1, 2),
+    l{i} AS (
+      SELECT id, min(lab) AS lab FROM (
+        SELECT id, lab, cnt, max(cnt) OVER (PARTITION BY id) AS mc
+        FROM c{i})
+      WHERE cnt = mc GROUP BY 1)""")
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {_NGRAM_PAIR_CTES}, {body}\n"
+        f"    SELECT id, lab AS community FROM l{iters}"
+    )
+
+
+@query("lpa_communities_ngram", _lpa_sql(5))
+def lpa_communities_ngram(spark, sf_dir):
+    """5-round synchronous label propagation (min-tiebreak) over the
+    trigram-jaccard similarity graph (operators/graphmetrics.py
+    label_propagation) — the density-driven community view that
+    diagnoses over-merged CC entity clusters; the oracle unrolls every
+    round as census + arg-max CTE pairs."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graphmetrics import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.2, max_doc_freq=1_000_000_000
+    )
+    return label_propagation(edges, iterations=5)
+
+
+# --- margin-based bitext-style pair mining ----------------------------------
+# Left = even vec_ids, right = odd; k = 4, ratio margin, mutual argmax.
+# The oracle replays the full definition: per-side top-4 by raw cosine,
+# round-6 cosines into the margin, argmax by (margin desc, partner asc),
+# mutual join, threshold 1.0.
+@query(
+    "bitext_margin_pairs",
+    """
+    WITH a AS (SELECT vec_id AS x, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS y, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id % 2 = 1),
+    s AS (SELECT x, y, list_cosine_similarity(a.e, b.e) AS cr,
+                 round(list_cosine_similarity(a.e, b.e), 6) AS c
+          FROM a CROSS JOIN b),
+    rab AS (SELECT x, y, c,
+                   row_number() OVER (PARTITION BY x ORDER BY cr DESC, y) AS r
+            FROM s),
+    rba AS (SELECT x, y, c,
+                   row_number() OVER (PARTITION BY y ORDER BY cr DESC, x) AS r
+            FROM s),
+    ka AS (SELECT x, avg(c) AS ax FROM rab WHERE r <= 4 GROUP BY 1),
+    kb AS (SELECT y, avg(c) AS ay FROM rba WHERE r <= 4 GROUP BY 1),
+    mab AS (SELECT rab.x, rab.y, rab.c / ((ka.ax + kb.ay) / 2) AS m
+            FROM rab JOIN ka USING (x) JOIN kb USING (y) WHERE rab.r <= 4),
+    mba AS (SELECT rba.x, rba.y, rba.c / ((ka.ax + kb.ay) / 2) AS m
+            FROM rba JOIN ka USING (x) JOIN kb USING (y) WHERE rba.r <= 4),
+    bx AS (SELECT x, y, m FROM (
+             SELECT *, row_number() OVER (PARTITION BY x
+                                          ORDER BY m DESC, y) AS r
+             FROM mab) WHERE r = 1),
+    byy AS (SELECT x, y FROM (
+             SELECT *, row_number() OVER (PARTITION BY y
+                                          ORDER BY m DESC, x) AS r
+             FROM mba) WHERE r = 1)
+    SELECT bx.x AS left_id, bx.y AS right_id, round(bx.m, 6) AS margin
+    FROM bx JOIN byy ON bx.x = byy.x AND bx.y = byy.y
+    WHERE bx.m >= 1.0
+    """,
+)
+def bitext_margin_pairs(spark, sf_dir):
+    """Ratio-margin mutual-argmax pair mining (Artetxe & Schwenk 2019)
+    between the even- and odd-id halves of the embedding table
+    (operators/bitext.py margin_mine, k=4, threshold 1.0) — both kNN
+    sweeps run the distributed bucket-matmul knn_join."""
+    from ..operators.bitext import margin_mine
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    right = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    return margin_mine(left, right, k=4, threshold=1.0)

@@ -170,3 +170,67 @@ def markov_transitions(
         "n",
         F.round(F.col("n") / F.col("__t"), 6).alias("prob"),
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    window_seconds: float = 86400.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch marketing attribution: credit each conversion event to
+    the user's most recent preceding touch event within the lookback
+    window, or to ``'direct'`` when no touch qualifies.
+
+    Returns one row per conversion: (conversion_id, user_col, ts,
+    attributed_event_id, attributed_type, lag_seconds). ``lag_seconds``
+    and ``attributed_event_id`` are NULL for direct conversions.
+
+    Plan shape: a single per-user window pass — ``last(struct, ignore
+    nulls)`` over rows preceding the current one — exactly the struct
+    carry-forward used by operators/asof.py, so no self-join and no
+    per-conversion scan. The lookback filter is applied AFTER the
+    carry-forward, which is equivalent: the last preceding touch overall
+    is the last preceding touch within the window whenever any touch is
+    within the window. One sort per user partition; for pathological
+    hot users apply the sessions.py segmented-scan treatment first.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(
+            F.col(ts_col).alias("t_ts"),
+            F.col(id_col).alias("t_id"),
+            F.col(type_col).alias("t_type"),
+        ),
+    )
+    # exact integer microsecond difference, divided once — bit-identical
+    # to (epoch_us(a) - epoch_us(b)) / 1e6 on any engine (a double-cast
+    # difference would round each epoch separately and drift ~1e-6 s);
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike
+    lag = F.timestamp_diff(
+        "MICROSECOND", F.col("__t.t_ts"), F.col(ts_col)
+    ) / F.lit(1000000.0)
+    qualified = F.col("__t").isNotNull() & (lag <= F.lit(float(window_seconds)))
+    return (
+        events.withColumn("__t", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col),
+            F.col(ts_col),
+            F.when(qualified, F.col("__t.t_id")).alias("attributed_event_id"),
+            F.when(qualified, F.col("__t.t_type"))
+            .otherwise(F.lit("direct"))
+            .alias("attributed_type"),
+            F.when(qualified, F.round(lag, 6)).alias("lag_seconds"),
+        )
+    )

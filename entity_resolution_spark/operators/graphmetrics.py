@@ -311,3 +311,64 @@ def bfs_distance(
         settled = settled.unionAll(discovered).localCheckpoint(eager=True)
         frontier = discovered
     return settled
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, deterministic variant) -> (id, community) after a FIXED number
+    of rounds.
+
+    Every node starts labeled with its own id; each round it adopts the
+    most frequent label among its neighbors, ties broken by the SMALLEST
+    label — the synchronous min-tiebreak schedule, fully deterministic
+    (the paper's random asynchronous order is not reproducible across
+    cluster runs). On a similarity graph this yields coarser,
+    density-driven groupings than connected components: bridges of one
+    edge don't merge two dense communities the way CC's transitive
+    closure does, which is the standard diagnostic for over-merged
+    entity clusters.
+
+    Scale shape: same as pagerank — the directed edge list is built once
+    and persisted; each round is one shuffle-hash join (edge -> label),
+    one (node,label) count aggregate, and one per-node arg-max aggregate
+    (max over struct(count, -label) — a hash agg with map-side partials,
+    no window sort), with localCheckpoint per round keeping lineage flat.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = directed.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    for _ in range(iterations):
+        counts = (
+            directed.join(
+                labels.withColumnRenamed("id", "a").hint("shuffle_hash"), "a"
+            )
+            .groupBy(F.col("b").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # arg-max by (count desc, label asc): labels are node ids (>= 0),
+        # so max(struct(count, -label)) picks the unique winner
+        labels = (
+            counts.groupBy("id")
+            .agg(F.max(F.struct(F.col("__c"), (-F.col("lab")).alias("__nl"))).alias("__m"))
+            .select("id", (-F.col("__m.__nl")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lab").alias("community"))

@@ -1,0 +1,248 @@
+"""Operator-level tests for the warehouse-maintenance + mining batch:
+CDC changelog apply, incremental view maintenance, last-touch
+attribution, label-propagation communities, margin-based pair mining.
+(The full-query DuckDB oracles run in test_queries_oracle.py; these pin
+the operator semantics on hand-built fixtures.)
+"""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestApplyChangelog:
+    def _run(self, spark, changelog_rows):
+        from entity_resolution_spark.operators.cdc import apply_changelog
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, state string, v double",
+        )
+        chg = spark.createDataFrame(
+            changelog_rows, "k long, seq long, op string, state string, v double"
+        )
+        out = apply_changelog(base, chg, ["k"], ["seq"], op_col="op")
+        return {r["k"]: (r["state"], r["v"]) for r in out.collect()}
+
+    def test_last_change_wins_and_deletes_tombstone(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, 1, "U", "a1", 11.0),
+                (1, 2, "U", "a2", 12.0),  # last for k=1 -> wins
+                (2, 5, "U", "b1", 21.0),
+                (2, 6, "D", None, None),  # delete k=2
+                (4, 1, "U", "d", 40.0),  # insert new key
+            ],
+        )
+        assert got == {1: ("a2", 12.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_delete_then_reinsert_keeps_key(self, spark):
+        got = self._run(spark, [(3, 1, "D", None, None), (3, 2, "U", "c2", 31.0)])
+        assert got[3] == ("c2", 31.0)
+
+    def test_empty_changelog_is_identity(self, spark):
+        got = self._run(spark, [])
+        assert got == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+    def test_matches_sequential_replay(self, spark):
+        """Random-ish changelog == a Python dict replay in seq order."""
+        from entity_resolution_spark.operators.cdc import apply_changelog
+
+        rows = []
+        for i in range(200):
+            k = i % 7
+            op = "D" if i % 11 == 0 else "U"
+            rows.append((k, i, op, f"s{i}", float(i)))
+        base = spark.createDataFrame(
+            [(k, "base", -1.0) for k in range(5)], "k long, state string, v double"
+        )
+        chg = spark.createDataFrame(rows, "k long, seq long, op string, state string, v double")
+        got = {
+            r["k"]: (r["state"], r["v"])
+            for r in apply_changelog(base, chg, ["k"], ["seq"], op_col="op").collect()
+        }
+        state = {k: ("base", -1.0) for k in range(5)}
+        for k, seq, op, s, v in sorted(rows, key=lambda r: r[1]):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (s, v)
+        assert got == state
+
+    def test_missing_payload_column_raises(self, spark):
+        from entity_resolution_spark.operators.cdc import apply_changelog
+
+        base = spark.createDataFrame([(1, "a")], "k long, state string")
+        chg = spark.createDataFrame([(1, 1, "U")], "k long, seq long, op string")
+        with pytest.raises(ValueError, match="missing base payload"):
+            apply_changelog(base, chg, ["k"], ["seq"], op_col="op")
+
+
+class TestIncrementalViewMaintenance:
+    def test_maintained_equals_recompute(self, spark):
+        from entity_resolution_spark.operators.ivm import (
+            aggregate_partials,
+            maintain_aggregate,
+        )
+
+        facts = spark.createDataFrame(
+            [(i, "g%d" % (i % 3), i * 1.5) for i in range(60)],
+            "id long, g string, v double",
+        ).select("id", "g", F.col("v").cast("decimal(18,6)").alias("v"))
+        base = facts.filter("id < 40")
+        inserts = facts.filter("id >= 40")
+        deletes = base.filter("id % 4 = 0")
+
+        base_p = aggregate_partials(base, ["g"], ["v"])
+        got = maintain_aggregate(base_p, inserts, deletes, ["g"], ["v"])
+        want = (
+            facts.filter("id >= 40 OR id % 4 <> 0")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("v").alias("sum_v"))
+        )
+        g = {r["g"]: (r["__cnt"], r["sum_v"]) for r in got.collect()}
+        w = {r["g"]: (r["__cnt"], r["sum_v"]) for r in want.collect()}
+        assert g == w
+
+    def test_fully_retracted_group_disappears(self, spark):
+        from entity_resolution_spark.operators.ivm import (
+            aggregate_partials,
+            maintain_aggregate,
+        )
+
+        base = spark.createDataFrame([(1, "only", 5)], "id long, g string, v long")
+        empty = base.filter("id < 0")
+        got = maintain_aggregate(
+            aggregate_partials(base, ["g"], ["v"]), empty, base, ["g"], ["v"]
+        )
+        assert got.count() == 0
+
+
+class TestAttribution:
+    def _events(self, spark):
+        rows = [
+            # user 1: view -> purchase 10 min later (attributed to view)
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+            (2, _ts("2024-01-01 10:10:00"), 1, "purchase", 9.0),
+            # then a click, then a purchase 2h later with window 1h -> direct
+            (3, _ts("2024-01-01 11:00:00"), 1, "click", 0.0),
+            (4, _ts("2024-01-01 13:00:01"), 1, "purchase", 5.0),
+            # user 2: purchase with no preceding touch -> direct
+            (5, _ts("2024-01-01 09:00:00"), 2, "purchase", 1.0),
+            # user 2: click then purchase at EXACTLY the window bound -> attributed
+            (6, _ts("2024-01-01 12:00:00"), 2, "click", 0.0),
+            (7, _ts("2024-01-01 13:00:00"), 2, "purchase", 2.0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+    def test_last_touch_window_and_direct(self, spark):
+        from entity_resolution_spark.operators.funnel import attribute_conversions
+
+        out = attribute_conversions(
+            self._events(spark),
+            conversion_type="purchase",
+            touch_types=("view", "click"),
+            window_seconds=3600.0,
+        )
+        got = {
+            r["conversion_id"]: (r["attributed_type"], r["attributed_event_id"], r["lag_seconds"])
+            for r in out.collect()
+        }
+        assert got[2] == ("view", 1, 600.0)
+        assert got[4] == ("direct", None, None)  # click was 2h 1s before
+        assert got[5] == ("direct", None, None)  # no touch at all
+        assert got[7] == ("click", 6, 3600.0)  # inclusive bound
+
+    def test_touch_must_strictly_precede(self, spark):
+        from entity_resolution_spark.operators.funnel import attribute_conversions
+
+        ev = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+                (2, _ts("2024-01-01 10:00:00"), 1, "purchase", 1.0),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        out = attribute_conversions(ev, window_seconds=10.0)
+        row = out.collect()[0]
+        # same-timestamp touch with a SMALLER event_id precedes in the
+        # (ts, event_id) order -> attributed with lag 0
+        assert row["attributed_type"] == "click"
+        assert row["lag_seconds"] == 0.0
+
+
+class TestLabelPropagation:
+    def test_two_triangles_with_bridge_stay_separate(self, spark):
+        """CC would merge the bridged triangles into one component; LPA
+        keeps two density communities — the over-merge diagnostic."""
+        from entity_resolution_spark.operators.graphmetrics import label_propagation
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            "left_id long, right_id long",
+        )
+        out = label_propagation(edges, iterations=5)
+        comm = {r["id"]: r["community"] for r in out.collect()}
+        assert comm[1] == comm[2] == comm[3]
+        assert comm[4] == comm[5] == comm[6]
+        assert comm[1] != comm[4]
+
+    def test_deterministic_across_runs(self, spark):
+        from entity_resolution_spark.operators.graphmetrics import label_propagation
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7 + 3) % 20) for i in range(40)], "left_id long, right_id long"
+        )
+        a = sorted(map(tuple, label_propagation(edges, iterations=4).collect()))
+        b = sorted(map(tuple, label_propagation(edges, iterations=4).collect()))
+        assert a == b
+
+    def test_iterations_validation(self, spark):
+        from entity_resolution_spark.operators.graphmetrics import label_propagation
+
+        edges = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+        with pytest.raises(ValueError):
+            label_propagation(edges, iterations=0)
+
+
+class TestMarginMine:
+    def test_planted_pairs_are_mutual_and_unique(self, spark):
+        """Right vectors are noisy copies of left vectors: each planted
+        pair must be mined, and the output must be one-to-one."""
+        import numpy as np
+
+        from entity_resolution_spark.operators.bitext import margin_mine
+
+        rng = np.random.RandomState(7)
+        L = rng.randn(12, 16)
+        R = L + 0.05 * rng.randn(12, 16)  # right id i <-> left id i
+        left = spark.createDataFrame(
+            [(i, [float(x) for x in L[i]]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )
+        right = spark.createDataFrame(
+            [(100 + i, [float(x) for x in R[i]]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )
+        out = margin_mine(left, right, k=3, threshold=1.0).collect()
+        pairs = {(r["left_id"], r["right_id"]) for r in out}
+        assert pairs == {(i, 100 + i) for i in range(12)}
+        assert all(r["margin"] >= 1.0 for r in out)
+
+    def test_k_validation(self, spark):
+        from entity_resolution_spark.operators.bitext import margin_mine
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            margin_mine(emb, emb, k=0)
