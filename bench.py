@@ -217,6 +217,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "resample_user_events_daily",
         "markov_event_transitions",
         "cohort_retention_weekly",
+        # warehouse-maintenance + mining batch: CDC merge, IVM, last-touch
+        # attribution, LPA communities, margin pair mining
+        "cdc_apply_user_state",
+        "ivm_event_type_totals",
+        "attribution_last_touch",
+        "lpa_communities_ngram",
+        "bitext_margin_pairs",
+        "mad_outliers_orders",
+        "mixture_temperature_report",
     ]:
         if name not in SPARK_QUERIES:
             continue

@@ -6,8 +6,10 @@ Covers: CDC changelog application / MERGE semantics (operators/cdc.py),
 incremental view maintenance for distributive aggregates
 (operators/ivm.py), last-touch conversion attribution
 (operators/funnel.py), synchronous label-propagation communities
-(operators/graphmetrics.py), and margin-based bitext-style pair mining
-over two embedding collections (operators/bitext.py).
+(operators/graphmetrics.py), margin-based bitext-style pair mining
+over two embedding collections (operators/bitext.py), modified-z-score
+MAD outliers (operators/stats.py), and temperature-scaled source
+mixture weights (operators/sampling.py).
 """
 
 from __future__ import annotations
@@ -256,3 +258,65 @@ def bitext_margin_pairs(spark, sf_dir):
     left = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
     right = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
     return margin_mine(left, right, k=4, threshold=1.0)
+
+
+# --- modified-z-score (MAD) outliers -----------------------------------------
+@query(
+    "mad_outliers_orders",
+    """
+    WITH m AS (SELECT o_orderpriority AS g, median(o_totalprice) AS med
+               FROM orders GROUP BY 1),
+    d AS (SELECT o.o_orderkey, o.o_orderpriority AS g, o.o_totalprice AS v,
+                 m.med
+          FROM orders o JOIN m ON m.g = o.o_orderpriority),
+    md AS (SELECT g, median(abs(v - med)) AS mad FROM d GROUP BY 1)
+    SELECT d.o_orderkey, d.g AS o_orderpriority, d.v AS o_totalprice,
+           round(d.med, 6) AS med, round(md.mad, 6) AS mad,
+           CASE WHEN md.mad > 0 AND d.v IS NOT NULL
+                THEN round(0.6745 * (d.v - d.med) / md.mad, 6) END AS robust_z,
+           coalesce(md.mad > 0 AND d.v IS NOT NULL
+                    AND abs(0.6745 * (d.v - d.med) / md.mad) > 3.5,
+                    FALSE) AS is_outlier
+    FROM d JOIN md ON md.g = d.g
+    """,
+)
+def mad_outliers_orders(spark, sf_dir):
+    """Modified-z-score outliers over order totals per priority class
+    (operators/stats.py mad_outliers) — exact medians, robust to the
+    outliers themselves; the MAD companion to iqr_outlier_orders."""
+    from ..operators.stats import mad_outliers
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return mad_outliers(
+        orders, "o_totalprice", group_cols=["o_orderpriority"], threshold=3.5
+    )
+
+
+# --- temperature-scaled mixture weights --------------------------------------
+@query(
+    "mixture_temperature_report",
+    """
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(n) AS tot, sum(pow(n, 0.7)) AS z FROM s)
+    SELECT source, n AS n_tokens,
+           round(n / tot, 6) AS natural_frac,
+           round(pow(n, 0.7) / z, 6) AS weight,
+           round(pow(n, 0.7) / z * 1000000.0, 6) AS expected_tokens,
+           round(pow(n, 0.7) / z * 1000000.0 / n, 6) AS epochs
+    FROM s CROSS JOIN t
+    """,
+)
+def mixture_temperature_report(spark, sf_dir):
+    """Temperature-0.7 mixture weights over document sources sized by
+    character mass (operators/sampling.py mixture_weights) — the
+    GPT-3/PaLM sampling-rate rule with per-source expected tokens and
+    implied epochs under a 1M-token budget."""
+    from ..operators.sampling import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_weights(
+        docs, "n_chars", source_col="source", alpha=0.7, token_budget=1_000_000.0
+    )

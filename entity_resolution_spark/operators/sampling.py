@@ -691,3 +691,43 @@ def balanced_shards(
         shard.cast("int").alias("shard"),
         cycle.cast("int").alias("pos"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    size_col: str,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    token_budget: float = 1_000_000.0,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over corpus sources — the
+    GPT-3/PaLM data-mixing rule: source i is sampled with weight
+    n_i^alpha / sum_j n_j^alpha, which upweights small high-quality
+    sources relative to their natural (alpha = 1) share.
+
+    Returns one row per source: (source_col, n_tokens, natural_frac,
+    weight, expected_tokens = weight * token_budget, epochs =
+    expected_tokens / n_tokens — the repetition count the budget implies,
+    the signal for the "don't repeat data too often" check). All round-6.
+
+    Plan shape: one exact integer-sum census per source + a 1-row global
+    frame joined back broadcast; nothing corpus-sized moves again.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    sizes = docs.groupBy(source_col).agg(
+        F.sum(size_col).cast("double").alias("__n")
+    )
+    totals = sizes.agg(
+        F.sum("__n").alias("__tot"),
+        F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__z"),
+    )
+    w = F.pow("__n", F.lit(float(alpha))) / F.col("__z")
+    return sizes.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        F.col("__n").alias("n_tokens"),
+        F.round(F.col("__n") / F.col("__tot"), 6).alias("natural_frac"),
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.lit(float(token_budget)), 6).alias("expected_tokens"),
+        F.round(w * F.lit(float(token_budget)) / F.col("__n"), 6).alias("epochs"),
+    )

@@ -696,3 +696,54 @@ def weighted_median(
             F.round("__v", 6).alias("weighted_median"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Modified-z-score outliers (Iglewicz & Hoaglin 1993): flag rows with
+    |0.6745 * (x - median) / MAD| > threshold inside their group, where
+    MAD = median(|x - median|) — the robust companion to iqr_outliers
+    with a tunable strength scale instead of fixed fences.
+
+    Returns the input columns plus (med, mad, robust_z round-6,
+    is_outlier). Medians are EXACT (F.median, the same sort-based
+    interpolating aggregate the exact-quantiles contract row pins against
+    DuckDB). Degenerate groups (MAD = 0: over half the values identical)
+    and NULL values get robust_z = NULL and are never flagged.
+
+    Plan shape: two group-sized aggregate frames joined back broadcast —
+    the corpus is scanned twice, never windowed or pair-joined.
+    """
+    gc = list(group_cols or [])
+    med = (
+        df.groupBy(*gc).agg(F.median(value_col).alias("__med"))
+        if gc
+        else df.agg(F.median(value_col).alias("__med"))
+    )
+    with_med = df.join(F.broadcast(med), gc) if gc else df.crossJoin(F.broadcast(med))
+    dev = with_med.select(
+        *gc, F.abs(F.col(value_col) - F.col("__med")).alias("__dev")
+    )
+    mad = (
+        dev.groupBy(*gc).agg(F.median("__dev").alias("__mad"))
+        if gc
+        else dev.agg(F.median("__dev").alias("__mad"))
+    )
+    joined = (
+        with_med.join(F.broadcast(mad), gc) if gc else with_med.crossJoin(F.broadcast(mad))
+    )
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    valid = F.col(value_col).isNotNull() & (F.col("__mad") > 0)
+    return joined.select(
+        *df.columns,
+        F.round("__med", 6).alias("med"),
+        F.round("__mad", 6).alias("mad"),
+        F.when(valid, F.round(z, 6)).alias("robust_z"),
+        F.when(valid & (F.abs(z) > F.lit(threshold)), True)
+        .otherwise(False)
+        .alias("is_outlier"),
+    )

@@ -246,3 +246,68 @@ class TestMarginMine:
         )
         with pytest.raises(ValueError):
             margin_mine(emb, emb, k=0)
+
+
+class TestMadOutliers:
+    def test_flags_planted_outlier_and_not_bulk(self, spark):
+        from entity_resolution_spark.operators.stats import mad_outliers
+
+        rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = {r["id"]: (r["is_outlier"], r["robust_z"]) for r in
+               mad_outliers(df, "v", ["g"]).collect()}
+        assert out[5][0] is True and out[5][1] > 3.5
+        assert all(not out[i][0] for i in range(5))
+
+    def test_degenerate_group_mad_zero_flags_nothing(self, spark):
+        from entity_resolution_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [(i, "g", 5.0) for i in range(4)] + [(9, "g", 9e9)],
+            "id long, g string, v double",
+        )
+        out = mad_outliers(df, "v", ["g"]).collect()
+        # median 5, MAD 0 -> robust_z NULL everywhere, nothing flagged
+        assert all(r["robust_z"] is None and not r["is_outlier"] for r in out)
+
+    def test_null_values_never_flagged(self, spark):
+        from entity_resolution_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)], "id long, v double"
+        )
+        out = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "v").collect()}
+        assert out[4] is False
+
+
+class TestMixtureWeights:
+    def _docs(self, spark):
+        rows = [("a", 800), ("a", 200), ("b", 100), ("c", 10)]
+        return spark.createDataFrame(rows, "source string, n long")
+
+    def test_weights_normalize_and_order(self, spark):
+        from entity_resolution_spark.operators.sampling import mixture_weights
+
+        out = {r["source"]: r for r in
+               mixture_weights(self._docs(spark), "n", alpha=0.7,
+                               token_budget=1000.0).collect()}
+        assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+        # temperature < 1 upweights small sources vs their natural share
+        assert out["c"]["weight"] > out["c"]["natural_frac"]
+        assert out["a"]["weight"] < out["a"]["natural_frac"]
+        # epochs = expected / n
+        assert abs(out["b"]["epochs"] - out["b"]["expected_tokens"] / 100.0) < 1e-5
+
+    def test_alpha_one_is_natural(self, spark):
+        from entity_resolution_spark.operators.sampling import mixture_weights
+
+        out = mixture_weights(self._docs(spark), "n", alpha=1.0).collect()
+        assert all(abs(r["weight"] - r["natural_frac"]) < 1e-9 for r in out)
+
+    def test_alpha_validation(self, spark):
+        import pytest as _pt
+
+        from entity_resolution_spark.operators.sampling import mixture_weights
+
+        with _pt.raises(ValueError):
+            mixture_weights(self._docs(spark), "n", alpha=0.0)
