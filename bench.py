@@ -226,6 +226,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bitext_margin_pairs",
         "mad_outliers_orders",
         "mixture_temperature_report",
+        "smith_waterman_part_names",
     ]:
         if name not in SPARK_QUERIES:
             continue

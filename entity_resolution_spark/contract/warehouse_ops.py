@@ -8,8 +8,9 @@ incremental view maintenance for distributive aggregates
 (operators/funnel.py), synchronous label-propagation communities
 (operators/graphmetrics.py), margin-based bitext-style pair mining
 over two embedding collections (operators/bitext.py), modified-z-score
-MAD outliers (operators/stats.py), and temperature-scaled source
-mixture weights (operators/sampling.py).
+MAD outliers (operators/stats.py), temperature-scaled source mixture
+weights (operators/sampling.py), and Smith-Waterman local-alignment
+similarity (operators/setjoin.py + functions/alignment.py).
 """
 
 from __future__ import annotations
@@ -320,3 +321,72 @@ def mixture_temperature_report(spark, sf_dir):
     return mixture_weights(
         docs, "n_chars", source_col="source", alpha=0.7, token_budget=1_000_000.0
     )
+
+
+# --- Smith-Waterman local alignment ------------------------------------------
+# Integer scoring (match +2, mismatch -1, gap -1) makes the DP exactly
+# replayable: the oracle runs the same anti-diagonal recurrence as a
+# recursive CTE (the sql_kernels.py LCS-DP pattern), taking the max cell
+# over every diagonal.
+@query(
+    "smith_waterman_part_names",
+    """
+    WITH RECURSIVE
+    pr AS (SELECT a.p_partkey AS l, a.p_partkey + 1 AS rr,
+                  lower(trim(coalesce(a.p_name, ''))) AS sa,
+                  lower(trim(coalesce(b.p_name, ''))) AS sb
+           FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1),
+    sv AS (SELECT l, rr, length(sa) AS la, length(sb) AS lb,
+                  [sa[i] FOR i IN range(1, length(sa) + 1)] AS ca,
+                  [sb[i] FOR i IN range(1, length(sb) + 1)] AS cb
+           FROM pr WHERE length(sa) > 0 AND length(sb) > 0),
+    dp(l, rr, d, prev, cur) AS (
+      SELECT l, rr, 1,
+             [0 FOR p IN range(1, la + 1)],
+             [0 FOR p IN range(1, la + 1)]
+      FROM sv
+      UNION ALL
+      SELECT dp.l, dp.rr, dp.d + 1, dp.cur,
+             [ CASE WHEN dp.d + 1 - p < 1 OR dp.d + 1 - p > sv.lb THEN 0
+                    ELSE greatest(0,
+                         coalesce(dp.prev[p - 1], 0)
+                           + CASE WHEN sv.ca[p] = sv.cb[dp.d + 1 - p]
+                                  THEN 2 ELSE -1 END,
+                         coalesce(dp.cur[p - 1], 0) - 1,
+                         dp.cur[p] - 1)
+               END
+               FOR p IN range(1, sv.la + 1) ]
+      FROM dp JOIN sv ON sv.l = dp.l AND sv.rr = dp.rr
+      WHERE dp.d < sv.la + sv.lb
+    ),
+    bst AS (SELECT l, rr, max(coalesce(list_max(cur), 0)) AS best
+            FROM dp GROUP BY 1, 2)
+    SELECT pr.l AS left_id, pr.rr AS right_id,
+           CAST(coalesce(b.best, 0) AS BIGINT) AS sw_score,
+           CASE WHEN least(length(pr.sa), length(pr.sb)) > 0
+                THEN round(coalesce(b.best, 0)
+                           / (2.0 * least(length(pr.sa), length(pr.sb))), 6)
+                ELSE 0.0 END AS sw_sim
+    FROM pr LEFT JOIN bst b ON b.l = pr.l AND b.rr = pr.rr
+    """,
+)
+def smith_waterman_part_names(spark, sf_dir):
+    """Smith-Waterman local-alignment similarity over adjacent part-name
+    pairs (operators/setjoin.py smith_waterman_score; Smith & Waterman
+    1981) — the best-local-region companion to the engine's global
+    measures; the oracle replays the integer DP as an anti-diagonal
+    recursive CTE and takes the max over every diagonal."""
+    from ..operators.setjoin import smith_waterman_score
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    part = _t(spark, sf_dir, "part")
+    pairs = (
+        part.alias("a")
+        .join(part.alias("b"), F.col("b.p_partkey") == F.col("a.p_partkey") + 1)
+        .select(
+            F.col("a.p_partkey").alias("left_id"),
+            F.col("b.p_partkey").alias("right_id"),
+        )
+    )
+    return smith_waterman_score(part, pairs, id_col="p_partkey", text_col="p_name")

@@ -616,3 +616,68 @@ def monge_elkan_score(
         right_col,
         F.round((F.col("__s_lr") + F.col("__s_rl")) / 2.0, 6).alias("monge_elkan"),
     )
+
+
+def smith_waterman_score(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = 1,
+) -> DataFrame:
+    """Smith-Waterman local-alignment similarity over candidate pairs ->
+    (left_col, right_col, sw_score, sw_sim round-6), where sw_sim =
+    sw_score / (match * min(len_l, len_r)) — 1.0 when the shorter string
+    aligns perfectly inside the longer one, the property whole-string
+    ratios lack (functions/alignment.py; Smith & Waterman 1981).
+
+    Text is normalized lower(trim(...)) on the JVM side; the kernel runs
+    once per Arrow batch with anti-diagonal vectorization ACROSS the
+    batch, and the normalization divide happens back in JVM integer/
+    double arithmetic so the oracle replica is bit-equal. Plan shape:
+    two key joins to attach strings + one pandas UDF projection — the
+    pair volume is whatever blocking produced, never corpus x corpus.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _sw(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..functions.alignment import batch_smith_waterman
+
+        return pd.Series(batch_smith_waterman(a, b, match, mismatch, gap))
+
+    norm = lambda c: F.lower(F.trim(F.coalesce(c, F.lit(""))))  # noqa: E731
+    recs = records.select(F.col(id_col).alias("__id"), norm(F.col(text_col)).alias("__s"))
+    j = (
+        pairs.select(left_col, right_col)
+        .join(
+            recs.select(F.col("__id").alias(left_col), F.col("__s").alias("__sl")).hint(
+                "shuffle_hash"
+            ),
+            left_col,
+        )
+        .join(
+            recs.select(F.col("__id").alias(right_col), F.col("__s").alias("__sr")).hint(
+                "shuffle_hash"
+            ),
+            right_col,
+        )
+    )
+    min_len = F.least(F.length("__sl"), F.length("__sr"))
+    scored = j.withColumn("sw_score", _sw(F.col("__sl"), F.col("__sr")))
+    return scored.select(
+        left_col,
+        right_col,
+        "sw_score",
+        F.when(
+            min_len > 0,
+            F.round(F.col("sw_score") / (F.lit(float(match)) * min_len), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sw_sim"),
+    )

@@ -311,3 +311,59 @@ class TestMixtureWeights:
 
         with _pt.raises(ValueError):
             mixture_weights(self._docs(spark), "n", alpha=0.0)
+
+
+class TestSmithWaterman:
+    def test_known_values(self):
+        from entity_resolution_spark.functions.alignment import (
+            batch_smith_waterman,
+        )
+
+        got = batch_smith_waterman(
+            ["abc", "abc", "aaa", "abXc", "bc", "", "abc", None],
+            ["abc", "xbcx", "bbb", "abc", "abcd", "abc", "", "abc"],
+        )
+        #       perfect  local'bc' none  1gap  contained  empties...
+        assert list(got) == [6, 4, 0, 5, 4, 0, 0, 0]
+
+    def test_matches_reference_dp_on_random_strings(self):
+        import random
+
+        from entity_resolution_spark.functions.alignment import (
+            batch_smith_waterman,
+            sw_score_ref,
+        )
+
+        rng = random.Random(11)
+        alpha = "abcdé βx "
+        a = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 18))) for _ in range(120)]
+        b = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 18))) for _ in range(120)]
+        got = batch_smith_waterman(a, b)
+        want = [sw_score_ref(x, y) for x, y in zip(a, b)]
+        assert list(got) == want
+
+    def test_gap_validation(self):
+        import pytest as _pt
+
+        from entity_resolution_spark.functions.alignment import (
+            batch_smith_waterman,
+        )
+
+        with _pt.raises(ValueError):
+            batch_smith_waterman(["a"], ["a"], gap=-1)
+
+    def test_operator_substring_scores_one(self, spark):
+        from entity_resolution_spark.operators.setjoin import smith_waterman_score
+
+        recs = spark.createDataFrame(
+            [(1, "Deep Navy Lace"), (2, "navy"), (3, "steel rose")],
+            "id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "left_id long, right_id long"
+        )
+        out = {(r["left_id"], r["right_id"]): (r["sw_score"], r["sw_sim"]) for r in
+               smith_waterman_score(recs, pairs, id_col="id", text_col="text").collect()}
+        # 'navy' aligns perfectly inside 'deep navy lace' -> sim 1.0
+        assert out[(1, 2)] == (8, 1.0)
+        assert out[(1, 3)][1] < 1.0
