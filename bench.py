@@ -227,6 +227,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "mad_outliers_orders",
         "mixture_temperature_report",
         "smith_waterman_part_names",
+        "skipping_report_events",
     ]:
         if name not in SPARK_QUERIES:
             continue

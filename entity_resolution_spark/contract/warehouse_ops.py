@@ -390,3 +390,70 @@ def smith_waterman_part_names(spark, sf_dir):
         )
     )
     return smith_waterman_score(part, pairs, id_col="p_partkey", text_col="p_name")
+
+
+# --- min-max data-skipping effectiveness --------------------------------------
+# Two layouts of the same event rows into ~400-row files: insertion order
+# (file = event_id div 400) vs value-clustered (file = value-rank div
+# 400). The report shows what clustering buys a zone-map planner on three
+# value-range predicates. Fully metadata-shaped: per-file min/max/count,
+# then a tiny broadcast interval join.
+_SKIP_INTERVALS = [(0.0, 10.0), (200.0, 220.0), (480.0, 500.0)]
+
+
+@query(
+    "skipping_report_events",
+    """
+    WITH ins AS (
+      SELECT event_id // 400 AS file_id, value FROM events),
+    clu AS (
+      SELECT (row_number() OVER (ORDER BY value, event_id) - 1) // 400
+               AS file_id, value
+      FROM events),
+    iv(lo, hi) AS (VALUES (0.0, 10.0), (200.0, 220.0), (480.0, 500.0)),
+    rep AS (
+      SELECT 'insertion' AS layout, file_id, min(value) AS mn,
+             max(value) AS mx, count(*) AS n
+      FROM ins GROUP BY 2
+      UNION ALL
+      SELECT 'clustered', file_id, min(value), max(value), count(*)
+      FROM clu GROUP BY 2)
+    SELECT layout, lo, hi, count(*) AS n_files,
+           CAST(sum(CASE WHEN mn IS NULL OR NOT (mx < lo OR mn > hi)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+           CAST(count(*) - sum(CASE WHEN mn IS NULL OR NOT (mx < lo OR mn > hi)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+           CAST(sum(CASE WHEN mn IS NULL OR NOT (mx < lo OR mn > hi)
+                    THEN n ELSE 0 END) AS BIGINT) AS rows_read_upper,
+           round((count(*) - sum(CASE WHEN mn IS NULL
+                                           OR NOT (mx < lo OR mn > hi)
+                                      THEN 1 ELSE 0 END)) * 1.0 / count(*), 6)
+             AS skip_ratio
+    FROM rep CROSS JOIN iv
+    GROUP BY 1, 2, 3
+    """,
+)
+def skipping_report_events(spark, sf_dir):
+    """Zone-map skipping effectiveness under insertion-order vs
+    value-clustered file layouts (operators/layout.py file_minmax_stats +
+    skipping_report) — the manifest-level arithmetic that justifies
+    Z-order/sort-on-write at 100 TB."""
+    from pyspark.sql import Window
+
+    from ..operators.layout import file_minmax_stats, skipping_report
+
+    ev = _t(spark, sf_dir, "events")
+    ins = ev.select(
+        (F.col("event_id") / 400).cast("long").alias("f"), "value"
+    )
+    w = Window.orderBy("value", "event_id")
+    clu = ev.select(
+        ((F.row_number().over(w) - 1) / 400).cast("long").alias("f"), "value"
+    )
+    rep_i = skipping_report(
+        file_minmax_stats(ins, "f", "value"), _SKIP_INTERVALS, "insertion"
+    )
+    rep_c = skipping_report(
+        file_minmax_stats(clu, "f", "value"), _SKIP_INTERVALS, "clustered"
+    )
+    return rep_i.unionByName(rep_c)

@@ -152,3 +152,74 @@ def zorder_key(
                 b * len(cells) + i,
             ).cast("long")
     return out.withColumn("zorder", z).drop(*cells, *[f"__b_{i}" for i in range(len(cols))])
+
+
+def file_minmax_stats(
+    df: DataFrame,
+    file_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-file (min, max, row count) of ``value_col`` — the zone-map /
+    Iceberg-manifest statistics a scan planner prunes with. One hash
+    aggregate keyed on the file id; this IS the metadata a lakehouse
+    table format keeps per data file, so at 100 TB the frame is
+    manifest-sized, not data-sized.
+    """
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def skipping_report(
+    stats: DataFrame,
+    intervals: Sequence[tuple[float, float]],
+    layout_name: str = "layout",
+) -> DataFrame:
+    """Min-max data-skipping effectiveness: for each closed predicate
+    interval [lo, hi], how many files a zone-map scan planner must READ
+    (file range overlaps the predicate) vs can SKIP, and the row-count
+    upper bound the read set implies. This quantifies what a clustering
+    layout (zorder_key / sorted writes) actually buys: the same rows
+    under an insertion-order layout overlap every interval, under a
+    value-clustered layout almost none.
+
+    Returns (layout, lo, hi, n_files, files_read, files_skipped,
+    rows_read_upper, skip_ratio round-6). Cost: stats is manifest-sized
+    and the interval list is tiny — a broadcast theta join over metadata,
+    never a data scan; NULL-only files (min/max NULL) are conservatively
+    read, exactly as a planner without null-counts must.
+    """
+    if not intervals:
+        raise ValueError("intervals must be non-empty")
+    spark = stats.sparkSession
+    iv = spark.createDataFrame(
+        [(float(lo), float(hi)) for lo, hi in intervals], "lo double, hi double"
+    )
+    overlaps = F.col("min_v").isNull() | ~(
+        (F.col("max_v") < F.col("lo")) | (F.col("min_v") > F.col("hi"))
+    )
+    joined = stats.crossJoin(F.broadcast(iv))
+    return (
+        joined.groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(overlaps.cast("long")).alias("files_read"),
+            F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0)).alias(
+                "rows_read_upper"
+            ),
+        )
+        .select(
+            F.lit(layout_name).alias("layout"),
+            "lo",
+            "hi",
+            "n_files",
+            "files_read",
+            (F.col("n_files") - F.col("files_read")).alias("files_skipped"),
+            "rows_read_upper",
+            F.round(
+                (F.col("n_files") - F.col("files_read")) / F.col("n_files"), 6
+            ).alias("skip_ratio"),
+        )
+    )

@@ -89,3 +89,59 @@ def test_zorder_key_orders_like_morton_curve(spark):
         zorder_key(spark.createDataFrame(rows), [], bits=3)
     with pytest.raises(ValueError):
         zorder_key(spark.createDataFrame(rows), ["x", "y"], bits=32)
+
+
+class TestSkippingReport:
+    def test_clustered_layout_skips_insertion_does_not(self, spark):
+        from entity_resolution_spark.operators.layout import (
+            file_minmax_stats,
+            skipping_report,
+        )
+
+        # values interleave across insertion files but separate cleanly
+        # when clustered: 4 files x 100 rows either way
+        rows = [(i, float(i % 100)) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        ins = df.selectExpr("CAST(id / 100 AS LONG) AS f", "v")
+        clu = df.selectExpr("CAST(v / 25 AS LONG) AS f", "v")
+        rep_i = {
+            (r["lo"], r["hi"]): (r["files_read"], r["skip_ratio"])
+            for r in skipping_report(
+                file_minmax_stats(ins, "f", "v"), [(0.0, 10.0)], "ins"
+            ).collect()
+        }
+        rep_c = {
+            (r["lo"], r["hi"]): (r["files_read"], r["skip_ratio"])
+            for r in skipping_report(
+                file_minmax_stats(clu, "f", "v"), [(0.0, 10.0)], "clu"
+            ).collect()
+        }
+        assert rep_i[(0.0, 10.0)] == (4, 0.0)  # every insertion file overlaps
+        assert rep_c[(0.0, 10.0)] == (1, 0.75)  # one clustered file read
+
+    def test_null_only_file_is_conservatively_read(self, spark):
+        from entity_resolution_spark.operators.layout import (
+            file_minmax_stats,
+            skipping_report,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (0, 2.0), (1, None), (2, 50.0)], "f long, v double"
+        )
+        rep = skipping_report(
+            file_minmax_stats(df, "f", "v"), [(10.0, 20.0)], "x"
+        ).collect()[0]
+        # file 1 (all NULL) must be read; files 0 and 2 skip
+        assert rep["files_read"] == 1 and rep["files_skipped"] == 2
+
+    def test_empty_intervals_raise(self, spark):
+        import pytest as _pt
+
+        from entity_resolution_spark.operators.layout import (
+            file_minmax_stats,
+            skipping_report,
+        )
+
+        df = spark.createDataFrame([(0, 1.0)], "f long, v double")
+        with _pt.raises(ValueError):
+            skipping_report(file_minmax_stats(df, "f", "v"), [], "x")
