@@ -228,6 +228,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "mixture_temperature_report",
         "smith_waterman_part_names",
         "skipping_report_events",
+        "rolling_daily_user_value",
     ]:
         if name not in SPARK_QUERIES:
             continue

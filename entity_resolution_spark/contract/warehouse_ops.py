@@ -457,3 +457,35 @@ def skipping_report_events(spark, sf_dir):
         file_minmax_stats(clu, "f", "value"), _SKIP_INTERVALS, "clustered"
     )
     return rep_i.unionByName(rep_c)
+
+
+# --- trailing-window rolling aggregates ---------------------------------------
+@query(
+    "rolling_daily_user_value",
+    """
+    WITH a AS (
+      SELECT user_id AS key, date_trunc('day', ts) AS bucket,
+             count(*) AS n_events, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *,
+             date_diff('day', DATE '1970-01-01', bucket) AS di
+      FROM a)
+    SELECT key, bucket, n_events, sum_value,
+           CAST(sum(n_events) OVER w AS BIGINT) AS roll_n,
+           round(sum(sum_value) OVER w, 6) AS roll_sum,
+           round(sum(sum_value) OVER w / sum(n_events) OVER w, 6) AS roll_avg
+    FROM r
+    WINDOW w AS (PARTITION BY key ORDER BY di
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_daily_user_value(spark, sf_dir):
+    """Trailing 7-day rolling count/sum/avg of event value per user
+    (operators/timeseries.py rolling_stats) — RANGE frame over the day
+    index, so calendar gaps thin the window; per-day partials first, so
+    window state is O(7) per user."""
+    from ..operators.timeseries import rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_stats(ev, window_buckets=7)

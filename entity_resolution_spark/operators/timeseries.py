@@ -99,3 +99,55 @@ def activity_streaks(
             "n_days",
         )
     )
+
+
+def rolling_stats(
+    events: DataFrame,
+    window_buckets: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing N-day rolling aggregates per key -> (key, bucket,
+    n_events, sum_value, roll_n, roll_sum, roll_avg round-6), one row per
+    OBSERVED day: the rolling frame covers the ``window_buckets`` calendar
+    days ending at the bucket (a RANGE frame over the day index, so
+    missing days correctly thin the window rather than stretching it the
+    way a ROWS frame would).
+
+    Scale shape: the raw events collapse to per-(key, day) partials
+    first — one hash aggregate — and the window then runs over
+    day-census rows, so its state is O(window) per key regardless of
+    per-day event volume; one sort per key partition.
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    agg = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
+            F.col(value_col),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )
+    idx = F.datediff(F.col("bucket"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy(idx)
+        .rangeBetween(-(window_buckets - 1), 0)
+    )
+    roll_sum = F.sum("sum_value").over(w)
+    roll_n = F.sum("n_events").over(w)
+    return agg.select(
+        "key",
+        "bucket",
+        "n_events",
+        "sum_value",
+        roll_n.alias("roll_n"),
+        F.round(roll_sum, 6).alias("roll_sum"),
+        F.round(roll_sum / roll_n, 6).alias("roll_avg"),
+    )

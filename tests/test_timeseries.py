@@ -55,3 +55,39 @@ def test_activity_streaks_hand(spark):
     assert got[(1, "2024-05-20")] == ("2024-05-20", 1)
     assert got[(2, "2024-05-10")] == ("2024-05-10", 1)
     assert len(got) == 4
+
+
+class TestRollingStats:
+    def test_calendar_gaps_thin_the_window(self, spark):
+        """RANGE frame: a day outside the trailing window drops out even
+        when it is the previous ROW."""
+        import datetime as dt
+
+        from entity_resolution_spark.operators.timeseries import rolling_stats
+
+        def ts(day):
+            return dt.datetime(2024, 1, day, 12, 0, 0)
+
+        rows = [
+            (1, ts(1), 10.0),
+            (1, ts(2), 20.0),
+            (1, ts(2), 30.0),
+            (1, ts(10), 40.0),  # > 7 days after day 2 -> window restarts
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = {
+            r["bucket"].day: (r["n_events"], r["roll_n"], r["roll_sum"], r["roll_avg"])
+            for r in rolling_stats(df, window_buckets=7).collect()
+        }
+        assert out[1] == (1, 1, 10.0, 10.0)
+        assert out[2] == (2, 3, 60.0, 20.0)
+        assert out[10] == (1, 1, 40.0, 40.0)  # days 1-2 aged out
+
+    def test_window_validation(self, spark):
+        import pytest as _pt
+
+        from entity_resolution_spark.operators.timeseries import rolling_stats
+
+        df = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+        with _pt.raises(ValueError):
+            rolling_stats(df, window_buckets=0)
