@@ -229,6 +229,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "smith_waterman_part_names",
         "skipping_report_events",
         "rolling_daily_user_value",
+        "attribution_multi_touch",
     ]:
         if name not in SPARK_QUERIES:
             continue

@@ -489,3 +489,63 @@ def rolling_daily_user_value(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return rolling_stats(ev, window_buckets=7)
+
+
+# --- multi-touch (U-shaped) attribution ---------------------------------------
+@query(
+    "attribution_multi_touch",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             -- coalesce: list() over an EMPTY frame is NULL in DuckDB,
+             -- but the engine's collect_list gives [] — same conversions
+             list_filter(
+               coalesce(
+                 list(CASE WHEN event_type IN ('view', 'click')
+                      THEN {'t_ts': ts, 't_id': event_id, 't_type': event_type}
+                   END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 []),
+               x -> x IS NOT NULL) AS tl
+      FROM events),
+    c AS (
+      SELECT event_id AS conversion_id, user_id, ts,
+             list_filter(list_reverse(tl)[1:3],
+                         t -> (epoch_us(ts) - epoch_us(t.t_ts)) / 1000000.0
+                              <= 86400.0) AS q
+      FROM w WHERE event_type = 'purchase'),
+    e AS (
+      SELECT conversion_id, user_id, len(q) AS nq,
+             unnest(q) AS t,
+             unnest(range(1, len(q) + 1)) AS pos
+      FROM c WHERE len(q) > 0)
+    SELECT conversion_id, user_id, t.t_id AS attributed_event_id,
+           t.t_type AS attributed_type, CAST(pos AS INT) AS touch_rank,
+           round(CASE WHEN nq = 1 THEN 1.0
+                      WHEN nq = 2 THEN 0.5
+                      WHEN pos = 1 OR pos = nq THEN 0.4
+                      ELSE 0.2 / (nq - 2) END, 6) AS credit
+    FROM e
+    UNION ALL
+    SELECT conversion_id, user_id, NULL, 'direct', NULL, 1.0
+    FROM c WHERE len(q) = 0
+    """,
+)
+def attribution_multi_touch(spark, sf_dir):
+    """U-shaped multi-touch attribution over the last 3 qualifying
+    touches within a 1-day lookback (operators/funnel.py
+    attribute_multi_touch, scheme='position'): 40/40 to the most recent
+    and oldest kept touch, the middle splits 20; credits per conversion
+    sum to 1, no-touch conversions get one 'direct' row."""
+    from ..operators.funnel import attribute_multi_touch
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_multi_touch(
+        ev,
+        conversion_type="purchase",
+        touch_types=("view", "click"),
+        window_seconds=86400.0,
+        max_touches=3,
+        scheme="position",
+    )

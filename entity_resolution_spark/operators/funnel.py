@@ -234,3 +234,126 @@ def attribute_conversions(
             F.when(qualified, F.round(lag, 6)).alias("lag_seconds"),
         )
     )
+
+
+def attribute_multi_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    window_seconds: float = 86400.0,
+    max_touches: int = 5,
+    scheme: str = "linear",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch attribution over the user's last ``max_touches``
+    touches: each conversion's credit is split across the touch events
+    that precede it within the lookback window — ``'linear'`` splits
+    evenly, ``'position'`` gives 40%/40% to first/last qualifying touch
+    and splits the remaining 20% across the middle (the standard U-shaped
+    rule; with one touch it gets full credit, with two they split evenly).
+
+    Returns one row per (conversion, credited touch): (conversion_id,
+    user_col, attributed_event_id, attributed_type, touch_rank — 1 =
+    most recent, credit round-6; credits per conversion sum to 1), plus a
+    single ``'direct'`` row with credit 1.0 when no touch qualifies.
+
+    Scale shape: one per-user carry-forward window collecting the
+    preceding touch list, sliced to the newest ``max_touches`` before the
+    explode — so the OUTPUT is bounded at k rows per conversion, while
+    the window state itself grows with a user's touch history (cap the
+    history first with the sessions.py segmented pass for pathologically
+    hot users). Same single per-user sort as attribute_conversions; no
+    self-join.
+    """
+    if max_touches < 1:
+        raise ValueError("max_touches must be >= 1")
+    if scheme not in ("linear", "position"):
+        raise ValueError("scheme must be 'linear' or 'position'")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(
+            F.col(ts_col).alias("t_ts"),
+            F.col(id_col).alias("t_id"),
+            F.col(type_col).alias("t_type"),
+        ),
+    )
+    # newest-first carry list, capped at max_touches: collect_list over
+    # the frame then reverse+slice (array functions run after the window
+    # state, so the window itself still carries the full preceding list —
+    # cap BEFORE explode keeps the output bounded; for pathologically hot
+    # users pre-thin touches with the sessions.py segmented pass)
+    touches = F.slice(F.reverse(F.collect_list(touch).over(w)), 1, max_touches)
+    conv = (
+        events.withColumn("__ts", touches)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col),
+            F.col(ts_col),
+            F.filter(
+                F.col("__ts"),
+                lambda t: (
+                    F.timestamp_diff("MICROSECOND", t["t_ts"], F.col(ts_col))
+                    / F.lit(1000000.0)
+                )
+                <= F.lit(float(window_seconds)),
+            ).alias("__q"),
+        )
+    )
+    n = F.size("__q")
+    id_type = events.schema[id_col].dataType
+    direct = conv.filter(n == 0).select(
+        "conversion_id",
+        user_col,
+        F.lit(None).cast(id_type).alias("attributed_event_id"),
+        F.lit("direct").alias("attributed_type"),
+        F.lit(None).cast("int").alias("touch_rank"),
+        F.lit(1.0).alias("credit"),
+    )
+    exploded = (
+        conv.filter(n > 0)
+        .select(
+            "conversion_id",
+            user_col,
+            n.alias("__n"),
+            F.posexplode("__q").alias("__pos", "t"),
+        )
+        .select(
+            "conversion_id",
+            user_col,
+            F.col("t.t_id").alias("attributed_event_id"),
+            F.col("t.t_type").alias("attributed_type"),
+            (F.col("__pos") + 1).cast("int").alias("touch_rank"),
+            "__n",
+        )
+    )
+    if scheme == "linear":
+        credit = F.lit(1.0) / F.col("__n")
+    else:
+        # U-shaped: rank 1 (most recent) and rank __n (oldest kept) get
+        # 0.4 each, middles split 0.2; degenerate cases renormalize
+        credit = (
+            F.when(F.col("__n") == 1, F.lit(1.0))
+            .when(F.col("__n") == 2, F.lit(0.5))
+            .when(
+                (F.col("touch_rank") == 1) | (F.col("touch_rank") == F.col("__n")),
+                F.lit(0.4),
+            )
+            .otherwise(F.lit(0.2) / (F.col("__n") - 2))
+        )
+    return exploded.select(
+        "conversion_id",
+        user_col,
+        "attributed_event_id",
+        "attributed_type",
+        "touch_rank",
+        F.round(credit, 6).alias("credit"),
+    ).unionByName(direct)

@@ -367,3 +367,66 @@ class TestSmithWaterman:
         # 'navy' aligns perfectly inside 'deep navy lace' -> sim 1.0
         assert out[(1, 2)] == (8, 1.0)
         assert out[(1, 3)][1] < 1.0
+
+
+class TestMultiTouchAttribution:
+    def _events(self, spark):
+        import datetime as dt
+
+        def ts(m):
+            return dt.datetime(2024, 1, 1, 10, m, 0)
+
+        rows = [
+            (1, ts(0), 1, "view", 0.0),
+            (2, ts(1), 1, "click", 0.0),
+            (3, ts(2), 1, "view", 0.0),
+            (4, ts(3), 1, "click", 0.0),
+            (5, ts(4), 1, "purchase", 9.0),  # 4 touches, cap 3 keeps newest 3
+            (6, ts(0), 2, "purchase", 1.0),  # direct
+            (7, ts(0), 3, "view", 0.0),
+            (8, ts(5), 3, "purchase", 2.0),  # single touch -> full credit
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+    def test_position_scheme_credits(self, spark):
+        from entity_resolution_spark.operators.funnel import attribute_multi_touch
+
+        out = attribute_multi_touch(
+            self._events(spark), max_touches=3, scheme="position",
+            window_seconds=3600.0,
+        ).collect()
+        by_conv = {}
+        for r in out:
+            by_conv.setdefault(r["conversion_id"], []).append(r)
+        c5 = {r["touch_rank"]: (r["attributed_event_id"], r["credit"]) for r in by_conv[5]}
+        # newest-first: rank 1 = event 4, rank 2 = event 3, rank 3 = event 2
+        # (event 1 is aged out by the cap); U-shape 0.4/0.2/0.4
+        assert c5 == {1: (4, 0.4), 2: (3, 0.2), 3: (2, 0.4)}
+        assert by_conv[6][0]["attributed_type"] == "direct"
+        assert by_conv[6][0]["credit"] == 1.0
+        assert by_conv[8][0]["credit"] == 1.0 and by_conv[8][0]["attributed_event_id"] == 7
+
+    def test_credits_sum_to_one_linear(self, spark):
+        from entity_resolution_spark.operators.funnel import attribute_multi_touch
+
+        out = attribute_multi_touch(
+            self._events(spark), max_touches=5, scheme="linear",
+            window_seconds=3600.0,
+        ).collect()
+        sums = {}
+        for r in out:
+            sums[r["conversion_id"]] = sums.get(r["conversion_id"], 0.0) + r["credit"]
+        assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from entity_resolution_spark.operators.funnel import attribute_multi_touch
+
+        ev = self._events(spark)
+        with _pt.raises(ValueError):
+            attribute_multi_touch(ev, max_touches=0)
+        with _pt.raises(ValueError):
+            attribute_multi_touch(ev, scheme="quadratic")
