@@ -230,6 +230,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "skipping_report_events",
         "rolling_daily_user_value",
         "attribution_multi_touch",
+        "join_size_estimate_events",
+        "range_boundaries_lineitem",
     ]:
         if name not in SPARK_QUERIES:
             continue

@@ -549,3 +549,71 @@ def attribution_multi_touch(spark, sf_dir):
         max_touches=3,
         scheme="position",
     )
+
+
+# --- exact join-size accounting ------------------------------------------------
+@query(
+    "join_size_estimate_events",
+    """
+    WITH l AS (SELECT user_id, count(*) AS cl FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    r AS (SELECT user_id, count(*) AS cr FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+    pk AS (SELECT CAST(user_id AS VARCHAR) AS key, cl AS left_rows,
+                  cr AS right_rows, cl * cr AS output_rows
+           FROM l JOIN r USING (user_id))
+    SELECT CAST(NULL AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS left_rows,
+           CAST(NULL AS BIGINT) AS right_rows, count(*) AS n_keys,
+           CAST(sum(output_rows) AS BIGINT) AS output_rows
+    FROM pk
+    UNION ALL
+    SELECT key, left_rows, right_rows, CAST(NULL AS BIGINT), output_rows
+    FROM (SELECT * FROM pk ORDER BY output_rows DESC, key LIMIT 10)
+    """,
+)
+def join_size_estimate_events(spark, sf_dir):
+    """Exact equi-join output-size accounting from the two key censuses
+    (operators/stats.py join_size_estimate): views x purchases per user,
+    summary row + the 10 heaviest keys — the pre-join explosion check
+    that costs census-sized work instead of the join itself."""
+    from ..operators.stats import join_size_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return join_size_estimate(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"],
+        top_k=10,
+    )
+
+
+# --- range-partition boundary planning -----------------------------------------
+@query(
+    "range_boundaries_lineitem",
+    """
+    WITH b AS (SELECT quantile_cont(l_extendedprice,
+                 [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+               FROM lineitem),
+    parts AS (SELECT unnest(range(0, 8)) AS partition_id,
+                     unnest(list_prepend(NULL::DOUBLE, q)) AS lo
+              FROM b),
+    p2 AS (SELECT partition_id, lo,
+                  lead(lo) OVER (ORDER BY partition_id) AS hi
+           FROM parts)
+    SELECT p2.partition_id, round(p2.lo, 6) AS lo, round(p2.hi, 6) AS hi,
+           CAST(count(v.l_extendedprice) AS BIGINT) AS n_rows
+    FROM p2 LEFT JOIN lineitem v
+      ON (p2.lo IS NULL OR v.l_extendedprice >= p2.lo)
+     AND (p2.hi IS NULL OR v.l_extendedprice < p2.hi)
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_boundaries_lineitem(spark, sf_dir):
+    """Equal-count range-partition boundaries over lineitem prices
+    (operators/layout.py range_boundaries, 8 partitions) — exact-quantile
+    boundaries for a globally sorted / Iceberg sort-order write, with the
+    row count each range captures."""
+    from ..operators.layout import range_boundaries
+
+    li = _t(spark, sf_dir, "lineitem")
+    return range_boundaries(li, "l_extendedprice", 8)

@@ -223,3 +223,61 @@ def skipping_report(
             ).alias("skip_ratio"),
         )
     )
+
+
+def range_boundaries(
+    df: DataFrame,
+    value_col: str,
+    n_partitions: int,
+) -> DataFrame:
+    """Range-partition boundary planning for a globally sorted write (the
+    Iceberg sort-order / repartitionByRange layout step, made explicit):
+    boundary i is the exact ``i/n`` quantile of ``value_col``, so the
+    resulting ranges hold ~equal row counts even under heavy skew —
+    unlike fixed-width ranges, which skew destroys.
+
+    Returns one row per partition: (partition_id, lo, hi round-6,
+    n_rows) where lo is inclusive (NULL for the first partition = open
+    below), hi exclusive (NULL for the last = open above), and n_rows
+    counts the rows the range captures (inclusive-lower / exclusive-upper,
+    so a row equal to a boundary lands in the partition whose ``lo`` it
+    is; duplicate quantile values under heavy ties simply leave the
+    squeezed partitions empty). One exact-percentile aggregate + one
+    broadcast range count; the boundary frame is n_partitions-sized.
+    """
+    if n_partitions < 2:
+        raise ValueError("n_partitions must be >= 2")
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    bounds = df.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs])).alias("__b")
+    )
+    parts = bounds.select(
+        F.posexplode(
+            F.concat(
+                F.array(F.lit(None).cast("double")),
+                F.col("__b").cast("array<double>"),
+            )
+        ).alias("partition_id", "lo")
+    ).withColumn(
+        "hi",
+        F.lead("lo").over(
+            Window.orderBy("partition_id")
+        ),
+    )
+    counted = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .join(
+            F.broadcast(parts),
+            (F.col("lo").isNull() | (F.col("__v") >= F.col("lo")))
+            & (F.col("hi").isNull() | (F.col("__v") < F.col("hi"))),
+            "right",
+        )
+        .groupBy("partition_id", "lo", "hi")
+        .agg(F.sum(F.when(F.col("__v").isNotNull(), 1).otherwise(0)).alias("n_rows"))
+    )
+    return counted.select(
+        "partition_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n_rows",
+    )

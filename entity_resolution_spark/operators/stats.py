@@ -747,3 +747,52 @@ def mad_outliers(
         .otherwise(False)
         .alias("is_outlier"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Exact equi-join output-size accounting WITHOUT running the join:
+    |A JOIN B| = sum over keys of count_A(key) * count_B(key), computed
+    from the two key censuses — census-sized work (one hash aggregate per
+    side + a key-domain join) instead of materializing a possibly
+    quadratic result. The planning companion to key_skew_report: run it
+    before a big join to see whether the output explodes and WHICH keys
+    explode it.
+
+    Returns one summary row (key = NULL, n_keys, output_rows) unioned
+    with the ``top_k`` heaviest keys by contribution (key rendered as a
+    string for schema stability across key types), each with its left /
+    right multiplicity and output_rows = their product.
+    """
+    key_cols = list(key_cols)
+    lc = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cl"))
+    rc = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cr"))
+    per_key = lc.join(rc.hint("shuffle_hash"), key_cols).select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias("key"),
+        F.col("__cl").alias("left_rows"),
+        F.col("__cr").alias("right_rows"),
+        (F.col("__cl") * F.col("__cr")).alias("output_rows"),
+    )
+    summary = per_key.agg(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("long").alias("left_rows"),
+        F.lit(None).cast("long").alias("right_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("output_rows").alias("output_rows"),
+    ).select("key", "left_rows", "right_rows", "n_keys", "output_rows")
+    top = (
+        per_key.orderBy(F.desc("output_rows"), F.asc("key"))
+        .limit(top_k)
+        .select(
+            "key",
+            "left_rows",
+            "right_rows",
+            F.lit(None).cast("long").alias("n_keys"),
+            "output_rows",
+        )
+    )
+    return summary.unionByName(top)

@@ -145,3 +145,37 @@ class TestSkippingReport:
         df = spark.createDataFrame([(0, 1.0)], "f long, v double")
         with _pt.raises(ValueError):
             skipping_report(file_minmax_stats(df, "f", "v"), [], "x")
+
+
+class TestRangeBoundaries:
+    def test_equal_counts_and_coverage(self, spark):
+        from entity_resolution_spark.operators.layout import range_boundaries
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        out = {r["partition_id"]: r for r in range_boundaries(df, "v", 4).collect()}
+        assert len(out) == 4
+        assert sum(r["n_rows"] for r in out.values()) == 100
+        assert all(r["n_rows"] == 25 for r in out.values())
+        assert out[0]["lo"] is None and out[3]["hi"] is None
+        # contiguous: partition i's hi == partition i+1's lo
+        for i in range(3):
+            assert out[i]["hi"] == out[i + 1]["lo"]
+
+    def test_skewed_values_still_balance(self, spark):
+        from entity_resolution_spark.operators.layout import range_boundaries
+
+        # heavy skew: 90% of mass at the low end
+        vals = [float(i) for i in range(90)] + [1000.0 + i for i in range(10)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = range_boundaries(df, "v", 2).collect()
+        counts = sorted(r["n_rows"] for r in out)
+        assert counts == [50, 50]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from entity_resolution_spark.operators.layout import range_boundaries
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with _pt.raises(ValueError):
+            range_boundaries(df, "v", 1)

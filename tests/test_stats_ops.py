@@ -719,3 +719,34 @@ def test_weighted_median_hand_values(spark):
     assert got["a"] == (12.0, 3.0)
     assert got["b"] == (4.0, 5.0)  # cum(5)=2, 2*2>=4 -> lower median
     assert got["c"] == (1.0, 4.0)
+
+
+class TestJoinSizeEstimate:
+    def test_matches_actual_join_and_ranks_keys(self, spark):
+        from entity_resolution_spark.operators.stats import join_size_estimate
+
+        left = spark.createDataFrame(
+            [(k, i) for k in ["a", "a", "a", "b", "c"] for i in range(2)],
+            "k string, x long",
+        )
+        right = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1), ("d", 9)], "k string, y long"
+        )
+        out = join_size_estimate(left, right, ["k"], top_k=2).collect()
+        summary = [r for r in out if r["key"] is None][0]
+        actual = left.join(right, "k").count()
+        assert summary["output_rows"] == actual  # 6*2 + 2*1 = 14
+        assert summary["n_keys"] == 2
+        tops = [r for r in out if r["key"] is not None]
+        assert [r["key"] for r in tops] == ["a", "b"]
+        assert tops[0]["left_rows"] == 6 and tops[0]["right_rows"] == 2
+
+    def test_disjoint_keys_zero(self, spark):
+        from entity_resolution_spark.operators.stats import join_size_estimate
+
+        a = spark.createDataFrame([("x", 1)], "k string, v long")
+        b = spark.createDataFrame([("y", 1)], "k string, v long")
+        out = join_size_estimate(a, b, ["k"]).collect()
+        summary = [r for r in out if r["key"] is None][0]
+        assert summary["n_keys"] == 0
+        assert summary["output_rows"] is None or summary["output_rows"] == 0
