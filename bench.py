@@ -142,6 +142,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     for name in [
         "tpch_q1_agg",
+        "tpch_q3_topk",
+        "tpch_q5_region_volume",
+        "tpch_q18_big_orders",
+        "star_clusters_ngram",
         "dedup_exact_sha",
         "j2_outer_join",
         "o2_topk",

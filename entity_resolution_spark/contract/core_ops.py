@@ -385,3 +385,149 @@ def json_props_extract(spark, sf_dir):
         F.min("j.k").alias("min_k"),
         F.max("j.k").alias("max_k"),
     )
+
+
+# --- TPC-H Q3 shape: selective 3-way join + group + top-k -------------------
+# Join-planning showcase: the filtered customer dimension is explicitly
+# broadcast into orders as a LEFT SEMI probe (no payload columns move), and
+# only the surviving orders shuffle against lineitem on the join key. At
+# 100 TB the lineitem<->orders join is the one unavoidable shuffle; the
+# semi-join keeps it as small as the date predicates allow, and Catalyst
+# pushes both date filters into the parquet scans.
+@query(
+    "tpch_q3_topk",
+    """
+    SELECT l_orderkey,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_topk(spark, sf_dir):
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    surviving = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return (
+        li.join(surviving, li.l_orderkey == surviving.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 shape: snowflake join through two dimension chains ------------
+# region -> nation -> supplier is a pure broadcast chain (dims are tiny at
+# any scale); the lineitem<->orders shuffle join is the single big exchange;
+# customer joins last on (custkey, nationkey = supplier nation) so the
+# "local supplier" predicate prunes before aggregation. This is the classic
+# star/snowflake plan Catalyst should produce: one shuffle pair for the two
+# fact tables, everything else BroadcastHashJoin.
+@query(
+    "tpch_q5_region_volume",
+    """
+    SELECT n_name,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_region_volume(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf_dir, "nation")
+    nat = nation.join(
+        F.broadcast(region.select("r_regionkey")),
+        nation.n_regionkey == F.col("r_regionkey"),
+        "left_semi",
+    ).select("n_nationkey", "n_name")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey
+    )
+    local = facts.join(
+        cust,
+        (F.col("o_custkey") == cust.c_custkey)
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return local.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# --- TPC-H Q18 shape: join against an aggregate-derived key set -------------
+# "Large-volume orders": the HAVING aggregate runs first (map-side partial
+# agg on l_orderkey, the table's natural clustering), and the small survivor
+# set is broadcast back into orders — so the fact table is scanned twice but
+# never shuffled against itself, and customer attaches by one hash join.
+@query(
+    "tpch_q18_big_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate,
+           round(CAST(b.tq AS DOUBLE), 2) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS tq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 200) b
+    JOIN orders   ON o_orderkey = b.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_big_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 200)
+        .select("l_orderkey", F.round(F.col("tq"), 2).alias("total_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )

@@ -912,3 +912,33 @@ def cluster_agreement_metrics(spark, sf_dir):
     ).clusters
     truth = cc_clusters_ngram(spark, sf_dir).withColumnRenamed("doc_id", "file_id")
     return pairwise_cluster_metrics(pred, truth)
+
+
+# --- one-round star clustering (chaining-resistant rosters) -----------------
+# Same exact n-gram Jaccard edge set as cc_clusters_ngram, but labeled with
+# one-hop neighborhood minima instead of the transitive fixpoint: noisy
+# similarity chains stay as overlapping stars instead of merging into one
+# giant cluster. One shuffle, no iteration — the cheap first-cut roster.
+@query(
+    "star_clusters_ngram",
+    f"""
+    WITH {_NGRAM_PAIR_CTES},
+    ed AS (
+        SELECT l AS s, r AS d FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.5
+        UNION ALL
+        SELECT r AS s, l AS d FROM p WHERE c * 1.0 / (ln + rn - c) >= 0.5
+    )
+    SELECT s AS doc_id, least(s, min(d)) AS star_id FROM ed GROUP BY s
+    """,
+)
+def star_clusters_ngram(spark, sf_dir):
+    from ..operators.clustering import star_labels
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=3, min_jaccard=0.5, max_doc_freq=1_000_000_000
+    )
+    return star_labels(
+        edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    ).select(F.col("file_id").alias("doc_id"), "star_id")

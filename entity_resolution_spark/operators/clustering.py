@@ -104,6 +104,26 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
+def star_labels(edges: DataFrame) -> DataFrame:
+    """One-round star clustering: label(v) = min({v} ∪ N(v)).
+
+    Chaining-resistant alternative to full transitive closure (the "star"
+    family of Hassanzadeh & Miller, VLDB J. 2009): a long near-duplicate
+    chain a–b–c–d collapses into overlapping two-hop stars instead of one
+    giant merged component, which is the conservative choice when edges are
+    noisy similarity hits rather than hard identities. Exactly one shuffle
+    (groupBy node) and no iteration, so at 100 TB this is the cheap
+    first-cut roster to inspect before paying for the O(log n)
+    alternating-star rounds of :func:`connected_components`.
+    """
+    nbrs = _both_dirs(_canon(edges))
+    return (
+        nbrs.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("star_id"))
+        .select(F.col("src").alias("file_id"), "star_id")
+    )
+
+
 def assign_clusters(all_ids: DataFrame, components: DataFrame) -> DataFrame:
     """Attach cluster ids to the full id universe; edge-less nodes become
     singleton clusters (cluster_id = own id)."""

@@ -69,6 +69,12 @@ _DRIVER_PRIORITY = [
     "multimodal_fake_features",
     "f_jw_levenshtein",
     "stream_interval_join",
+    # new in round 3 (resumed session): join-planning analytics trio +
+    # chaining-resistant star clustering
+    "tpch_q3_topk",
+    "tpch_q5_region_volume",
+    "tpch_q18_big_orders",
+    "star_clusters_ngram",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",

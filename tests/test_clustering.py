@@ -343,3 +343,24 @@ def test_bfs_distance_hops_and_roots(spark):
 
     with pytest.raises(ValueError):
         bfs_distance(edges, sources, max_hops=-1)
+
+
+def test_star_labels_resist_chaining(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.clustering import (
+        connected_components,
+        star_labels,
+    )
+
+    # chain 1-2-3-4 plus clique {10,11}: CC merges the chain into one
+    # component; star labels keep the far end (4) out of node 1's star.
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in [(1, 2), (2, 3), (3, 4), (10, 11)]]
+    ).repartition(3)
+    stars = {r["file_id"]: r["star_id"] for r in star_labels(edges).collect()}
+    assert stars == {1: 1, 2: 1, 3: 2, 4: 3, 10: 10, 11: 10}
+    comps = {
+        r["file_id"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
