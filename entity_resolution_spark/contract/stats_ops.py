@@ -1059,3 +1059,92 @@ def weighted_median_lineitem(spark, sf_dir):
         "l_quantity",
         ["l_returnflag"],
     )
+
+
+# --- 2D Pareto frontier (skyline) over the part catalog ----------------------
+# The oracle is the O(n^2) NOT-EXISTS dominance definition; the engine
+# computes the same set with one hash aggregate + a domain-sized window +
+# a broadcast semi-join (operators/stats.pareto_frontier_2d).
+@query(
+    "pareto_frontier_parts",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    """,
+)
+def pareto_frontier_parts(spark, sf_dir):
+    from ..operators.stats import pareto_frontier_2d
+
+    part = _t(spark, sf_dir, "part")
+    return pareto_frontier_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+# --- decorrelated correlated subquery: orders above their customer's mean ---
+# The classic correlated-scalar-subquery shape (per-row comparison against
+# the row's own group aggregate), expressed as ONE partitioned window pass
+# instead of a per-row subquery — no self-join, no shuffle beyond the
+# partition-by exchange.
+@query(
+    "above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, round(a, 6) AS cust_avg
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 avg(o_totalprice) OVER (PARTITION BY o_custkey) AS a
+          FROM orders)
+    WHERE o_totalprice > a
+    """,
+)
+def above_avg_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("a", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("a"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("a", 6).alias("cust_avg"),
+        )
+    )
+
+
+# --- NTILE segmentation: customer balance deciles ----------------------------
+# Global NTILE needs a total order (single-partition window) — so the
+# engine runs it over the (c_acctbal, c_custkey) projection only and
+# reduces to the 10-row decile summary before anything leaves the window
+# stage; the full-width table never sorts.
+@query(
+    "ntile_customer_deciles",
+    """
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (SELECT c_acctbal,
+                 ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+          FROM customer)
+    GROUP BY decile
+    """,
+)
+def ntile_customer_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )

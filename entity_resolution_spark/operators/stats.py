@@ -796,3 +796,30 @@ def join_size_estimate(
         )
     )
     return summary.unionByName(top)
+
+
+def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Rows not dominated in the minimize-(x, y) sense: no other row has
+    x' <= x AND y' <= y with at least one strict inequality. Identical
+    (x, y) points do not dominate each other, so ties all survive.
+
+    Plan: instead of the O(n^2) NOT-EXISTS self-join, collapse to the
+    per-x-value census (groupBy x -> min y), take the running minimum of
+    that census over strictly smaller x (one window over DISTINCT x values
+    — domain-sized, not data-sized), and broadcast the surviving frontier
+    back onto the table. A row survives iff it achieves its own x-group's
+    min y and no strictly cheaper x-group reaches a y <= its own. The only
+    ordered pass therefore runs over |distinct x| rows; the data-sized
+    steps are one hash aggregate and one broadcast semi-join.
+    """
+    census = df.groupBy(x).agg(F.min(y).alias("_gmin"))
+    w = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        census.withColumn("_cheaper_min", F.min("_gmin").over(w))
+        .where(
+            F.col("_cheaper_min").isNull() | (F.col("_cheaper_min") > F.col("_gmin"))
+        )
+        .select(x, F.col("_gmin"))
+    )
+    cond = (df[x] == frontier[x]) & (df[y] == frontier["_gmin"])
+    return df.join(F.broadcast(frontier), cond, "left_semi")

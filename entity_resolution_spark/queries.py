@@ -75,6 +75,9 @@ _DRIVER_PRIORITY = [
     "tpch_q5_region_volume",
     "tpch_q18_big_orders",
     "star_clusters_ngram",
+    "pareto_frontier_parts",
+    "above_avg_orders",
+    "ntile_customer_deciles",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",

@@ -750,3 +750,25 @@ class TestJoinSizeEstimate:
         summary = [r for r in out if r["key"] is None][0]
         assert summary["n_keys"] == 0
         assert summary["output_rows"] is None or summary["output_rows"] == 0
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import random
+
+    from entity_resolution_spark.operators.stats import pareto_frontier_2d
+
+    rng = random.Random(7)
+    pts = [(i, float(rng.randint(0, 20)), rng.randint(0, 20)) for i in range(200)]
+    # planted exact ties on the frontier: identical points must BOTH survive
+    pts += [(900, -1.0, 30), (901, -1.0, 30)]
+    df = spark.createDataFrame(pts, "id long, x double, y long").repartition(5)
+    got = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+    want = {
+        i
+        for (i, x, y) in pts
+        if not any(
+            (qx <= x and qy <= y and (qx < x or qy < y)) for (_, qx, qy) in pts
+        )
+    }
+    assert got == want
+    assert {900, 901} <= got
