@@ -146,6 +146,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "tpch_q5_region_volume",
         "tpch_q18_big_orders",
         "star_clusters_ngram",
+        "fd_profile_lineitem",
+        "ind_fk_candidates",
         "dedup_exact_sha",
         "j2_outer_join",
         "o2_topk",

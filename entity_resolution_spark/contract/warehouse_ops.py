@@ -617,3 +617,168 @@ def range_boundaries_lineitem(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return range_boundaries(li, "l_extendedprice", 8)
+
+
+# --- functional-dependency profiling ----------------------------------------
+# Candidate FDs over lineitem: the composite key (l_orderkey, l_linenumber)
+# determines l_partkey (it is the table's PK — holds), while l_orderkey
+# alone determines neither supplier nor part (violated). One hash aggregate
+# per candidate; output is one row per candidate.
+@query(
+    "fd_profile_lineitem",
+    """
+    SELECT 'l_orderkey -> l_suppkey' AS dependency,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(ndv) AS BIGINT) AS max_distinct_rhs,
+           max(ndv) <= 1 AS holds
+    FROM (SELECT count(DISTINCT l_suppkey) AS ndv
+          FROM lineitem GROUP BY l_orderkey)
+    UNION ALL
+    SELECT 'l_orderkey -> l_returnflag',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(ndv) AS BIGINT),
+           max(ndv) <= 1
+    FROM (SELECT count(DISTINCT l_returnflag) AS ndv
+          FROM lineitem GROUP BY l_orderkey)
+    UNION ALL
+    SELECT 'l_orderkey,l_linenumber -> l_partkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(ndv) AS BIGINT),
+           max(ndv) <= 1
+    FROM (SELECT count(DISTINCT l_partkey) AS ndv
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    """,
+)
+def fd_profile_lineitem(spark, sf_dir):
+    from ..operators.profiling import fd_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fd_profile(
+        li,
+        [
+            (["l_orderkey"], "l_suppkey"),
+            (["l_orderkey"], "l_returnflag"),
+            (["l_orderkey", "l_linenumber"], "l_partkey"),
+        ],
+    )
+
+
+# --- primary-key candidate discovery ----------------------------------------
+# Exact uniqueness + null census for every column of orders in ONE scan /
+# one aggregate; a column is a PK candidate iff fully distinct and
+# null-free.
+@query(
+    "pk_candidates_orders",
+    """
+    SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT o_orderkey) = count(*)
+             AND sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+             AS is_pk_candidate
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey) = count(*)
+             AND sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderstatus) = count(*)
+             AND sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice) = count(*)
+             AND sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def pk_candidates_orders(spark, sf_dir):
+    from ..operators.profiling import pk_candidates
+
+    o = _t(spark, sf_dir, "orders")
+    return pk_candidates(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+# --- inclusion-dependency (foreign-key candidate) discovery ------------------
+# Does every child key value appear in the claimed parent? Each check is a
+# distinct-collapse on both sides + LEFT ANTI join carrying only the key.
+# The reverse direction customer -> orders is deliberately included as the
+# expected-to-fail case (customers without orders).
+@query(
+    "ind_fk_candidates",
+    """
+    WITH chk AS (
+      SELECT 'lineitem.l_orderkey in orders.o_orderkey' AS dependency,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem
+              WHERE l_orderkey IS NOT NULL) AS n_child_distinct,
+             (SELECT count(*) FROM
+                (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                 WHERE l_orderkey IS NOT NULL) c
+              WHERE NOT EXISTS (SELECT 1 FROM orders p
+                                WHERE p.o_orderkey = c.k)) AS n_missing
+      UNION ALL
+      SELECT 'lineitem.l_partkey in part.p_partkey',
+             (SELECT count(DISTINCT l_partkey) FROM lineitem
+              WHERE l_partkey IS NOT NULL),
+             (SELECT count(*) FROM
+                (SELECT DISTINCT l_partkey AS k FROM lineitem
+                 WHERE l_partkey IS NOT NULL) c
+              WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.k))
+      UNION ALL
+      SELECT 'orders.o_custkey in customer.c_custkey',
+             (SELECT count(DISTINCT o_custkey) FROM orders
+              WHERE o_custkey IS NOT NULL),
+             (SELECT count(*) FROM
+                (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_custkey IS NOT NULL) c
+              WHERE NOT EXISTS (SELECT 1 FROM customer p
+                                WHERE p.c_custkey = c.k))
+      UNION ALL
+      SELECT 'customer.c_custkey in orders.o_custkey',
+             (SELECT count(DISTINCT c_custkey) FROM customer
+              WHERE c_custkey IS NOT NULL),
+             (SELECT count(*) FROM
+                (SELECT DISTINCT c_custkey AS k FROM customer
+                 WHERE c_custkey IS NOT NULL) c
+              WHERE NOT EXISTS (SELECT 1 FROM orders p
+                                WHERE p.o_custkey = c.k))
+    )
+    SELECT dependency, CAST(n_child_distinct AS BIGINT) AS n_child_distinct,
+           CAST(n_missing AS BIGINT) AS n_missing, n_missing = 0 AS holds
+    FROM chk
+    """,
+)
+def ind_fk_candidates(spark, sf_dir):
+    from ..operators.profiling import inclusion_deps
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    return inclusion_deps(
+        [
+            (li, "l_orderkey", orders, "o_orderkey",
+             "lineitem.l_orderkey in orders.o_orderkey"),
+            (li, "l_partkey", part, "p_partkey",
+             "lineitem.l_partkey in part.p_partkey"),
+            (orders, "o_custkey", cust, "c_custkey",
+             "orders.o_custkey in customer.c_custkey"),
+            (cust, "c_custkey", orders, "o_custkey",
+             "customer.c_custkey in orders.o_custkey"),
+        ]
+    )

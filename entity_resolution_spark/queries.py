@@ -78,6 +78,9 @@ _DRIVER_PRIORITY = [
     "pareto_frontier_parts",
     "above_avg_orders",
     "ntile_customer_deciles",
+    "fd_profile_lineitem",
+    "pk_candidates_orders",
+    "ind_fk_candidates",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",
