@@ -1203,3 +1203,37 @@ def bfs_labels_similarity_graph(spark, sf_dir):
         F.col("doc_id").alias("id")
     )
     return bfs_distance(edges, sources, max_hops=10)
+
+
+# --- fuzzy duplicate-transaction detection (banded numeric self-join) -------
+# Same customer, totals within 1000.00, order dates within 180 days. The
+# oracle is the literal theta self-join; the engine runs the band-equi-join
+# rewrite (floor(amount/eps) bands, right side replicated into band ± 1),
+# so candidates are an equi-join on (custkey, band) — never a theta join.
+@query(
+    "fuzzy_duplicate_orders",
+    """
+    SELECT a.o_custkey, a.o_orderkey AS left_id, b.o_orderkey AS right_id,
+           round(abs(a.o_totalprice - b.o_totalprice), 2) AS amount_diff,
+           CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                              CAST(b.o_orderdate AS DATE))) AS BIGINT)
+             AS day_gap
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) <= 1000.0
+     AND abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                       CAST(b.o_orderdate AS DATE))) <= 180
+    """,
+)
+def fuzzy_duplicate_orders(spark, sf_dir):
+    from ..operators.matching import banded_duplicate_pairs
+
+    return banded_duplicate_pairs(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        id_col="o_orderkey",
+        amount_col="o_totalprice",
+        time_col="o_orderdate",
+        amount_eps=1000.0,
+        max_days=180,
+    )

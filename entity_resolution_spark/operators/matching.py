@@ -112,3 +112,59 @@ def greedy_one_to_one(
     if out is None:
         return _mutual(sym).limit(0)
     return out
+
+
+def banded_duplicate_pairs(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    amount_col: str,
+    time_col: str,
+    amount_eps: float,
+    max_days: int,
+) -> DataFrame:
+    """Fuzzy duplicate-transaction candidates: same ``key``, amounts within
+    ``amount_eps``, event dates within ``max_days``. Returns one row per
+    unordered pair (``left_id < right_id``) with the amount gap and day gap.
+
+    Scale shape: |Δamount| <= eps is NOT a theta join here — each row gets
+    the integer band floor(amount/eps) and the right side replicates into
+    its band ± 1 (any qualifying pair differs by at most one band), so the
+    candidate join is a plain equi-join on (key, band) with 3x replication
+    of one side, then the exact amount/time predicates filter survivors.
+    Each qualifying pair matches on exactly one band equality and one id
+    orientation, so no dedup pass is needed.
+    """
+    if amount_eps <= 0 or max_days < 0:
+        raise ValueError("amount_eps must be > 0 and max_days >= 0")
+    base = df.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("_id"),
+        F.col(amount_col).alias("_amt"),
+        F.to_date(F.col(time_col)).alias("_d"),
+        F.floor(F.col(amount_col) / F.lit(float(amount_eps))).alias("_band"),
+    )
+    right = base.select(
+        F.col("_k"),
+        F.col("_id").alias("_rid"),
+        F.col("_amt").alias("_ramt"),
+        F.col("_d").alias("_rd"),
+        F.explode(
+            F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)
+        ).alias("_band"),
+    )
+    return (
+        base.join(right, ["_k", "_band"])
+        .where(
+            (F.col("_id") < F.col("_rid"))
+            & (F.abs(F.col("_amt") - F.col("_ramt")) <= F.lit(float(amount_eps)))
+            & (F.abs(F.datediff(F.col("_rd"), F.col("_d"))) <= F.lit(max_days))
+        )
+        .select(
+            F.col("_k").alias(key),
+            F.col("_id").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            F.round(F.abs(F.col("_amt") - F.col("_ramt")), 2).alias("amount_diff"),
+            F.abs(F.datediff(F.col("_rd"), F.col("_d"))).cast("long").alias("day_gap"),
+        )
+    )

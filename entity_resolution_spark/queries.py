@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "fd_profile_lineitem",
     "pk_candidates_orders",
     "ind_fk_candidates",
+    "fuzzy_duplicate_orders",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",

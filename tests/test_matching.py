@@ -124,3 +124,41 @@ def test_empty_pairs(spark):
     assert got == []
     got = mutual_best_matches(_df(spark, []).limit(0)).collect()
     assert got == []
+
+
+def test_banded_duplicate_pairs_band_boundary(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.matching import banded_duplicate_pairs
+
+    d = datetime.datetime(2020, 1, 1)
+
+    def row(i, k, amt, days):
+        return Row(id=i, k=k, amt=amt, ts=d + datetime.timedelta(days=days))
+
+    rows = [
+        # amounts straddle the eps=10 band boundary (9.9 apart across bands)
+        row(1, 1, 15.0, 0),
+        row(2, 1, 24.9, 1),
+        # equal amounts but 400 days apart -> time predicate rejects
+        row(3, 1, 15.0, 400),
+        # within eps only via band-1 neighbor replication (29.0 vs 24.9)
+        row(4, 1, 29.0, 2),
+        # different key, identical otherwise -> never paired
+        row(5, 2, 15.0, 0),
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in banded_duplicate_pairs(
+            df, "k", "id", "amt", "ts", amount_eps=10.0, max_days=180
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 4)}  # (1,4): 14.0 apart > eps; (1,3)/(2,3): time
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        banded_duplicate_pairs(df, "k", "id", "amt", "ts", 0.0, 10)
