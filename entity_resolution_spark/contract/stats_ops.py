@@ -1148,3 +1148,64 @@ def ntile_customer_deciles(spark, sf_dir):
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
     )
+
+
+# --- exact two-sample KS drift between event-id halves -----------------------
+# Distribution-drift screen: per event_type, the exact KS statistic between
+# the value distributions of even- and odd-id events (a deterministic A/B
+# split standing in for "yesterday vs today"). Census first, ONE
+# partitioned window over distinct values — never a global sort.
+@query(
+    "ks_drift_events_value",
+    """
+    WITH counts AS (
+      SELECT event_type, value,
+             sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS nb
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type,
+             sum(na) OVER (PARTITION BY event_type ORDER BY value)
+               * 1.0 / sum(na) OVER (PARTITION BY event_type)
+             - sum(nb) OVER (PARTITION BY event_type ORDER BY value)
+               * 1.0 / sum(nb) OVER (PARTITION BY event_type) AS gap,
+             sum(na) OVER (PARTITION BY event_type) AS ta,
+             sum(nb) OVER (PARTITION BY event_type) AS tb
+      FROM counts)
+    SELECT event_type, CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           round(max(abs(gap)), 6) AS ks_d
+    FROM cum GROUP BY event_type
+    """,
+)
+def ks_drift_events_value(spark, sf_dir):
+    from ..operators.stats import ks_statistic
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "in_a", F.pmod(F.col("event_id"), F.lit(2)) == 0
+    )
+    return ks_statistic(e, "value", "in_a", by=["event_type"])
+
+
+# --- Benford first-digit conformance over order totals -----------------------
+# The digit comes from the integer part's decimal string (exact — no float
+# log in the extraction); expected proportions are log10(1 + 1/d).
+@query(
+    "benford_orders_totalprice",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1)
+    SELECT digit, n_obs,
+           round(n_obs * 1.0 / sum(n_obs) OVER (), 6) AS obs_p,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+    FROM d
+    """,
+)
+def benford_orders_totalprice(spark, sf_dir):
+    from ..operators.stats import benford_report
+
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")

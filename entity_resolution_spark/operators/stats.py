@@ -823,3 +823,74 @@ def pareto_frontier_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     )
     cond = (df[x] == frontier[x]) & (df[y] == frontier["_gmin"])
     return df.join(F.broadcast(frontier), cond, "left_semi")
+
+
+def ks_statistic(
+    df: DataFrame,
+    value: str,
+    in_a: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group: the max
+    absolute gap between the two samples' empirical CDFs, where ``in_a``
+    is a boolean column splitting rows into sample A (true) and B (false).
+    NULL values are excluded.
+
+    Exact, not sampled: collapse to the per-(group, value) census first
+    (hash aggregate), then ONE ordered window pass over distinct values per
+    group — the sort is census-sized, and partitioned by group, never a
+    global sort of the raw data.
+    """
+    by = list(by)
+    counts = (
+        df.where(F.col(value).isNotNull())
+        .groupBy(*by, value)
+        .agg(
+            F.sum(F.col(in_a).cast("long")).alias("_na"),
+            F.sum((~F.col(in_a)).cast("long")).alias("_nb"),
+        )
+    )
+    w_cum = Window.partitionBy(*by).orderBy(value)
+    w_all = Window.partitionBy(*by)
+    gaps = counts.select(
+        *by,
+        (
+            F.sum("_na").over(w_cum) / F.sum("_na").over(w_all)
+            - F.sum("_nb").over(w_cum) / F.sum("_nb").over(w_all)
+        ).alias("_gap"),
+        F.sum("_na").over(w_all).alias("_ta"),
+        F.sum("_nb").over(w_all).alias("_tb"),
+    )
+    return gaps.groupBy(*by).agg(
+        F.max("_ta").alias("n_a"),
+        F.max("_tb").alias("n_b"),
+        F.round(F.max(F.abs(F.col("_gap"))), 6).alias("ks_d"),
+    )
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """First-digit census vs Benford's law for values >= 1 (fraud / data-
+    fabrication screening). The digit is taken from the integer part's
+    decimal string — exact, no float log in the digit extraction.
+
+    One filter + hash aggregate; output is at most nine rows.
+    """
+    digits = (
+        df.where(F.col(col) >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col(col)).cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    total = Window.partitionBy()
+    return digits.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.sum("n_obs").over(total), 6).alias("obs_p"),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+        ).alias("benford_p"),
+    )

@@ -82,6 +82,8 @@ _DRIVER_PRIORITY = [
     "pk_candidates_orders",
     "ind_fk_candidates",
     "fuzzy_duplicate_orders",
+    "ks_drift_events_value",
+    "benford_orders_totalprice",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",

@@ -772,3 +772,34 @@ def test_pareto_frontier_matches_bruteforce(spark):
     }
     assert got == want
     assert {900, 901} <= got
+
+
+def test_ks_statistic_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import ks_statistic
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: CDF gap peaks at value 2 -> |2/4 - 0| = 0.5
+    rows = [Row(g="x", v=float(v), a=True) for v in [1, 2, 3, 4]]
+    rows += [Row(g="x", v=float(v), a=False) for v in [3, 4, 5, 6]]
+    # identical samples -> D = 0
+    rows += [Row(g="y", v=float(v), a=True) for v in [1, 2]]
+    rows += [Row(g="y", v=float(v), a=False) for v in [1, 2]]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["g"]: r for r in ks_statistic(df, "v", "a", by=["g"]).collect()}
+    assert out["x"]["ks_d"] == 0.5 and out["x"]["n_a"] == 4
+    assert out["y"]["ks_d"] == 0.0
+
+
+def test_benford_report_digits_exact(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import benford_report
+
+    vals = [1.2, 15.0, 199.9, 2.0, 25.0, 900.0, 0.5]  # 0.5 excluded (< 1)
+    df = spark.createDataFrame([Row(x=v) for v in vals]).repartition(2)
+    out = {r["digit"]: r for r in benford_report(df, "x").collect()}
+    assert out["1"]["n_obs"] == 3 and out["2"]["n_obs"] == 2
+    assert out["9"]["n_obs"] == 1 and "0" not in out and "5" not in out
+    assert out["1"]["benford_p"] == 0.30103
+    assert abs(out["1"]["obs_p"] - 0.5) < 1e-9  # 3 of 6 qualifying rows
