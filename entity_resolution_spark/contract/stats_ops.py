@@ -1209,3 +1209,30 @@ def benford_orders_totalprice(spark, sf_dir):
     from ..operators.stats import benford_report
 
     return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# --- exponential time-decayed user value (feature-store aggregate) -----------
+# Closed-form decay (no sequential EWMA recurrence): one scan + one hash
+# aggregate, horizon = the table's max timestamp broadcast as a 1-row frame.
+# ln(2) is inlined as the identical double on both sides.
+@query(
+    "decayed_user_value",
+    """
+    WITH h AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id,
+           round(sum(value * exp(-0.6931471805599453
+                 * ((epoch(h.mx) - epoch(ts)) / 86400.0) / 30.0)), 6)
+             AS decayed_sum,
+           round(sum(exp(-0.6931471805599453
+                 * ((epoch(h.mx) - epoch(ts)) / 86400.0) / 30.0)), 6)
+             AS decayed_weight,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events, h GROUP BY user_id
+    """,
+)
+def decayed_user_value(spark, sf_dir):
+    from ..operators.timeseries import decayed_value
+
+    return decayed_value(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", half_life_days=30.0
+    )

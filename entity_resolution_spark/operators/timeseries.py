@@ -151,3 +151,44 @@ def rolling_stats(
         F.round(roll_sum, 6).alias("roll_sum"),
         F.round(roll_sum / roll_n, 6).alias("roll_avg"),
     )
+
+
+def decayed_value(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    half_life_days: float,
+    ln2: float = 0.6931471805599453,
+) -> DataFrame:
+    """Exponential time-decayed feature per key: sum(value * 2^(-age/h))
+    where age is days before the table's max timestamp (the "as-of" horizon)
+    and h is the half-life. The recency-weighted activity feature of every
+    feature store, computed closed-form — no sequential EWMA recurrence, so
+    it distributes as one scan + one hash aggregate (plus a broadcast 1-row
+    max for the horizon).
+
+    ``ln2`` is passed as a literal so an external replica can inline the
+    exact same double and stay bit-comparable.
+    """
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be > 0")
+    horizon = df.agg(F.max(F.col(ts)).alias("_h"))
+
+    # epoch seconds WITH the fractional part — unix_timestamp truncates
+    # sub-second precision and would skew every age by up to 1 s. NTZ
+    # columns cast through TIMESTAMP losslessly (session tz is UTC).
+    def _epoch(c):
+        return F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
+
+    age_days = (_epoch(F.col("_h")) - _epoch(F.col(ts))) / F.lit(86400.0)
+    w = F.exp(-F.lit(ln2) * age_days / F.lit(float(half_life_days)))
+    return (
+        df.crossJoin(F.broadcast(horizon))
+        .groupBy(key)
+        .agg(
+            F.round(F.sum(F.col(value) * w), 6).alias("decayed_sum"),
+            F.round(F.sum(w), 6).alias("decayed_weight"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = [
     "fuzzy_duplicate_orders",
     "ks_drift_events_value",
     "benford_orders_totalprice",
+    "decayed_user_value",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",

@@ -91,3 +91,26 @@ class TestRollingStats:
         df = spark.createDataFrame([], "user_id long, ts timestamp, value double")
         with _pt.raises(ValueError):
             rolling_stats(df, window_buckets=0)
+
+
+def test_decayed_value_halving(spark):
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.timeseries import decayed_value
+
+    t0 = datetime.datetime(2020, 1, 31)  # horizon = max ts
+    rows = [
+        Row(u=1, ts=t0, v=10.0),                                 # age 0  -> w 1
+        Row(u=1, ts=t0 - datetime.timedelta(days=30), v=10.0),   # age 30 -> w 1/2
+        Row(u=2, ts=t0 - datetime.timedelta(days=60), v=8.0),    # age 60 -> w 1/4
+    ]
+    df = spark.createDataFrame(rows).repartition(2)
+    out = {r["u"]: r for r in decayed_value(df, "u", "ts", "v", 30.0).collect()}
+    assert out[1]["decayed_sum"] == pytest.approx(15.0, abs=1e-6)
+    assert out[1]["decayed_weight"] == pytest.approx(1.5, abs=1e-6)
+    assert out[2]["decayed_sum"] == pytest.approx(2.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        decayed_value(df, "u", "ts", "v", 0.0)
