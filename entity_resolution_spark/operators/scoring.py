@@ -138,42 +138,58 @@ def score_pairs(
         200.0 * F.least("l_n", "r_n") / (F.col("l_n") + F.col("r_n")),
     ).otherwise(F.lit(0.0))
 
-    p1 = p.select(
+    # Phase 1 runs as TWO materialized passes, not one projection. In the
+    # fused plan, ExtractPythonUDFs hoists the JW UDF into an
+    # ArrowEvalPython node BELOW the final Project, so the token_hashes
+    # arrays (needed by the jaccard expression evaluated after the Python
+    # node) are buffered through the Python-exchange queue for every pair —
+    # measured 103 s vs 53 s at 8 cores / 15.26M pairs, and the fused shape
+    # scales at only 1.3x for 4x cores (queue buffering + allocation
+    # pressure) vs 2.6x split (/tmp A/B recorded in BENCH/BASELINE.md).
+    # Pass 1 (pure JVM) computes jaccard + the length bound and DROPS the
+    # arrays; pass 2 runs the JW UDF over the slim cached rows.
+    release_phase1()
+    slim = p.select(
         "left_id",
         "right_id",
         "block_key",
         jac.alias("token_jaccard"),
-        jw.alias("path_jw"),
         ub.alias("ub"),
-    ).withColumn(
-        "base_score",
-        cfg.w_jaccard * 100.0 * F.col("token_jaccard") + cfg.w_path * 100.0 * F.col("path_jw"),
-    )
-    # the union below reads p1 through two branches (rejected + survivors);
+        "l_base",
+        "r_base",
+    ).persist()
+    # The union below reads p1 through two branches (rejected + survivors);
     # without a materialization boundary each branch would re-run the
     # phase-1 joins and the JW UDF — persist is that boundary (columnar
     # and prunable; an eager localCheckpoint was measured ~70% slower).
-    # The cache is tracked and released via release_phase1() / the next
-    # call, so repeated score_pairs calls never leak executor memory. (A
-    # StageStore write plays this role on a cluster.)
-    release_phase1()
-    p1 = p1.persist()
-    _PHASE1_CACHE.append(p1)
-    # Fill the cache NOW, before the union job runs: the union reads p1
-    # through two concurrent branches, and concurrent readers of an
-    # unfilled cache each recompute its lineage (phase-1 joins + the JW
-    # UDF, twice). Measured A/B at 973k pairs / local[8], alternating in
-    # one session: lazy 107.6/31.6/19.6 s vs forced 44.7/15.8/17.2 s —
-    # the forced fill wins every adjacent pair. Same dependency-order rule
-    # the pipeline applies to its own multi-reader stages (pipeline.py).
-    # The fill runs at plan-BUILD time, outside the caller's stage timers —
-    # record it so resolve() can attribute it (it is most of the "missing"
-    # wall-clock in scaling-run decompositions).
+    # Both caches are filled NOW, before the union job runs: concurrent
+    # readers of an unfilled cache each recompute its lineage (measured 2x
+    # wall-clock; same dependency-order rule as pipeline.py). The fill runs
+    # at plan-BUILD time, outside the caller's stage timers — record it so
+    # resolve() can attribute it. Caches are tracked and released via
+    # release_phase1() / the next call, so repeated score_pairs calls never
+    # leak executor memory. (A StageStore write plays this role on a
+    # cluster.)
     import time as _time
 
     _t0 = _time.time()
+    slim.count()
+    p1 = slim.select(
+        "left_id",
+        "right_id",
+        "block_key",
+        "token_jaccard",
+        jw.alias("path_jw"),
+        "ub",
+    ).withColumn(
+        "base_score",
+        cfg.w_jaccard * 100.0 * F.col("token_jaccard") + cfg.w_path * 100.0 * F.col("path_jw"),
+    ).persist()
+    _PHASE1_CACHE.append(p1)
     p1.count()
     _P1_FILL_SECS[0] = round(_time.time() - _t0, 3)
+    # p1 is filled — the slim intermediate (with its basename payload) can go
+    slim.unpersist()
     # lev_ratio is banker's-rounded to an int, so the true blend can exceed
     # the unrounded length bound by up to w_content*0.5 — widen the gate by
     # that slack so "bound misses threshold" really means "can never match"
