@@ -1237,3 +1237,37 @@ def fuzzy_duplicate_orders(spark, sf_dir):
         amount_eps=1000.0,
         max_days=180,
     )
+
+
+# --- weighted Jaccard similarity join (global IDF token weights) -------------
+# Third member of the token-similarity family (unweighted ppjoin, tf-idf
+# cosine, weighted Jaccard): shared-token idf mass over union idf mass.
+# Global per-token weights mean the intersection mass aggregates directly
+# on the inverted-index join — one shuffle on token, one on the pair key.
+@query(
+    "weighted_jaccard_docs",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_distinct([x FOR x IN
+                        string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')
+                        IF x <> '']) AS toks
+               FROM documents),
+    n AS (SELECT count(*) AS nn FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    d AS (SELECT token, count(*) AS df FROM e GROUP BY token),
+    w AS (SELECT e.doc_id, e.token, ln(1.0 + n.nn * 1.0 / d.df) AS idf
+          FROM e JOIN d USING (token), n),
+    tw AS (SELECT doc_id, sum(idf) AS total FROM w GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS l, b.doc_id AS r, sum(a.idf) AS s
+          FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT l AS left_id, r AS right_id,
+           round(s / (ta.total + tb.total - s), 6) AS weighted_jaccard
+    FROM p JOIN tw ta ON ta.doc_id = p.l JOIN tw tb ON tb.doc_id = p.r
+    WHERE round(s / (ta.total + tb.total - s), 6) >= 0.9
+    """,
+)
+def weighted_jaccard_docs(spark, sf_dir):
+    from ..operators.setjoin import weighted_token_jaccard
+
+    return weighted_token_jaccard(_t(spark, sf_dir, "documents"), threshold=0.9)

@@ -1236,3 +1236,32 @@ def decayed_user_value(spark, sf_dir):
     return decayed_value(
         _t(spark, sf_dir, "events"), "user_id", "ts", "value", half_life_days=30.0
     )
+
+
+# --- period-over-period growth report ----------------------------------------
+# Week-over-week event volume per type: collapse to the (type, week)
+# census FIRST, then lag over report-sized rows. Monday-start weeks in
+# both engines (ISO date_trunc).
+@query(
+    "wow_event_growth",
+    """
+    WITH cur AS (
+      SELECT event_type, date_trunc('week', ts) AS period,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(value), 6) AS value_sum
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, period, n_rows, value_sum,
+           lag(n_rows) OVER w AS prev_n_rows,
+           CASE WHEN lag(n_rows) OVER w IS NOT NULL
+                 AND lag(n_rows) OVER w <> 0
+                THEN round(n_rows * 1.0 / lag(n_rows) OVER w, 6) END AS growth
+    FROM cur
+    WINDOW w AS (PARTITION BY event_type ORDER BY period)
+    """,
+)
+def wow_event_growth(spark, sf_dir):
+    from ..operators.timeseries import period_over_period
+
+    return period_over_period(
+        _t(spark, sf_dir, "events"), "ts", by=["event_type"], value="value", unit="week"
+    )

@@ -681,3 +681,69 @@ def smith_waterman_score(
         .otherwise(F.lit(0.0))
         .alias("sw_sim"),
     )
+
+
+def weighted_token_jaccard(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 1_000_000_000,
+) -> DataFrame:
+    """Weighted Jaccard similarity join with global IDF token weights:
+    wj(a, b) = sum_{t in a∩b} idf(t) / (W(a) + W(b) - sum_{a∩b} idf(t)),
+    idf(t) = ln(1 + N/df(t)) — rare tokens count more, boilerplate tokens
+    barely count. The third member of the token-similarity-join family
+    next to the unweighted ppjoin and the tf-idf cosine join.
+
+    Because the weight is global per token, the shared-token mass is just
+    the sum of idf over the intersection — so the pair aggregation runs
+    directly on the inverted-index join (one shuffle on token, one on the
+    pair key) plus two broadcast-shaped joins for the per-doc totals.
+    ``max_doc_freq`` drops postings of tokens appearing in more rows
+    (stop-token skew guard for corpus scale — pairs sharing ONLY such
+    tokens are then missed, so leave it inert when exactness is required).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("token"),
+    )
+    n_docs = docs.select(F.count("*").alias("_n"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("_df"))
+    w = (
+        toks.join(F.broadcast(dfreq.where(F.col("_df") <= max_doc_freq)), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            F.log(F.lit(1.0) + F.col("_n") / F.col("_df")).alias("_idf"),
+        )
+    )
+    totals = w.groupBy("id").agg(F.sum("_idf").alias("_tw"))
+    left, right = w.alias("a"), w.alias("b")
+    shared = (
+        left.join(right, "token")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .agg(F.sum(F.col("a._idf")).alias("_s"))
+    )
+    ta = totals.select(F.col("id").alias("left_id"), F.col("_tw").alias("_ta"))
+    tb = totals.select(F.col("id").alias("right_id"), F.col("_tw").alias("_tb"))
+    wj = F.round(
+        F.col("_s") / (F.col("_ta") + F.col("_tb") - F.col("_s")), 6
+    ).alias("weighted_jaccard")
+    return (
+        shared.join(ta, "left_id")
+        .join(tb, "right_id")
+        .select("left_id", "right_id", wj)
+        .where(F.col("weighted_jaccard") >= threshold)
+    )

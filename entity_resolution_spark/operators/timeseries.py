@@ -14,6 +14,8 @@ key. The LOCF is a key-partitioned running `last(ignorenulls)` window.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -192,3 +194,36 @@ def decayed_value(
             F.count("*").alias("n_events"),
         )
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts: str,
+    by: Sequence[str] = (),
+    value: str | None = None,
+    unit: str = "week",
+) -> DataFrame:
+    """Period-over-period reporting: per group and calendar period, the
+    row count (and optional value sum), the previous period's figures, and
+    the growth ratio round(cur/prev, 6) (NULL for the first period or a
+    zero base). The aggregate collapses to |groups| x |periods| rows
+    BEFORE the lag window runs, so the ordered pass is report-sized, not
+    data-sized.
+    """
+    by = list(by)
+    period = F.date_trunc(unit, F.col(ts)).alias("period")
+    aggs = [F.count("*").alias("n_rows")]
+    if value is not None:
+        aggs.append(F.round(F.sum(value), 6).alias("value_sum"))
+    cur = df.groupBy(*by, period).agg(*aggs)
+    w = Window.partitionBy(*by).orderBy("period")
+    out = cur.withColumn("prev_n_rows", F.lag("n_rows").over(w))
+    growth_base = F.col("prev_n_rows")
+    out = out.withColumn(
+        "growth",
+        F.when(
+            growth_base.isNotNull() & (growth_base != 0),
+            F.round(F.col("n_rows") / growth_base, 6),
+        ),
+    )
+    return out

@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = [
     "ks_drift_events_value",
     "benford_orders_totalprice",
     "decayed_user_value",
+    "weighted_jaccard_docs",
+    "wow_event_growth",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",

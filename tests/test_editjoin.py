@@ -88,3 +88,37 @@ def test_tau_validation(strings):
         edit_distance_join(strings, tau=-1)
     with pytest.raises(ValueError):
         edit_distance_join(strings, tau=1, q=1)
+
+
+def test_weighted_token_jaccard_hand_weights(spark):
+    import math
+
+    import pytest
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.setjoin import weighted_token_jaccard
+
+    # 4 docs; token 'common' in all (idf ln(2), tiny), 'rare' in 2 (idf ln(3))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rare alpha"),
+            Row(doc_id=2, text="common rare beta"),
+            Row(doc_id=3, text="common gamma delta"),
+            Row(doc_id=4, text="common"),
+        ]
+    ).repartition(2)
+    out = {
+        (r["left_id"], r["right_id"]): r["weighted_jaccard"]
+        for r in weighted_token_jaccard(docs, threshold=0.01).collect()
+    }
+    i_c, i_r, i_u = math.log(1 + 4 / 4), math.log(1 + 4 / 2), math.log(1 + 4 / 1)
+    # docs 1,2 share common+rare; each also holds one unique token
+    want_12 = (i_c + i_r) / (2 * (i_c + i_r + i_u) - (i_c + i_r))
+    assert out[(1, 2)] == pytest.approx(want_12, abs=1e-6)
+    # doc 4 vs doc 3: only 'common' shared
+    want_34 = i_c / ((i_c + 2 * i_u) + i_c - i_c)
+    assert out[(3, 4)] == pytest.approx(want_34, abs=1e-6)
+    # rare pair scores above the only-common pair
+    assert out[(1, 2)] > out[(3, 4)]
+    with pytest.raises(ValueError):
+        weighted_token_jaccard(docs, threshold=0.0)

@@ -114,3 +114,30 @@ def test_decayed_value_halving(spark):
     assert out[2]["decayed_sum"] == pytest.approx(2.0, abs=1e-6)
     with pytest.raises(ValueError):
         decayed_value(df, "u", "ts", "v", 0.0)
+
+
+def test_period_over_period_growth(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.timeseries import period_over_period
+
+    mon = datetime.datetime(2024, 1, 1)  # a Monday
+
+    def ev(day, typ):
+        return Row(ts=mon + datetime.timedelta(days=day), event_type=typ, value=1.0)
+
+    rows = [ev(0, "a"), ev(1, "a")]            # week 1: 2 events
+    rows += [ev(7, "a"), ev(8, "a"), ev(9, "a")]  # week 2: 3 -> growth 1.5
+    rows += [ev(21, "a")]                      # week 4 (week 3 missing): prev = week 2
+    rows += [ev(0, "b")]                       # single week -> growth NULL
+    df = spark.createDataFrame(rows).repartition(2)
+    out = {
+        (r["event_type"], r["period"].day): (r["n_rows"], r["prev_n_rows"], r["growth"])
+        for r in period_over_period(df, "ts", by=["event_type"], value="value").collect()
+    }
+    assert out[("a", 1)] == (2, None, None)
+    assert out[("a", 8)] == (3, 2, 1.5)
+    assert out[("a", 22)] == (1, 3, 0.333333)  # lag is previous OBSERVED week
+    assert out[("b", 1)] == (1, None, None)
