@@ -1265,3 +1265,37 @@ def wow_event_growth(spark, sf_dir):
     return period_over_period(
         _t(spark, sf_dir, "events"), "ts", by=["event_type"], value="value", unit="week"
     )
+
+
+# --- RFM segmentation over the order history ---------------------------------
+# Census-first: the three NTILE windows run over per-customer rows only,
+# never the raw fact table; monetary is rounded to cents before ranking so
+# tile assignment is stable across summation orders.
+@query(
+    "rfm_customer_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    agg AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            CAST((SELECT maxd FROM mx) AS DATE)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey)
+                AS BIGINT) AS r_q,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_q,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                AS BIGINT) AS m_q
+    FROM agg
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    from ..operators.stats import rfm_segments
+
+    return rfm_segments(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    )

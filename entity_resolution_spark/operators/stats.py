@@ -894,3 +894,49 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
             F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
         ).alias("benford_p"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    amount: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM customer segmentation: per key, days since last activity
+    (relative to the table's max date), activity count, and rounded spend,
+    each quartiled with NTILE (quartile 1 = best: most recent / most
+    frequent / highest spend; deterministic key tiebreak).
+
+    The raw table collapses to the per-key census FIRST (one hash
+    aggregate + a broadcast 1-row horizon); the three NTILE windows then
+    run over census-sized rows only. Monetary is rounded to cents BEFORE
+    ranking so the tile assignment is stable across summation orders
+    (whole-cent inputs ⇒ the rounded sum is exact on any engine).
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    horizon = df.agg(F.max(F.to_date(F.col(ts))).alias("_maxd"))
+    agg = (
+        df.crossJoin(F.broadcast(horizon))
+        .groupBy(key)
+        .agg(
+            F.datediff(F.max("_maxd"), F.max(F.to_date(F.col(ts))))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum(amount), 2).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc(key))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc(key))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc(key))
+    return agg.select(
+        key,
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(r_w).cast("long").alias("r_q"),
+        F.ntile(n_tiles).over(f_w).cast("long").alias("f_q"),
+        F.ntile(n_tiles).over(m_w).cast("long").alias("m_q"),
+    )

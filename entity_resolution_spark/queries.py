@@ -57,7 +57,7 @@ from .contract import (  # noqa: E402,F401
 # ROTATION STRATEGY (for the next round): once CORRECTNESS_r03 lands,
 # move every query that received a green r3 row BELOW the ones that
 # didn't — the window rotates each round until every registered query has
-# at least one driver-green row on record. 197 registered / ~50-query
+# at least one driver-green row on record. 198 registered / ~50-query
 # window: everything after position ~50 waits for a later rotation; the
 # 46 names not listed here at all are r1/r2-driver-green and deliberately
 # land at the tail in registration order.
@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = [
     "decayed_user_value",
     "weighted_jaccard_docs",
     "wow_event_growth",
+    "rfm_customer_segments",
     # new in round 3 (closing session): warehouse maintenance + mining
     "cdc_apply_user_state",
     "ivm_event_type_totals",

@@ -803,3 +803,32 @@ def test_benford_report_digits_exact(spark):
     assert out["9"]["n_obs"] == 1 and "0" not in out and "5" not in out
     assert out["1"]["benford_p"] == 0.30103
     assert abs(out["1"]["obs_p"] - 0.5) < 1e-9  # 3 of 6 qualifying rows
+
+
+def test_rfm_segments_hand_tiles(spark):
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import rfm_segments
+
+    d0 = datetime.datetime(2024, 6, 30)
+
+    def o(k, days_ago, amt):
+        return Row(k=k, ts=d0 - datetime.timedelta(days=days_ago), amt=amt)
+
+    rows = [o(1, 0, 100.0), o(1, 10, 100.0)]   # recent, 2 orders, 200
+    rows += [o(2, 5, 50.0)]                     # 1 order, 50
+    rows += [o(3, 30, 400.0)]                   # old, 1 order, 400
+    rows += [o(4, 60, 10.0)]                    # oldest, 1 order, 10
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["k"]: r for r in rfm_segments(df, "k", "ts", "amt").collect()}
+    assert out[1]["recency_days"] == 0 and out[4]["recency_days"] == 60
+    assert out[1]["frequency"] == 2 and out[1]["monetary"] == 200.0
+    # 4 keys, 4 tiles -> each tile has exactly one key per dimension
+    assert [out[k]["r_q"] for k in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert out[1]["f_q"] == 1  # only multi-order key
+    assert [out[k]["m_q"] for k in (3, 1, 2, 4)] == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        rfm_segments(df, "k", "ts", "amt", n_tiles=0)
