@@ -1299,3 +1299,154 @@ def rfm_customer_segments(spark, sf_dir):
     return rfm_segments(
         _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
     )
+
+
+# --- all-pairs Pearson + Spearman correlation --------------------------------
+# Both engines use the SAME closed-form moment identity (not their builtin
+# corr(), whose accumulation algorithms differ) and the same fractional-rank
+# definition, so round(6) agreement is structural. Listwise null deletion
+# keeps every pair over one row set.
+@query(
+    "correlation_lineitem",
+    """
+    WITH base AS (
+      SELECT l_quantity AS x1, l_extendedprice AS x2, l_discount AS x3
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    r AS (
+      SELECT x1, x2, x3,
+             rank() OVER (ORDER BY x1)
+               + (count(*) OVER (PARTITION BY x1) - 1) / 2.0 AS r1,
+             rank() OVER (ORDER BY x2)
+               + (count(*) OVER (PARTITION BY x2) - 1) / 2.0 AS r2,
+             rank() OVER (ORDER BY x3)
+               + (count(*) OVER (PARTITION BY x3) - 1) / 2.0 AS r3
+      FROM base),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_rows,
+             sum(x1) AS s1, sum(x1*x1) AS ss1,
+             sum(x2) AS s2, sum(x2*x2) AS ss2,
+             sum(x3) AS s3, sum(x3*x3) AS ss3,
+             sum(r1) AS t1, sum(r1*r1) AS tt1,
+             sum(r2) AS t2, sum(r2*r2) AS tt2,
+             sum(r3) AS t3, sum(r3*r3) AS tt3,
+             sum(x1*x2) AS p12, sum(x1*x3) AS p13, sum(x2*x3) AS p23,
+             sum(r1*r2) AS q12, sum(r1*r3) AS q13, sum(r2*r3) AS q23
+      FROM r)
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CASE WHEN sqrt((n*ss1 - s1*s1)*(n*ss2 - s2*s2)) > 0 THEN
+             round((n*p12 - s1*s2)/sqrt((n*ss1 - s1*s1)*(n*ss2 - s2*s2)), 6)
+           END AS pearson,
+           CASE WHEN sqrt((n*tt1 - t1*t1)*(n*tt2 - t2*t2)) > 0 THEN
+             round((n*q12 - t1*t2)/sqrt((n*tt1 - t1*t1)*(n*tt2 - t2*t2)), 6)
+           END AS spearman
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', CAST(n_rows AS BIGINT),
+           CASE WHEN sqrt((n*ss1 - s1*s1)*(n*ss3 - s3*s3)) > 0 THEN
+             round((n*p13 - s1*s3)/sqrt((n*ss1 - s1*s1)*(n*ss3 - s3*s3)), 6)
+           END,
+           CASE WHEN sqrt((n*tt1 - t1*t1)*(n*tt3 - t3*t3)) > 0 THEN
+             round((n*q13 - t1*t3)/sqrt((n*tt1 - t1*t1)*(n*tt3 - t3*t3)), 6)
+           END
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', CAST(n_rows AS BIGINT),
+           CASE WHEN sqrt((n*ss2 - s2*s2)*(n*ss3 - s3*s3)) > 0 THEN
+             round((n*p23 - s2*s3)/sqrt((n*ss2 - s2*s2)*(n*ss3 - s3*s3)), 6)
+           END,
+           CASE WHEN sqrt((n*tt2 - t2*t2)*(n*tt3 - t3*t3)) > 0 THEN
+             round((n*q23 - t2*t3)/sqrt((n*tt2 - t2*t2)*(n*tt3 - t3*t3)), 6)
+           END
+    FROM m
+    """,
+)
+def correlation_lineitem(spark, sf_dir):
+    from ..operators.stats import correlation_report
+
+    return correlation_report(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+# --- Mann-Whitney U rank-sum test --------------------------------------------
+# Exact rank sums from the per-value census (ties contribute via t^3 - t);
+# the tie term is computed in DOUBLE on both engines so the z agrees after
+# round(6) regardless of summation order.
+@query(
+    "mw_u_purchase_vs_click",
+    """
+    WITH c AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY value),
+    r AS (
+      SELECT *,
+             sum(ct) OVER (ORDER BY value) - ct + (ct + 1) / 2.0 AS avg_rank
+      FROM c),
+    m AS (
+      SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+             sum(ca * avg_rank) AS ra,
+             sum((ct * 1.0) * ct * ct - ct) AS ties
+      FROM r)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ra - na * (na + 1) / 2, 2) AS u_a,
+           round(na * nb - (ra - na * (na + 1) / 2), 2) AS u_b,
+           CASE WHEN na * nb / 12 * ((na + nb + 1)
+                  - ties / ((na + nb) * (na + nb - 1))) > 0 THEN
+             round((ra - na * (na + 1) / 2 - na * nb / 2)
+                   / sqrt(na * nb / 12 * ((na + nb + 1)
+                          - ties / ((na + nb) * (na + nb - 1)))), 6)
+           END AS z
+    FROM m
+    """,
+)
+def mw_u_purchase_vs_click(spark, sf_dir):
+    from ..operators.stats import mann_whitney_u
+
+    return mann_whitney_u(
+        _t(spark, sf_dir, "events"), "value", "event_type", "purchase", "click"
+    )
+
+
+# --- Gini concentration per group --------------------------------------------
+# Census-first rank-weighted sum: a run of c ties at value v after cum rows
+# contributes v*(c*cum + c*(c+1)/2) — exact on both engines.
+@query(
+    "gini_event_value",
+    """
+    WITH census AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND value >= 0
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, value, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY value) - c AS cb
+      FROM census),
+    g AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             sum(value * c) AS t,
+             sum(value * (c * cb + c * (c + 1) / 2.0)) AS sw
+      FROM cum GROUP BY 1)
+    SELECT event_type, n_rows,
+           round(t, 6) AS total_value,
+           CASE WHEN t > 0 THEN
+             round(2.0 * sw / (n_rows * t) - (n_rows + 1.0) / n_rows, 6)
+           END AS gini
+    FROM g
+    """,
+)
+def gini_event_value(spark, sf_dir):
+    from ..operators.stats import gini_report
+
+    return gini_report(_t(spark, sf_dir, "events"), ["event_type"], "value")

@@ -940,3 +940,213 @@ def rfm_segments(
         F.ntile(n_tiles).over(f_w).cast("long").alias("f_q"),
         F.ntile(n_tiles).over(m_w).cast("long").alias("m_q"),
     )
+
+
+def _avg_rank_census(census: DataFrame, value: str, cnt: str, num_ranges: int = 32) -> DataFrame:
+    """Attach fractional (average) ranks to a value census: for each
+    distinct value, ``avg_rank`` = (#rows with smaller value) +
+    (ties + 1)/2 — the tie convention of Spearman/Mann-Whitney.
+
+    Scale shape: a genuinely distributed prefix sum, NOT a global-window
+    sort. The census range-partitions by value (order-preserving, equal
+    values co-located), each range computes its local ordered cumsum in
+    parallel, and the per-range totals — ``num_ranges`` rows, control-plane
+    sized — are offset via a trivial window and broadcast back. A
+    continuous column whose census is data-sized still ranks in parallel.
+    """
+    part = census.repartitionByRange(num_ranges, F.col(value)).withColumn(
+        "_rid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_rid").orderBy(value)
+    local = part.withColumn(
+        "_cum_local", F.sum(cnt).over(w_local) - F.col(cnt)
+    )
+    totals = local.groupBy("_rid").agg(F.sum(cnt).alias("_rtot"))
+    w_off = Window.orderBy("_rid")  # num_ranges rows: control-plane sized
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_rtot").over(w_off) - F.col("_rtot"), F.lit(0))
+    ).select("_rid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_rid")
+        .withColumn(
+            "avg_rank",
+            F.col("_off")
+            + F.col("_cum_local")
+            + (F.col(cnt) + F.lit(1)) / F.lit(2.0),
+        )
+        .drop("_rid", "_cum_local", "_off")
+    )
+
+
+def correlation_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """All-pairs Pearson AND Spearman correlation over numeric columns:
+    one row per unordered pair (col_x, col_y, n_rows, pearson, spearman).
+
+    Rows with a NULL in ANY of ``cols`` are dropped (listwise deletion) so
+    every pair is computed over the same row set. Pearson comes from the
+    closed-form moment identity — a SINGLE hash aggregate computes every
+    sum/sum-of-squares/cross-product for all pairs in one scan. Spearman is
+    Pearson over fractional ranks: each column's rank map is census-sized
+    (distinct values) and built by the distributed prefix-sum ranking in
+    `_avg_rank_census`, then hash-joined back — one shuffle per column,
+    never a global sort of the fact table.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_report needs at least two columns")
+    base = df.select(*cols).na.drop(how="any", subset=cols)
+    ranked = base
+    for c in cols:
+        rank_map = _avg_rank_census(
+            base.groupBy(c).agg(F.count("*").alias("_n")), c, "_n"
+        ).select(F.col(c), F.col("avg_rank").alias(f"_r_{c}"))
+        ranked = ranked.join(rank_map.hint("shuffle_hash"), c)
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c)).alias(f"_s_{c}"),
+            F.sum(F.col(c) * F.col(c)).alias(f"_ss_{c}"),
+            F.sum(F.col(f"_r_{c}")).alias(f"_rs_{c}"),
+            F.sum(F.col(f"_r_{c}") * F.col(f"_r_{c}")).alias(f"_rss_{c}"),
+        ]
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"_sxy_{x}_{y}"))
+            aggs.append(
+                F.sum(F.col(f"_r_{x}") * F.col(f"_r_{y}")).alias(f"_rxy_{x}_{y}")
+            )
+    m = ranked.agg(*aggs)
+
+    def _corr(n, sx, sy, sxx, syy, sxy):
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return F.when(den > 0, F.round((n * sxy - sx * sy) / den, 6))
+
+    pair_rows = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            n = F.col("_n").cast("double")
+            pair_rows.append(
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.col("_n").alias("n_rows"),
+                    _corr(
+                        n,
+                        F.col(f"_s_{x}"),
+                        F.col(f"_s_{y}"),
+                        F.col(f"_ss_{x}"),
+                        F.col(f"_ss_{y}"),
+                        F.col(f"_sxy_{x}_{y}"),
+                    ).alias("pearson"),
+                    _corr(
+                        n,
+                        F.col(f"_rs_{x}"),
+                        F.col(f"_rs_{y}"),
+                        F.col(f"_rss_{x}"),
+                        F.col(f"_rss_{y}"),
+                        F.col(f"_rxy_{x}_{y}"),
+                    ).alias("spearman"),
+                )
+            )
+    return m.select(
+        F.explode(F.array(*pair_rows)).alias("_p")
+    ).select("_p.col_x", "_p.col_y", "_p.n_rows", "_p.pearson", "_p.spearman")
+
+
+def mann_whitney_u(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) between groups
+    ``a`` and ``b`` of ``group``: one row (n_a, n_b, u_a, u_b, z) with the
+    tie-corrected normal approximation z = (U_a - mu)/sigma.
+
+    Rank-sums come from the per-value census (one hash aggregate) ranked by
+    the distributed prefix-sum in `_avg_rank_census` — the raw table is
+    never globally sorted; ties contribute exactly via t^3 - t on the
+    census counts. NULL values are excluded.
+    """
+    counts = (
+        df.where(F.col(value).isNotNull() & F.col(group).isin([a, b]))
+        .groupBy(value)
+        .agg(
+            F.sum((F.col(group) == a).cast("long")).alias("_ca"),
+            F.sum((F.col(group) == b).cast("long")).alias("_cb"),
+        )
+        .withColumn("_ct", F.col("_ca") + F.col("_cb"))
+    )
+    ranked = _avg_rank_census(counts, value, "_ct")
+    m = ranked.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(F.col("_ca") * F.col("avg_rank")).alias("_ra"),
+        F.sum(
+            F.col("_ct").cast("double") * F.col("_ct") * F.col("_ct")
+            - F.col("_ct")
+        ).alias("_ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("_ra") - na * (na + 1) / 2
+    u_b = na * nb - u_a
+    sigma2 = na * nb / 12 * ((n + 1) - F.col("_ties") / (n * (n - 1)))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 2).alias("u_a"),
+        F.round(u_b, 2).alias("u_b"),
+        F.when(
+            sigma2 > 0, F.round((u_a - na * nb / 2) / F.sqrt(sigma2), 6)
+        ).alias("z"),
+    )
+
+
+def gini_report(
+    df: DataFrame, by: Sequence[str], value: str
+) -> DataFrame:
+    """Per-group Gini concentration coefficient over non-negative values:
+    (by..., n_rows, total_value, gini), gini = 2*S/(n*T) - (n+1)/n where S
+    is the rank-weighted sum over the ascending-sorted values.
+
+    Census-first: collapse to the per-(group, value) census, then one
+    ordered window pass per group over DISTINCT values — a run of c ties
+    at value v starting after ``cum`` rows contributes exactly
+    v*(c*cum + c*(c+1)/2) to S, so the sort is census-sized and
+    partitioned by group, never a global sort of the raw rows. NULL and
+    negative values are excluded (Gini is defined for non-negative
+    support).
+    """
+    by = list(by)
+    census = (
+        df.where(F.col(value).isNotNull() & (F.col(value) >= 0))
+        .groupBy(*by, value)
+        .agg(F.count("*").alias("_c"))
+    )
+    w_cum = Window.partitionBy(*by).orderBy(value)
+    with_cum = census.withColumn(
+        "_cum", F.sum("_c").over(w_cum) - F.col("_c")
+    ).withColumn(
+        "_s",
+        F.col(value)
+        * (
+            F.col("_c") * F.col("_cum")
+            + F.col("_c") * (F.col("_c") + F.lit(1)) / F.lit(2.0)
+        ),
+    )
+    g = with_cum.groupBy(*by).agg(
+        F.sum("_c").alias("n_rows"),
+        F.sum(F.col(value) * F.col("_c")).alias("_t"),
+        F.sum("_s").alias("_sw"),
+    )
+    n = F.col("n_rows").cast("double")
+    return g.select(
+        *by,
+        "n_rows",
+        F.round(F.col("_t"), 6).alias("total_value"),
+        F.when(
+            F.col("_t") > 0,
+            F.round(
+                F.lit(2.0) * F.col("_sw") / (n * F.col("_t")) - (n + 1) / n, 6
+            ),
+        ).alias("gini"),
+    )

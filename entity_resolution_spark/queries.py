@@ -69,6 +69,11 @@ _DRIVER_PRIORITY = [
     "multimodal_fake_features",
     "f_jw_levenshtein",
     "stream_interval_join",
+    # newest this session: rank-statistics trio (distributed prefix-sum
+    # ranking) — freshest code, verify first
+    "correlation_lineitem",
+    "mw_u_purchase_vs_click",
+    "gini_event_value",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

@@ -832,3 +832,119 @@ def test_rfm_segments_hand_tiles(spark):
     assert [out[k]["m_q"] for k in (3, 1, 2, 4)] == [1, 2, 3, 4]
     with pytest.raises(ValueError):
         rfm_segments(df, "k", "ts", "amt", n_tiles=0)
+
+
+def test_correlation_report_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import correlation_report
+
+    # y = x^2 on positive x: perfectly monotone (spearman == 1) but not
+    # linear (pearson < 1); z is anti-monotone with ties in the middle.
+    rows = [
+        Row(x=1.0, y=1.0, z=4.0),
+        Row(x=2.0, y=4.0, z=3.0),
+        Row(x=3.0, y=9.0, z=3.0),
+        Row(x=4.0, y=16.0, z=1.0),
+        Row(x=5.0, y=25.0, z=None),  # listwise-dropped
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {(r["col_x"], r["col_y"]): r for r in correlation_report(df, ["x", "y", "z"]).collect()}
+    assert len(out) == 3 and all(r["n_rows"] == 4 for r in out.values())
+    xy = out[("x", "y")]
+    assert xy["spearman"] == 1.0 and 0 < xy["pearson"] < 1
+    # x vs z: ranks x=(1,2,3,4), z=(4, 2.5, 2.5, 1) -> strong negative
+    xz = out[("x", "z")]
+    assert xz["spearman"] < -0.9 and xz["pearson"] < -0.9
+    import pytest
+
+    with pytest.raises(ValueError):
+        correlation_report(df, ["x"])
+
+
+def test_correlation_constant_column_null(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import correlation_report
+
+    df = spark.createDataFrame([Row(x=float(i), c=7.0) for i in range(5)])
+    r = correlation_report(df, ["x", "c"]).collect()[0]
+    assert r["pearson"] is None and r["spearman"] is None
+
+
+def test_mann_whitney_u_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import mann_whitney_u
+
+    # A = {1, 2, 3}, B = {4, 5, 6}: complete separation -> U_a = 0, U_b = 9.
+    rows = [Row(g="a", v=float(v)) for v in [1, 2, 3]]
+    rows += [Row(g="b", v=float(v)) for v in [4, 5, 6]]
+    rows += [Row(g="other", v=100.0), Row(g="a", v=None)]  # excluded
+    df = spark.createDataFrame(rows).repartition(3)
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["u_a"] == 0.0 and r["u_b"] == 9.0
+    assert r["z"] < -1.9  # -(4.5)/sqrt(5.25) = -1.963961
+    assert abs(r["z"] + 1.963961) < 1e-6
+
+
+def test_mann_whitney_u_ties_exact(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import mann_whitney_u
+
+    # A = {1, 2, 2}, B = {2, 3}: ranks 1, 3, 3, 3, 5 (three-way tie at 2).
+    # R_a = 1 + 3 + 3 = 7 -> U_a = 7 - 6 = 1; U_b = 6 - 1 = 5.
+    rows = [Row(g="a", v=v) for v in [1.0, 2.0, 2.0]]
+    rows += [Row(g="b", v=v) for v in [2.0, 3.0]]
+    df = spark.createDataFrame(rows).repartition(2)
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["u_a"] == 1.0 and r["u_b"] == 5.0
+    # tie correction: sigma^2 = (6/12)*(6 - 24/20) = 2.4; z = (1-3)/sqrt(2.4)
+    assert abs(r["z"] + 2 / 2.4**0.5) < 1e-6
+
+
+def test_gini_report_extremes(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import gini_report
+
+    rows = [Row(g="equal", v=5.0) for _ in range(4)]
+    rows += [Row(g="onehot", v=0.0), Row(g="onehot", v=0.0),
+             Row(g="onehot", v=0.0), Row(g="onehot", v=12.0)]
+    rows += [Row(g="skip", v=-1.0), Row(g="skip", v=None), Row(g="skip", v=2.0)]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["g"]: r for r in gini_report(df, ["g"], "v").collect()}
+    assert out["equal"]["gini"] == 0.0 and out["equal"]["n_rows"] == 4
+    # one row holds everything: gini = (n-1)/n = 0.75
+    assert out["onehot"]["gini"] == 0.75
+    assert out["skip"]["n_rows"] == 1  # negative + NULL excluded
+    assert out["skip"]["gini"] == 0.0
+
+
+def test_avg_rank_census_matches_naive(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import _avg_rank_census
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 20) for _ in range(200)]
+    from collections import Counter
+
+    cnt = Counter(vals)
+    census = spark.createDataFrame(
+        [Row(v=float(k), n=c) for k, c in cnt.items()]
+    ).repartition(5)
+    got = {r["v"]: r["avg_rank"] for r in _avg_rank_census(census, "v", "n", num_ranges=4).collect()}
+    # naive: average of the 1-based positions each tied run occupies
+    ordered = sorted(vals)
+    import statistics
+
+    want = {}
+    for k in cnt:
+        pos = [i + 1 for i, v in enumerate(ordered) if v == k]
+        want[float(k)] = statistics.mean(pos)
+    assert got == want
