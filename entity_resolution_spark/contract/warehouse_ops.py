@@ -782,3 +782,126 @@ def ind_fk_candidates(spark, sf_dir):
              "customer.c_custkey in orders.o_custkey"),
         ]
     )
+
+
+# --- snapshot table diff -----------------------------------------------------
+# Two deterministic snapshots derived from events: old drops event_id%17==0,
+# new drops event_id%13==0 and shifts value by +1.5 where event_id%7==0.
+# One full-outer key join; unchanged rows are dropped inside the projection.
+@query(
+    "table_diff_event_snapshots",
+    """
+    WITH old AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 17 <> 0),
+    new AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN value + 1.5 ELSE value END AS value
+      FROM events WHERE event_id % 13 <> 0),
+    j AS (
+      SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             o.event_id IS NOT NULL AS po, n.event_id IS NOT NULL AS pn,
+             concat_ws(',',
+               CASE WHEN o.event_type IS DISTINCT FROM n.event_type
+                    THEN 'event_type' END,
+               CASE WHEN o.value IS DISTINCT FROM n.value
+                    THEN 'value' END) AS cc
+      FROM old o FULL JOIN new n ON o.event_id = n.event_id),
+    s AS (
+      SELECT event_id,
+             CASE WHEN po AND NOT pn THEN 'removed'
+                  WHEN pn AND NOT po THEN 'added'
+                  WHEN cc <> '' THEN 'changed' END AS status,
+             cc
+      FROM j)
+    SELECT event_id, status,
+           CASE WHEN status = 'changed' THEN cc ELSE '' END AS changed_cols
+    FROM s WHERE status IS NOT NULL
+    """,
+)
+def table_diff_event_snapshots(spark, sf_dir):
+    from ..operators.reconcile import table_diff
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 17 != 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.where(F.col("event_id") % 13 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 1.5)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return table_diff(old, new, ["event_id"], ["event_type", "value"])
+
+
+# --- orderless per-group content fingerprint ---------------------------------
+# bit_xor of a 60-bit sha256 prefix over a caller-fixed canonical rendering:
+# commutative, map-side combinable, comparable across engines without any
+# sort or co-shuffle. The %.6f rendering is engine-stable because no double
+# is exactly half at the 6-decimal cut (a dyadic rational cannot reduce to
+# an odd/(2*10^6) fraction).
+@query(
+    "fingerprint_events_by_type",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(sha256(concat_ws(chr(31),
+             CAST(event_id AS VARCHAR),
+             coalesce(event_type, '<NULL>'),
+             CASE WHEN value IS NULL THEN '<NULL>'
+                  ELSE printf('%.6f', value) END)), 1, 15)) AS BIGINT))
+             AS fingerprint
+    FROM events GROUP BY event_type
+    """,
+)
+def fingerprint_events_by_type(spark, sf_dir):
+    from ..operators.reconcile import canonical_row, table_fingerprint
+
+    ev = _t(spark, sf_dir, "events")
+    rendered = canonical_row(
+        [
+            F.col("event_id").cast("string"),
+            F.coalesce(F.col("event_type"), F.lit("<NULL>")),
+            F.when(F.col("value").isNull(), F.lit("<NULL>")).otherwise(
+                F.format_string("%.6f", F.col("value"))
+            ),
+        ]
+    )
+    return table_fingerprint(ev, ["event_type"], rendered)
+
+
+# --- CUSUM change-point per event type ---------------------------------------
+# Day-census first; the statistic is rounded to 6 BEFORE the argmax so the
+# earliest-period tiebreak is identical on both engines.
+@query(
+    "cusum_change_point_events",
+    """
+    WITH census AS (
+      SELECT event_type, date_trunc('day', ts) AS period, sum(value) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    sc AS (
+      SELECT event_type, period,
+             sum(x) OVER w AS cum, row_number() OVER w AS k,
+             sum(x) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM census WINDOW w AS (PARTITION BY event_type ORDER BY period)),
+    s2 AS (
+      SELECT *, round(abs(cum - k * tot / n), 6) AS s
+      FROM sc WHERE k < n),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY s DESC, period ASC) AS rn
+      FROM s2)
+    SELECT event_type, CAST(n AS BIGINT) AS n_periods, period AS cp_period,
+           s AS cusum_max,
+           round(cum / k, 6) AS mean_before,
+           round((tot - cum) / (n - k), 6) AS mean_after
+    FROM best WHERE rn = 1
+    """,
+)
+def cusum_change_point_events(spark, sf_dir):
+    from ..operators.timeseries import change_point
+
+    return change_point(
+        _t(spark, sf_dir, "events"), "ts", "value", by=["event_type"], unit="day"
+    )

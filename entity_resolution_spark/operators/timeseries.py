@@ -227,3 +227,80 @@ def period_over_period(
         ),
     )
     return out
+
+
+def change_point(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    by: Sequence[str] = (),
+    unit: str = "day",
+) -> DataFrame:
+    """Offline CUSUM change-point detection per group: collapse to the
+    per-period census, compute S_k = cumsum(x) - k*mean over the ordered
+    period series, and report the period maximizing |S_k| — the classic
+    single-change estimator (Page 1954; Taylor's cumulative-sum charts) —
+    plus the mean level on each side of the split.
+
+    Output: (by..., n_periods, cp_period, cusum_max, mean_before,
+    mean_after). ``cusum_max`` is rounded to 6 BEFORE the argmax so tie-
+    breaking (earliest period wins) is stable across engines; groups with
+    a single period have no interior split and are omitted.
+
+    Scale shape: one hash aggregate to the (group, period) census, then
+    ONE group-partitioned window over census rows (periods, not raw
+    events) and a final struct-max hash aggregate — the raw table is
+    never sorted or re-shuffled beyond the census aggregate.
+    """
+    by = list(by)
+    census = (
+        df.where(F.col(value).isNotNull())
+        .groupBy(*by, F.date_trunc(unit, F.col(ts)).alias("period"))
+        .agg(F.sum(value).alias("_x"))
+    )
+    w_cum = Window.partitionBy(*by).orderBy("period")
+    w_all = Window.partitionBy(*by)
+    scanned = census.select(
+        *by,
+        "period",
+        F.sum("_x").over(w_cum).alias("_cum"),
+        F.row_number().over(w_cum).alias("_k"),
+        F.sum("_x").over(w_all).alias("_tot"),
+        F.count("*").over(w_all).alias("_n"),
+    ).withColumn(
+        "_s",
+        F.round(
+            F.abs(
+                F.col("_cum")
+                - F.col("_k") * F.col("_tot") / F.col("_n")
+            ),
+            6,
+        ),
+    )
+    # interior split points only: k = n has no "after" side
+    interior = scanned.where(F.col("_k") < F.col("_n"))
+    best = interior.groupBy(*by).agg(
+        F.max("_n").alias("n_periods"),
+        F.max(
+            F.struct(
+                F.col("_s").alias("s"),
+                (F.lit(0) - F.unix_timestamp("period")).alias("neg_p"),
+                F.col("period").alias("p"),
+                F.col("_cum").alias("cum"),
+                F.col("_k").alias("k"),
+                F.col("_tot").alias("tot"),
+            )
+        ).alias("_b"),
+    )
+    return best.select(
+        *by,
+        "n_periods",
+        F.col("_b.p").alias("cp_period"),
+        F.col("_b.s").alias("cusum_max"),
+        F.round(F.col("_b.cum") / F.col("_b.k"), 6).alias("mean_before"),
+        F.round(
+            (F.col("_b.tot") - F.col("_b.cum"))
+            / (F.col("n_periods") - F.col("_b.k")),
+            6,
+        ).alias("mean_after"),
+    )

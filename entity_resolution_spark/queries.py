@@ -74,6 +74,9 @@ _DRIVER_PRIORITY = [
     "correlation_lineitem",
     "mw_u_purchase_vs_click",
     "gini_event_value",
+    "table_diff_event_snapshots",
+    "fingerprint_events_by_type",
+    "cusum_change_point_events",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",
