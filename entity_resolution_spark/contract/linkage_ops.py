@@ -1271,3 +1271,60 @@ def weighted_jaccard_docs(spark, sf_dir):
     from ..operators.setjoin import weighted_token_jaccard
 
     return weighted_token_jaccard(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+# --- link prediction over the part co-purchase graph -------------------------
+# Candidate-recall repair / substitute discovery: score NON-adjacent part
+# pairs of the co-purchase graph (parts sharing an order; every-10th order
+# keeps the audit bounded) by shared-neighbor structure. Wedge join on the
+# middle node; the oracle replays the same wedge/census program. (The
+# trigram similarity graph is a near-perfect matching on this corpus — no
+# open wedges — so the co-purchase graph is the structural test bed.)
+@query(
+    "link_prediction_copurchase",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 10 = 0),
+    e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e1 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    deg AS (SELECT a AS id, count(*) AS dg FROM e1 GROUP BY 1),
+    w AS (SELECT n1.b AS u, n2.b AS v, n1.a AS m
+          FROM e1 n1 JOIN e1 n2 ON n1.a = n2.a AND n1.b < n2.b),
+    sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                  sum(1.0 / ln(deg.dg)) AS aa
+           FROM w JOIN deg ON deg.id = w.m GROUP BY 1, 2),
+    ne AS (SELECT sc.* FROM sc LEFT JOIN e0 ON e0.a = sc.u AND e0.b = sc.v
+           WHERE e0.a IS NULL AND sc.cn >= 2)
+    SELECT ne.u AS left_id, ne.v AS right_id, ne.cn AS common_neighbors,
+           round(ne.aa, 6) AS adamic_adar,
+           round(ne.cn * 1.0 / (du.dg + dv.dg - ne.cn), 6) AS nbr_jaccard
+    FROM ne JOIN deg du ON du.id = ne.u JOIN deg dv ON dv.id = ne.v
+    """,
+)
+def link_prediction_copurchase(spark, sf_dir):
+    """Adamic-Adar / common-neighbor / neighborhood-jaccard link prediction
+    (operators/graphmetrics.py link_prediction) over the part co-purchase
+    graph — ranks pairs the co-occurrence join missed."""
+    from ..operators.graphmetrics import link_prediction
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("left_id"),
+            F.col("b.l_partkey").alias("right_id"),
+        )
+        .distinct()
+    )
+    return link_prediction(edges, min_common=2)

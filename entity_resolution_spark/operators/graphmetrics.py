@@ -372,3 +372,74 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("lab").alias("community"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    min_common: int = 1,
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """Missing-link scoring over an undirected graph (Liben-Nowell &
+    Kleinberg 2003): for every non-adjacent pair sharing >= ``min_common``
+    neighbors, (left_id, right_id, common_neighbors, adamic_adar,
+    nbr_jaccard) — AA = sum over shared neighbors m of 1/ln(deg(m)),
+    nbr_jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|. In the dedup pipeline this
+    ranks pairs the similarity join MISSED (candidate recall repair) and
+    flags near-merges for review.
+
+    Scale shape: a wedge join on the middle node — each middle m emits
+    C(deg(m), 2) wedges, so hub middles dominate the cost. A hub's AA
+    contribution is the SMALLEST (1/ln deg), so ``max_middle_degree``
+    drops super-node middles from the wedge role (the metablocking-style
+    guard; pass None to keep all). Degrees come from one census; the
+    existing-edge exclusion is a key-only anti join on the canonical
+    (min, max) pair.
+    """
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("dg"))
+    mid = sym.join(
+        deg.hint("shuffle_hash"), sym["a"] == deg["id"]
+    ).select(F.col("a").alias("m"), F.col("b").alias("x"), F.col("dg").alias("dm"))
+    if max_middle_degree is not None:
+        mid = mid.where(F.col("dm") <= max_middle_degree)
+    w1 = mid.select("m", F.col("x").alias("u"), "dm")
+    w2 = mid.select("m", F.col("x").alias("v"))
+    wedges = w1.join(w2, "m").where(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("dm").cast("double"))).alias("_aa"),
+    )
+    non_edges = scored.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    ).where(F.col("common_neighbors") >= min_common)
+    du = deg.select(F.col("id").alias("u"), F.col("dg").alias("_du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("dg").alias("_dv"))
+    out = non_edges.join(du.hint("shuffle_hash"), "u").join(
+        dv.hint("shuffle_hash"), "v"
+    )
+    return out.select(
+        F.col("u").alias("left_id"),
+        F.col("v").alias("right_id"),
+        "common_neighbors",
+        F.round("_aa", 6).alias("adamic_adar"),
+        F.round(
+            F.col("common_neighbors")
+            / (F.col("_du") + F.col("_dv") - F.col("common_neighbors")).cast(
+                "double"
+            ),
+            6,
+        ).alias("nbr_jaccard"),
+    )

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "table_diff_event_snapshots",
     "fingerprint_events_by_type",
     "cusum_change_point_events",
+    "link_prediction_copurchase",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

@@ -364,3 +364,46 @@ def test_star_labels_resist_chaining(spark):
         r["file_id"]: r["cluster_id"] for r in connected_components(edges).collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_link_prediction_square_and_path(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import link_prediction
+
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) share two neighbors each
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame([Row(left_id=a, right_id=b) for a, b in edges])
+    out = {(r["left_id"], r["right_id"]): r for r in link_prediction(df).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    r = out[(1, 3)]
+    assert r["common_neighbors"] == 2
+    assert abs(r["adamic_adar"] - round(2 / math.log(2), 6)) < 1e-9
+    assert r["nbr_jaccard"] == 1.0  # N(1) == N(3) == {2, 4}
+
+    # path 1-2-3: endpoints share the middle; min_common=2 filters it out
+    path = spark.createDataFrame([Row(left_id=1, right_id=2), Row(left_id=2, right_id=3)])
+    got = link_prediction(path).collect()
+    assert [(r["left_id"], r["right_id"], r["common_neighbors"]) for r in got] == [(1, 3, 1)]
+    assert link_prediction(path, min_common=2).count() == 0
+
+
+def test_link_prediction_triangle_no_candidates_and_hub_cap(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import link_prediction
+
+    tri = spark.createDataFrame(
+        [Row(left_id=a, right_id=b) for a, b in [(1, 2), (2, 3), (1, 3)]]
+    )
+    assert link_prediction(tri).count() == 0  # every pair already adjacent
+
+    # star 0-{1..4}: all leaf pairs share only the hub (degree 4);
+    # capping middles below 4 removes every wedge
+    star = spark.createDataFrame(
+        [Row(left_id=0, right_id=i) for i in range(1, 5)]
+    )
+    assert link_prediction(star).count() == 6
+    assert link_prediction(star, max_middle_degree=3).count() == 0
