@@ -1450,3 +1450,79 @@ def gini_event_value(spark, sf_dir):
     from ..operators.stats import gini_report
 
     return gini_report(_t(spark, sf_dir, "events"), ["event_type"], "value")
+
+
+# --- mutual information between two categorical columns ----------------------
+# Everything computed from contingency-census rows (marginals via the
+# sum_xy (c/n)ln(cx/n) == sum_x (cx/n)ln(cx/n) identity) — no NULL-keyed
+# joins; ratios divide before multiplying so nothing overflows at scale.
+@query(
+    "mutual_information_docs",
+    """
+    WITH census AS (
+      SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT c,
+             sum(c) OVER (PARTITION BY x) AS cx,
+             sum(c) OVER (PARTITION BY y) AS cy,
+             (SELECT sum(c) FROM census) AS n
+      FROM census),
+    m AS (
+      SELECT max(n) AS n_rows,
+             -sum((c * 1.0 / n) * ln(cx * 1.0 / n)) AS hx,
+             -sum((c * 1.0 / n) * ln(cy * 1.0 / n)) AS hy,
+             -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS hxy,
+             sum((c * 1.0 / n) * ln((c * 1.0 / n)
+                 / ((cx * 1.0 / n) * (cy * 1.0 / n)))) AS mi
+      FROM t)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           round(hx, 6) AS h_x, round(hy, 6) AS h_y, round(hxy, 6) AS h_xy,
+           round(mi, 6) AS mi,
+           CASE WHEN hx > 0 AND hy > 0
+                THEN round(mi / sqrt(hx * hy), 6) END AS nmi
+    FROM m
+    """,
+)
+def mutual_information_docs(spark, sf_dir):
+    from ..operators.stats import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+# --- association rules under a basket-size cap -------------------------------
+# The C(items,2)-per-basket guard exercised end-to-end: orders with more
+# than 5 distinct parts are excluded from the universe BEFORE pairing, and
+# support/lift renormalize over the kept baskets.
+@query(
+    "association_rules_capped",
+    """
+    WITH inc0 AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    sizes AS (SELECT b, count(*) AS bs FROM inc0 GROUP BY 1),
+    inc AS (SELECT inc0.* FROM inc0 JOIN sizes USING (b) WHERE bs <= 5),
+    nb AS (SELECT count(DISTINCT b) AS n FROM inc),
+    ic AS (SELECT i, count(*) AS ci FROM inc GROUP BY 1),
+    pc AS (SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT)
+             AS n_baskets
+           FROM inc a JOIN inc b2 ON a.b = b2.b AND a.i <> b2.i
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT item_a, item_b, n_baskets,
+           round(n_baskets * 1.0 / nb.n, 6) AS support,
+           round(n_baskets * 1.0 / ca.ci, 6) AS confidence,
+           round(n_baskets * 1.0 * nb.n / (ca.ci * cb.ci), 6) AS lift
+    FROM pc CROSS JOIN nb
+    JOIN ic ca ON ca.i = pc.item_a
+    JOIN ic cb ON cb.i = pc.item_b
+    """,
+)
+def association_rules_capped(spark, sf_dir):
+    from ..operators.basket import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket_size=5,
+    )

@@ -1150,3 +1150,58 @@ def gini_report(
             ),
         ).alias("gini"),
     )
+
+
+def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Mutual information between two categorical columns: one row
+    (n_rows, h_x, h_y, h_xy, mi, nmi) in nats, nmi = MI/sqrt(H(x)H(y))
+    (NULL when either marginal entropy is 0). NULL is a category of its
+    own — the contingency census keeps it as a group, and every statistic
+    is computed from census rows (never a NULL-keyed join).
+
+    Scale shape: ONE hash aggregate to the (x, y) contingency census, two
+    census-partitioned window sums for the marginals (census-sized — the
+    distinct-pair domain, not the data), and a single reduction. Uses the
+    identities sum_xy (c/n)·ln(cx/n) = sum_x (cx/n)·ln(cx/n) so marginal
+    entropies fall out of the same census pass.
+    """
+    census = df.groupBy(
+        F.col(x).alias("_x"), F.col(y).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    # the grand total comes from a broadcast 1-row aggregate, not an
+    # unpartitioned window — the census never collapses to one task
+    total = census.agg(F.sum("_c").alias("_n"))
+    t = census.crossJoin(F.broadcast(total)).select(
+        "_c",
+        F.sum("_c").over(wx).alias("_cx"),
+        F.sum("_c").over(wy).alias("_cy"),
+        "_n",
+    )
+    p = F.col("_c") / F.col("_n")
+    m = t.agg(
+        F.max("_n").alias("n_rows"),
+        (-F.sum(p * F.log(F.col("_cx") / F.col("_n")))).alias("_hx"),
+        (-F.sum(p * F.log(F.col("_cy") / F.col("_n")))).alias("_hy"),
+        (-F.sum(p * F.log(p))).alias("_hxy"),
+        # ratios divide BEFORE multiplying so no count product can overflow
+        # a long under ANSI mode at 10^12-row scale
+        F.sum(
+            p
+            * F.log(
+                p / ((F.col("_cx") / F.col("_n")) * (F.col("_cy") / F.col("_n")))
+            )
+        ).alias("_mi"),
+    )
+    return m.select(
+        "n_rows",
+        F.round("_hx", 6).alias("h_x"),
+        F.round("_hy", 6).alias("h_y"),
+        F.round("_hxy", 6).alias("h_xy"),
+        F.round("_mi", 6).alias("mi"),
+        F.when(
+            (F.col("_hx") > 0) & (F.col("_hy") > 0),
+            F.round(F.col("_mi") / F.sqrt(F.col("_hx") * F.col("_hy")), 6),
+        ).alias("nmi"),
+    )

@@ -78,6 +78,8 @@ _DRIVER_PRIORITY = [
     "fingerprint_events_by_type",
     "cusum_change_point_events",
     "link_prediction_copurchase",
+    "mutual_information_docs",
+    "association_rules_capped",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

@@ -948,3 +948,68 @@ def test_avg_rank_census_matches_naive(spark):
         pos = [i + 1 for i, v in enumerate(ordered) if v == k]
         want[float(k)] = statistics.mean(pos)
     assert got == want
+
+
+def test_mutual_information_hand_values(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import mutual_information
+
+    # perfectly dependent: y == x -> MI == H(x) == H(y), NMI == 1
+    dep = spark.createDataFrame(
+        [Row(x=c, y=c) for c in ["a", "a", "b", "b"]]
+    ).repartition(3)
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r["n_rows"] == 4
+    assert r["mi"] == r["h_x"] == r["h_y"] == round(math.log(2), 6)
+    assert r["nmi"] == 1.0
+
+    # independent 2x2 with equal counts -> MI == 0
+    ind = spark.createDataFrame(
+        [Row(x=x, y=y) for x in ["a", "b"] for y in ["c", "d"]]
+    ).repartition(2)
+    r = mutual_information(ind, "x", "y").collect()[0]
+    assert r["mi"] == 0.0 and r["h_xy"] == round(math.log(4), 6)
+
+    # constant x -> H(x) = 0 -> NMI undefined (NULL)
+    const = spark.createDataFrame([Row(x="k", y=str(i)) for i in range(3)])
+    r = mutual_information(const, "x", "y").collect()[0]
+    assert r["h_x"] == 0.0 and r["nmi"] is None
+
+
+def test_mutual_information_null_category(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import mutual_information
+
+    # NULL in x is its own category, perfectly predicting y='z'
+    df = spark.createDataFrame(
+        [Row(x="a", y="c"), Row(x="a", y="c"), Row(x=None, y="z"), Row(x=None, y="z")]
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["n_rows"] == 4 and r["nmi"] == 1.0
+
+
+def test_association_rules_basket_cap(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.basket import (
+        association_rules,
+        oversized_baskets,
+    )
+
+    rows = [Row(b=1, i=i) for i in ["x", "y"]]          # small basket
+    rows += [Row(b=2, i=i) for i in ["x", "y"]]         # small basket
+    rows += [Row(b=3, i=i) for i in ["x", "y", "z", "w"]]  # oversized
+    df = spark.createDataFrame(rows).repartition(3)
+    uncapped = association_rules(df, "b", "i", min_support=1)
+    capped = association_rules(df, "b", "i", min_support=1, max_basket_size=2)
+    # cap removes basket 3: only the x<->y rules remain, support over 2 baskets
+    out = {(r["item_a"], r["item_b"]): r for r in capped.collect()}
+    assert set(out) == {("x", "y"), ("y", "x")}
+    assert out[("x", "y")]["n_baskets"] == 2 and out[("x", "y")]["support"] == 1.0
+    assert uncapped.where("item_a = 'z'").count() > 0
+    dropped = oversized_baskets(df, "b", "i", max_basket_size=2).collect()
+    assert [(r["basket"], r["n_items"]) for r in dropped] == [(3, 4)]
