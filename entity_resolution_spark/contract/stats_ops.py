@@ -1526,3 +1526,69 @@ def association_rules_capped(spark, sf_dir):
         min_support=2,
         max_basket_size=5,
     )
+
+
+# --- cohort lifetime value ---------------------------------------------------
+# Value companion to the retention matrix; period values rounded to 6
+# BEFORE the cumulative sum so the running total is summation-order stable
+# across engines.
+@query(
+    "cohort_ltv_weekly",
+    """
+    WITH first_ AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                    FROM events GROUP BY 1),
+    ev AS (SELECT user_id, date_trunc('week', ts) AS b, value AS v
+           FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT cohort,
+             CAST(date_diff('day', CAST(cohort AS DATE), CAST(b AS DATE)) // 7
+                  AS BIGINT) AS "offset",
+             round(sum(v), 6) AS period_value
+      FROM ev JOIN first_ USING (user_id) GROUP BY 1, 2),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first_ GROUP BY 1),
+    cum AS (
+      SELECT cohort, "offset", period_value,
+             round(sum(period_value)
+                   OVER (PARTITION BY cohort ORDER BY "offset"), 6)
+               AS cum_value
+      FROM cells)
+    SELECT cohort, "offset", period_value, cum_value, cohort_size,
+           round(cum_value / cohort_size, 6) AS ltv_per_user
+    FROM cum JOIN sizes USING (cohort)
+    """,
+)
+def cohort_ltv_weekly(spark, sf_dir):
+    from ..operators.funnel import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "events"), bucket="week")
+
+
+# --- physical sortedness audit -----------------------------------------------
+# "If rows land in event_id (arrival) order per user, how sorted are they
+# by timestamp?" — the zone-map-pruning question answered by one window
+# pass; adjacency is deterministic (pos ties broken by the order column).
+@query(
+    "sortedness_events_ts",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY event_id, ts)
+               AS prev_ts
+      FROM events WHERE ts IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(prev_ts) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_inversions,
+           round(1.0 - COALESCE(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END),
+                                0)
+                 * 1.0 / greatest(count(prev_ts), 1), 6) AS sortedness
+    FROM s
+    """,
+)
+def sortedness_events_ts(spark, sf_dir):
+    from ..operators.layout import sortedness_report
+
+    return sortedness_report(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", "ts"
+    )

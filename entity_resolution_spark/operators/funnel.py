@@ -357,3 +357,66 @@ def attribute_multi_touch(
         "touch_rank",
         F.round(credit, 6).alias("credit"),
     ).unionByName(direct)
+
+
+def cohort_ltv(
+    events: DataFrame,
+    value_col: str = "value",
+    bucket: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort, offset, period_value, cum_value, cohort_size, ltv_per_user)
+    — the value companion to `cohort_retention`: total event value booked
+    by each first-seen cohort in every offset bucket, accumulated into the
+    running lifetime value per cohort member. Offsets with no activity are
+    omitted (they add nothing to the cumulative sum); offsets count
+    CALENDAR buckets, so gaps still advance the clock.
+
+    Same scale shape as the retention matrix: two hash aggregates joined
+    on the user key, then ONE window over the cohort x offset matrix —
+    matrix-sized, never the raw events. Values are rounded to 6 before
+    the cumulative sum so the running total is summation-order stable.
+    """
+    if bucket not in ("day", "week", "month"):
+        raise ValueError("bucket must be day|week|month")
+    b = lambda c: F.date_trunc(bucket, c)  # noqa: E731
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        b(F.min(ts_col)).alias("__cohort")
+    )
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        b(F.col(ts_col)).alias("__b"),
+        F.col(value_col).alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    if bucket == "day":
+        off = F.datediff(F.col("__b"), F.col("__cohort"))
+    elif bucket == "week":
+        off = F.floor(F.datediff(F.col("__b"), F.col("__cohort")) / 7)
+    else:
+        off = (F.year("__b") - F.year("__cohort")) * 12 + (
+            F.month("__b") - F.month("__cohort")
+        )
+    cells = (
+        ev.join(first.hint("shuffle_hash"), "__u")
+        .groupBy(F.col("__cohort").alias("cohort"), off.cast("long").alias("offset"))
+        .agg(F.round(F.sum("__v"), 6).alias("period_value"))
+    )
+    w = Window.partitionBy("cohort").orderBy("offset")
+    sizes = first.groupBy(F.col("__cohort").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.withColumn("cum_value", F.round(F.sum("period_value").over(w), 6))
+        .join(sizes.hint("shuffle_hash"), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "period_value",
+            "cum_value",
+            "cohort_size",
+            F.round(F.col("cum_value") / F.col("cohort_size"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )

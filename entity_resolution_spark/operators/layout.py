@@ -281,3 +281,46 @@ def range_boundaries(
         F.round("hi", 6).alias("hi"),
         "n_rows",
     )
+
+
+def sortedness_report(
+    df: DataFrame,
+    key: str,
+    pos_col: str,
+    order_col: str,
+) -> DataFrame:
+    """One row (n_rows, n_pairs, n_inversions, sortedness): when each
+    key's rows are laid out in ``pos_col`` order (the ingestion /
+    write-position column), what fraction of ADJACENT pairs is already
+    non-decreasing in ``order_col``? 1.0 means writing in arrival order
+    IS the clustered layout (zone maps prune for free); low values
+    quantify the re-sort a clustered layout (see `zorder_key` /
+    `range_boundaries`) would pay for and the scan-pruning it would buy.
+
+    One key-partitioned window pass (per-key frames are the key's own
+    rows, events-per-user sized) reduced to a single row. NULL order
+    values are excluded; ``pos_col`` ties are broken by ``order_col`` so
+    the count is deterministic.
+    """
+    w = Window.partitionBy(key).orderBy(pos_col, "_v")
+    stepped = (
+        df.where(F.col(order_col).isNotNull())
+        .select(key, F.col(pos_col), F.col(order_col).alias("_v"))
+        .withColumn("_prev", F.lag("_v").over(w))
+    )
+    return stepped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_prev").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_v") < F.col("_prev"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_inversions"),
+        F.round(
+            F.lit(1.0)
+            - F.coalesce(
+                F.sum(F.when(F.col("_v") < F.col("_prev"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            / F.greatest(F.count("_prev"), F.lit(1)).cast("double"),
+            6,
+        ).alias("sortedness"),
+    )

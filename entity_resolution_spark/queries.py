@@ -80,6 +80,8 @@ _DRIVER_PRIORITY = [
     "link_prediction_copurchase",
     "mutual_information_docs",
     "association_rules_capped",
+    "cohort_ltv_weekly",
+    "sortedness_events_ts",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

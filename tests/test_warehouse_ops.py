@@ -430,3 +430,53 @@ class TestMultiTouchAttribution:
             attribute_multi_touch(ev, max_touches=0)
         with _pt.raises(ValueError):
             attribute_multi_touch(ev, scheme="quadratic")
+
+
+def test_cohort_ltv_hand_values(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.funnel import cohort_ltv
+
+    w0 = datetime.datetime(2024, 1, 1)  # a Monday
+
+    def e(u, weeks, v):
+        return Row(user_id=u, ts=w0 + datetime.timedelta(weeks=weeks), value=v)
+
+    # cohort w0: users 1,2. u1 spends 10 in w0, 30 in w2; u2 spends 20 in w0.
+    rows = [e(1, 0, 10.0), e(1, 2, 30.0), e(2, 0, 20.0)]
+    # cohort w1: user 3 spends 5 in w1 (offset 0) and NULL value ignored
+    rows += [e(3, 1, 5.0), Row(user_id=3, ts=w0 + datetime.timedelta(weeks=1), value=None)]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {(r["cohort"].date().isoformat(), r["offset"]): r
+           for r in cohort_ltv(df, bucket="week").collect()}
+    k0, k2 = ("2024-01-01", 0), ("2024-01-01", 2)
+    assert out[k0]["period_value"] == 30.0 and out[k0]["cum_value"] == 30.0
+    assert out[k0]["cohort_size"] == 2 and out[k0]["ltv_per_user"] == 15.0
+    # offset 1 has no activity and is omitted; offset 2 accumulates past it
+    assert ("2024-01-01", 1) not in out
+    assert out[k2]["period_value"] == 30.0 and out[k2]["cum_value"] == 60.0
+    assert out[k2]["ltv_per_user"] == 30.0
+    assert out[("2024-01-08", 0)]["ltv_per_user"] == 5.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        cohort_ltv(df, bucket="hour")
+
+
+def test_sortedness_report_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.layout import sortedness_report
+
+    # user 1: arrival order (pos) gives ts 1,3,2,4 -> one inversion of 3
+    # adjacent pairs; user 2 perfectly sorted -> 2 pairs, 0 inversions
+    rows = [Row(u=1, pos=p, t=t) for p, t in [(1, 1.0), (2, 3.0), (3, 2.0), (4, 4.0)]]
+    rows += [Row(u=2, pos=p, t=t) for p, t in [(1, 1.0), (2, 2.0), (3, 3.0)]]
+    rows += [Row(u=3, pos=1, t=None)]  # NULL order value excluded
+    df = spark.createDataFrame(rows).repartition(3)
+    r = sortedness_report(df, "u", "pos", "t").collect()[0]
+    assert r["n_rows"] == 7 and r["n_pairs"] == 5
+    assert r["n_inversions"] == 1
+    assert r["sortedness"] == 0.8
