@@ -627,3 +627,88 @@ def expectations_orders_report(spark, sf_dir):
             },
         ],
     )
+
+
+# --- LIX readability per language --------------------------------------------
+# Pure-Column signals (functions/text.py readability_cols): word census,
+# [.!?]-run sentence count, long-word ratio; per-doc lix rounded to 4
+# before the group average so both engines average identical doubles.
+@query(
+    "readability_lang_report",
+    """
+    WITH d AS (
+      SELECT lang,
+             [x FOR x IN string_split_regex(trim(coalesce(text, '')), '\\s+')
+              IF x <> ''] AS toks,
+             trim(coalesce(text, '')) AS t
+      FROM documents),
+    m AS (
+      SELECT lang,
+             len(toks) AS n_words,
+             len([x FOR x IN toks IF len(x) > 6]) AS n_long,
+             greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS n_sent
+      FROM d),
+    r AS (
+      SELECT lang, n_words, n_long, n_sent,
+             round(n_words / n_sent + 100.0 * n_long / n_words, 4) AS lix
+      FROM m WHERE n_words > 0)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_words), 6) AS avg_words,
+           round(avg(n_sent), 6) AS avg_sentences,
+           round(sum(n_long) * 1.0 / sum(n_words), 6) AS long_word_ratio,
+           round(avg(lix), 6) AS avg_lix
+    FROM r GROUP BY lang
+    """,
+)
+def readability_lang_report(spark, sf_dir):
+    from ..functions.text import readability_cols
+
+    d = _t(spark, sf_dir, "documents")
+    c = readability_cols(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        c["n_words"].alias("n_words"),
+        c["n_long_words"].alias("n_long"),
+        c["n_sentences"].alias("n_sent"),
+        c["lix"].alias("lix"),
+    ).where(F.col("n_words") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_words"), 6).alias("avg_words"),
+        F.round(F.avg("n_sent"), 6).alias("avg_sentences"),
+        F.round(F.sum("n_long") / F.sum("n_words").cast("double"), 6).alias(
+            "long_word_ratio"
+        ),
+        F.round(F.avg("lix"), 6).alias("avg_lix"),
+    )
+
+
+# --- inter-arrival-time quantiles per event type -----------------------------
+# Gaps are exact integer microseconds divided once by 1e6 — bit-identical
+# doubles on both engines; quantiles are exact interpolated percentiles.
+@query(
+    "interarrival_quantiles_events",
+    """
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pus
+      FROM events),
+    g AS (SELECT event_type, (us - pus) / 1e6 AS gap
+          FROM s WHERE pus IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(gap), 6) AS avg_gap_s,
+           round(quantile_cont(gap, 0.25), 6) AS p25_s,
+           round(quantile_cont(gap, 0.50), 6) AS p50_s,
+           round(quantile_cont(gap, 0.75), 6) AS p75_s,
+           round(quantile_cont(gap, 0.95), 6) AS p95_s
+    FROM g GROUP BY event_type
+    """,
+)
+def interarrival_quantiles_events(spark, sf_dir):
+    from ..operators.timeseries import interarrival_stats
+
+    return interarrival_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        by=["event_type"],
+    )

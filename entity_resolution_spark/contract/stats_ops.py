@@ -1592,3 +1592,117 @@ def sortedness_events_ts(spark, sf_dir):
     return sortedness_report(
         _t(spark, sf_dir, "events"), "user_id", "event_id", "ts"
     )
+
+
+# --- Kaplan-Meier user-lifetime survival -------------------------------------
+# Everything runs on the duration census; the running product is
+# exp(cum-sum(ln)) so both engines window-sum identical doubles. Deaths
+# precede censoring at equal durations (both count in their own risk set).
+@query(
+    "kaplan_meier_user_lifetimes",
+    """
+    WITH lives AS (
+      SELECT (event_id * 2654435761) % 4096 AS life_id,
+             CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+      FROM events GROUP BY 1),
+    hz AS (SELECT CAST(max(ts) AS DATE) AS h FROM events),
+    marked AS (
+      SELECT date_diff('day', f, l) AS d,
+             date_diff('day', l, h) >= 7 AS obs
+      FROM lives CROSS JOIN hz),
+    census AS (
+      SELECT CAST(d AS BIGINT) AS duration_days,
+             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_censored
+      FROM marked GROUP BY 1),
+    cum AS (
+      SELECT *,
+             sum(n_events + n_censored) OVER () AS total,
+             sum(n_events + n_censored) OVER (ORDER BY duration_days)
+               - (n_events + n_censored) AS before_
+      FROM census),
+    s AS (
+      SELECT duration_days, n_events, n_censored,
+             total - before_ AS n_at_risk,
+             CASE WHEN n_events > 0
+                  THEN ln(1.0 - n_events / (total - before_))
+                  ELSE 0.0 END AS step
+      FROM cum)
+    SELECT duration_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_events, n_censored,
+           round(exp(sum(step) OVER (ORDER BY duration_days)), 6) AS survival
+    FROM s
+    """,
+)
+def kaplan_meier_user_lifetimes(spark, sf_dir):
+    # lives keyed by a multiplicative-hash id (~2.4 events/key at the
+    # gate's sf, times scattered) so the curve carries real deaths AND
+    # censoring; per-user lives on this synthetic corpus all span the
+    # window (degenerate S == 1)
+    from ..operators.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "life_id", (F.col("event_id") * F.lit(2654435761)) % 4096
+    )
+    return kaplan_meier(ev, "life_id", "ts", censor_days=7)
+
+
+# --- difference-in-differences on event value --------------------------------
+# Synthetic two-group/two-period design: odd user_ids "treated", post =
+# second half of the observation window. Cell means rounded before the
+# estimate so DiD is summation-order stable.
+@query(
+    "did_event_value",
+    """
+    WITH base AS (
+      SELECT user_id % 2 = 1 AS t, ts >= TIMESTAMP '2024-01-16' AS p, value AS v
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(avg(CASE WHEN t AND NOT p THEN v END), 6) AS treat_pre,
+             round(avg(CASE WHEN t AND p THEN v END), 6) AS treat_post,
+             round(avg(CASE WHEN NOT t AND NOT p THEN v END), 6) AS ctrl_pre,
+             round(avg(CASE WHEN NOT t AND p THEN v END), 6) AS ctrl_post
+      FROM base)
+    SELECT n_rows, treat_pre, treat_post, ctrl_pre, ctrl_post,
+           round((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6) AS did
+    FROM m
+    """,
+)
+def did_event_value(spark, sf_dir):
+    from ..operators.stats import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    return diff_in_diff(
+        ev,
+        treated=F.col("user_id") % 2 == 1,
+        post=F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        value="value",
+    )
+
+
+# --- fixed-width histogram ---------------------------------------------------
+# Deterministic bin edges: floor(v/w)*w, no data-dependent boundaries.
+@query(
+    "histogram_order_totalprice",
+    """
+    WITH census AS (
+      SELECT o_orderpriority,
+             round(floor(o_totalprice / 25000.0) * 25000.0, 6) AS bin_lo,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT o_orderpriority, bin_lo, n_obs,
+           round(n_obs * 1.0 / sum(n_obs)
+                 OVER (PARTITION BY o_orderpriority), 6) AS frac
+    FROM census
+    """,
+)
+def histogram_order_totalprice(spark, sf_dir):
+    from ..operators.stats import histogram_report
+
+    return histogram_report(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        by=["o_orderpriority"], bin_width=25000.0,
+    )

@@ -536,3 +536,30 @@ def simhash_band_keys(sh: int, bands: int = 4) -> list[str]:
     width = 64 // bands
     mask = (1 << width) - 1
     return [f"sh:{i}:{(u >> (i * width)) & mask:x}" for i in range(bands)]
+
+
+def readability_cols(text: Column) -> dict[str, Column]:
+    """LIX readability signals (Björnsson 1968) as pure Column expressions
+    — per-document constants, fully codegen'd, no UDF: word count
+    (whitespace tokens), sentence count (runs of [.!?], min 1), long-word
+    count (> 6 chars), and lix = words/sentences + 100*long_words/words
+    (rounded to 4). Blank/NULL text yields NULL lix (0 words)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(toks)
+    n_long = F.size(F.filter(toks, lambda x: F.length(x) > 6))
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    lix = F.when(
+        n_words > 0,
+        F.round(
+            n_words / n_sent.cast("double")
+            + F.lit(100.0) * n_long / n_words,
+            4,
+        ),
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "n_sentences": n_sent.cast("long"),
+        "n_long_words": n_long.cast("long"),
+        "lix": lix,
+    }

@@ -1205,3 +1205,140 @@ def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
             F.round(F.col("_mi") / F.sqrt(F.col("_hx") * F.col("_hy")), 6),
         ).alias("nmi"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (1958) over per-key lifetimes: duration
+    = calendar days between a key's first and last event; a lifetime is an
+    observed "death" if the key went quiet at least ``censor_days`` before
+    the table's horizon (max ts), else right-censored. One row per distinct
+    duration: (duration_days, n_at_risk, n_events, n_censored, survival),
+    with S(t) = prod over event durations <= t of (1 - d_i/n_i) computed as
+    exp(cum-sum(ln ·)) so the running product is a window sum, and deaths
+    precede censoring at equal durations (the standard convention — both
+    stay at risk for their own duration).
+
+    Scale shape: one per-key hash aggregate (first/last), a broadcast
+    1-row horizon, then everything runs on the DURATION census — the
+    ordered window is duration-domain sized, never key-count sized.
+    """
+    if censor_days < 0:
+        raise ValueError("censor_days must be >= 0")
+    lives = df.groupBy(key).agg(
+        F.to_date(F.min(ts)).alias("_first"),
+        F.to_date(F.max(ts)).alias("_last"),
+    )
+    horizon = df.agg(F.to_date(F.max(ts)).alias("_hz"))
+    marked = lives.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("_last", "_first").cast("long").alias("duration_days"),
+        (
+            F.datediff("_hz", "_last") >= F.lit(int(censor_days))
+        ).alias("_observed"),
+    )
+    census = marked.groupBy("duration_days").agg(
+        F.sum(F.col("_observed").cast("long")).alias("n_events"),
+        F.sum((~F.col("_observed")).cast("long")).alias("n_censored"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("duration_days")
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+    left_before = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        w_cum
+    ) - (F.col("n_events") + F.col("n_censored"))
+    at_risk = (total - left_before).alias("n_at_risk")
+    # ln(1 - d/n): -inf when the last risk set dies out entirely; exp then
+    # yields exactly 0.0 on both engines. The duration census is tiny by
+    # construction (distinct day counts), so the global window is fine.
+    step = F.when(
+        F.col("n_events") > 0,
+        F.log(F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    with_risk = census.select(
+        "duration_days", "n_events", "n_censored", at_risk
+    ).withColumn("survival", F.round(F.exp(F.sum(step).over(w_cum)), 6))
+    return with_risk.select(
+        "duration_days", "n_at_risk", "n_events", "n_censored", "survival"
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated: F.Column,
+    post: F.Column,
+    value: str,
+) -> DataFrame:
+    """Two-group/two-period difference-in-differences on mean outcome:
+    one row (n_rows + the four cell means, each round-6, + did), did =
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre) on the ROUNDED cell
+    means so the estimate is summation-order stable. ``treated`` and
+    ``post`` are caller-supplied boolean Columns; NULL outcomes are
+    excluded. One conditional hash aggregate — a single scan at any scale.
+    """
+    base = df.where(F.col(value).isNotNull()).select(
+        treated.alias("_t"), post.alias("_p"), F.col(value).alias("_v")
+    )
+
+    def cell(t, p):
+        return F.round(
+            F.avg(F.when((F.col("_t") == t) & (F.col("_p") == p), F.col("_v"))),
+            6,
+        )
+
+    m = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cell(True, False).alias("treat_pre"),
+        cell(True, True).alias("treat_post"),
+        cell(False, False).alias("ctrl_pre"),
+        cell(False, True).alias("ctrl_post"),
+    )
+    return m.select(
+        "n_rows",
+        "treat_pre",
+        "treat_post",
+        "ctrl_pre",
+        "ctrl_post",
+        F.round(
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("ctrl_post") - F.col("ctrl_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+def histogram_report(
+    df: DataFrame,
+    value: str,
+    by: Sequence[str] = (),
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Fixed-width histogram per group: (by..., bin_lo, n_obs, frac) with
+    bin_lo = floor(value / bin_width) * bin_width — the deterministic
+    binning rule (no data-dependent bin edges, so two corpora histogram
+    onto comparable axes). NULLs excluded; ``frac`` is within-group.
+
+    One hash aggregate to (group, bin) + a group-partitioned window over
+    bin-census rows for the fraction. Negative values bin correctly
+    (floor rounds toward -inf).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    w = F.lit(float(bin_width))
+    bin_lo = F.floor(F.col(value) / w) * w
+    by = list(by)
+    census = (
+        df.where(F.col(value).isNotNull())
+        .groupBy(*by, F.round(bin_lo, 6).alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    wg = Window.partitionBy(*by)
+    return census.select(
+        *by,
+        "bin_lo",
+        "n_obs",
+        F.round(F.col("n_obs") / F.sum("n_obs").over(wg), 6).alias("frac"),
+    )

@@ -304,3 +304,43 @@ def change_point(
             6,
         ).alias("mean_after"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group inter-arrival-time report: for each key's events in
+    (ts, tiebreak) order, the gap to the PREVIOUS event in seconds,
+    grouped by ``by`` of the LATER event — (by..., n_gaps, avg_gap_s,
+    p25_s, p50_s, p75_s, p95_s). Gaps are exact integer microseconds
+    divided once by 1e6, so the double values are bit-identical across
+    engines; quantiles are exact (interpolated percentile over the
+    group's gap multiset).
+
+    One key-partitioned lag window (per-key frames are the key's own
+    rows) + one hash aggregate. The tiebreak column makes same-timestamp
+    orderings deterministic.
+    """
+    by = list(by)
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    # NTZ columns cast through TIMESTAMP losslessly (session tz is UTC) —
+    # same convention as decayed_value
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    gaps = (
+        df.select(key, ts, tiebreak, *by)
+        .withColumn("_gap_s", (us - F.lag(us).over(w)) / F.lit(1e6))
+        .where(F.col("_gap_s").isNotNull())
+    )
+    q = lambda p: F.round(F.percentile(F.col("_gap_s"), F.lit(p)), 6)  # noqa: E731
+    return gaps.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("_gap_s"), 6).alias("avg_gap_s"),
+        q(0.25).alias("p25_s"),
+        q(0.50).alias("p50_s"),
+        q(0.75).alias("p75_s"),
+        q(0.95).alias("p95_s"),
+    )

@@ -82,6 +82,11 @@ _DRIVER_PRIORITY = [
     "association_rules_capped",
     "cohort_ltv_weekly",
     "sortedness_events_ts",
+    "readability_lang_report",
+    "interarrival_quantiles_events",
+    "kaplan_meier_user_lifetimes",
+    "did_event_value",
+    "histogram_order_totalprice",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

@@ -321,3 +321,30 @@ def test_bpe_train_partition_invariance(spark):
     a = [tuple(r) for r in bpe_train(d, n_merges=4).collect()]
     b = [tuple(r) for r in bpe_train(d.repartition(7), n_merges=4).collect()]
     assert a == b and len(a) == 4
+
+
+def test_readability_cols_hand_values(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.functions.text import readability_cols
+
+    rows = [
+        Row(t="The quick brown foxhound jumped. Over lazy dogs!"),  # 2 sentences
+        Row(t="short"),                                   # 1 word, no punctuation
+        Row(t="   "),                                     # blank -> NULL lix
+        Row(t=None),
+    ]
+    df = spark.createDataFrame(rows)
+    c = readability_cols(F.col("t"))
+    out = df.select(
+        c["n_words"].alias("w"), c["n_sentences"].alias("s"),
+        c["n_long_words"].alias("l"), c["lix"].alias("lix"),
+    ).collect()
+    r0 = out[0]
+    # words: The quick brown foxhound jumped. Over lazy dogs! -> 8 tokens;
+    # long (>6 chars): foxhound, "jumped." (7 incl. dot) -> 2
+    assert r0["w"] == 8 and r0["s"] == 2 and r0["l"] == 2
+    assert r0["lix"] == round(8 / 2 + 100.0 * 2 / 8, 4)
+    assert out[1]["w"] == 1 and out[1]["s"] == 1 and out[1]["lix"] == 1.0
+    assert out[2]["lix"] is None and out[3]["lix"] is None

@@ -1013,3 +1013,71 @@ def test_association_rules_basket_cap(spark):
     assert uncapped.where("item_a = 'z'").count() > 0
     dropped = oversized_baskets(df, "b", "i", max_basket_size=2).collect()
     assert [(r["basket"], r["n_items"]) for r in dropped] == [(3, 4)]
+
+
+def test_kaplan_meier_hand_curve(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import kaplan_meier
+
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def e(u, day):
+        return Row(u=u, ts=d0 + datetime.timedelta(days=day))
+
+    # horizon = day 30. u1: dies at duration 10; u2: active to the end
+    # (censored, duration 30); u3: one event at day 5 (duration 0, dies);
+    # u4: last seen day 28 (< 7 days quiet -> censored, duration 28)
+    rows = [e(1, 0), e(1, 10), e(2, 0), e(2, 30), e(3, 5), e(4, 0), e(4, 28)]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["duration_days"]: r for r in kaplan_meier(df, "u", "ts", censor_days=7).collect()}
+    assert set(out) == {0, 10, 28, 30}
+    assert out[0]["n_at_risk"] == 4 and out[0]["n_events"] == 1
+    assert out[0]["survival"] == 0.75
+    assert out[10]["n_at_risk"] == 3 and out[10]["survival"] == 0.5
+    assert out[28]["n_censored"] == 1 and out[28]["survival"] == 0.5
+    assert out[30]["n_at_risk"] == 1 and out[30]["survival"] == 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        kaplan_meier(df, "u", "ts", censor_days=-1)
+
+
+def test_diff_in_diff_hand_values(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.stats import diff_in_diff
+
+    rows = [Row(g="t", per="pre", v=1.0), Row(g="t", per="pre", v=1.0),
+            Row(g="t", per="post", v=5.0),
+            Row(g="c", per="pre", v=2.0),
+            Row(g="c", per="post", v=3.0),
+            Row(g="c", per="post", v=None)]  # NULL outcome excluded
+    df = spark.createDataFrame(rows).repartition(2)
+    r = diff_in_diff(
+        df, treated=F.col("g") == "t", post=F.col("per") == "post", value="v"
+    ).collect()[0]
+    assert r["n_rows"] == 5
+    assert (r["treat_pre"], r["treat_post"], r["ctrl_pre"], r["ctrl_post"]) == (1.0, 5.0, 2.0, 3.0)
+    assert r["did"] == 3.0
+
+
+def test_histogram_report_bins(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import histogram_report
+
+    rows = [Row(g="a", v=v) for v in [0.5, 1.5, 1.9, -0.1, None]]
+    df = spark.createDataFrame(rows).repartition(2)
+    out = {r["bin_lo"]: r for r in histogram_report(df, "v", by=["g"]).collect()}
+    # floor toward -inf: -0.1 lands in bin -1.0
+    assert set(out) == {-1.0, 0.0, 1.0}
+    assert out[1.0]["n_obs"] == 2 and out[1.0]["frac"] == 0.5
+    assert out[-1.0]["n_obs"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        histogram_report(df, "v", bin_width=0)

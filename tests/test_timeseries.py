@@ -141,3 +141,27 @@ def test_period_over_period_growth(spark):
     assert out[("a", 8)] == (3, 2, 1.5)
     assert out[("a", 22)] == (1, 3, 0.333333)  # lag is previous OBSERVED week
     assert out[("b", 1)] == (1, None, None)
+
+
+def test_interarrival_stats_hand_values(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.timeseries import interarrival_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def e(i, u, secs, typ):
+        return Row(event_id=i, user_id=u, ts=t0 + datetime.timedelta(seconds=secs), event_type=typ)
+
+    # user 1: gaps 10s then 20s; user 2: single event (no gap);
+    # same-ts pair for user 3 ordered by event_id -> gap 0
+    rows = [e(1, 1, 0, "a"), e(2, 1, 10, "a"), e(3, 1, 30, "b"),
+            e(4, 2, 5, "a"), e(5, 3, 7, "b"), e(6, 3, 7, "b")]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["event_type"]: r for r in
+           interarrival_stats(df, "user_id", "ts", "event_id", by=["event_type"]).collect()}
+    assert out["a"]["n_gaps"] == 1 and out["a"]["avg_gap_s"] == 10.0
+    assert out["b"]["n_gaps"] == 2 and out["b"]["avg_gap_s"] == 10.0  # 20 and 0
+    assert out["b"]["p50_s"] == 10.0 and out["b"]["p25_s"] == 5.0
