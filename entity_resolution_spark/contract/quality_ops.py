@@ -712,3 +712,41 @@ def interarrival_quantiles_events(spark, sf_dir):
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_id",
         by=["event_type"],
     )
+
+
+# --- quality-threshold sweep -------------------------------------------------
+# One corpus scan, |grid| conditional aggregates, unpivoted to rows. The
+# oracle reuses sql_kernels.quality_expr — the bit-equal DuckDB replica of
+# quality_score_col — so the kept sets agree doc-for-doc.
+def _sweep_sql() -> str:
+    from .sql_kernels import quality_expr
+
+    tok = ("(CASE WHEN trim(coalesce(text, '')) = '' THEN 0"
+           " ELSE length(string_split_regex(trim(coalesce(text, '')), '\\s+'))"
+           " END)")
+    cells = []
+    for t in (0.3, 0.5, 0.7, 0.9):
+        cells.append(f"""
+    SELECT {t} AS threshold,
+           CAST(COALESCE(sum(CASE WHEN q >= {t} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS kept_docs,
+           round(COALESCE(sum(CASE WHEN q >= {t} THEN 1 ELSE 0 END), 0)
+                 * 1.0 / greatest(count(*), 1), 6) AS kept_fraction,
+           CAST(COALESCE(sum(CASE WHEN q >= {t} THEN tok ELSE 0 END), 0)
+                AS BIGINT) AS kept_tokens,
+           round(COALESCE(sum(CASE WHEN q >= {t} THEN tok ELSE 0 END), 0)
+                 * 1.0 / greatest(sum(tok), 1), 6) AS token_fraction
+    FROM b""")
+    return (
+        f"WITH b AS (SELECT {quality_expr('text')} AS q, {tok} AS tok"
+        " FROM documents)" + " UNION ALL ".join(cells)
+    )
+
+
+@query("quality_threshold_sweep", _sweep_sql())
+def quality_threshold_sweep(spark, sf_dir):
+    from ..operators.curation import threshold_sweep
+
+    return threshold_sweep(
+        _t(spark, sf_dir, "documents"), thresholds=[0.3, 0.5, 0.7, 0.9]
+    )

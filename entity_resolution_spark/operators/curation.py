@@ -45,6 +45,8 @@ recursive-CTE closure).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -128,4 +130,69 @@ def curate_corpus(
         .when(is_near, F.col("cluster_id"))
         .otherwise(F.col("doc_id"))
         .alias("canonical_id"),
+    )
+
+
+def threshold_sweep(
+    docs: DataFrame,
+    thresholds: Sequence[float],
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-gate tuning curve: for each candidate threshold, how much
+    corpus survives — (threshold, kept_docs, kept_fraction, kept_tokens,
+    token_fraction). The knob-picking report a curator reads before fixing
+    ``min_quality`` in `curate_corpus`: the elbow where kept_tokens drops
+    fastest is where the gate starts cutting real content.
+
+    Scale shape: ONE corpus scan computes (quality, tokens) per doc; the
+    sweep is a conditional aggregate per threshold inside a single hash
+    aggregate — |thresholds| output columns, unpivoted to rows at the end.
+    The grid never re-scans the corpus and nothing is exploded per doc.
+    NULL-text docs score NULL quality and fail every threshold (the
+    engine's curation convention).
+    """
+    from ..functions.text import quality_score_col, whitespace_token_count_col
+
+    ts = sorted(set(float(t) for t in thresholds))
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    base = docs.select(
+        quality_score_col(F.col(text_col)).alias("_q"),
+        whitespace_token_count_col(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("_tok"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_tok").alias("_tot_tok"),
+    ]
+    for i, t in enumerate(ts):
+        keep = F.col("_q") >= F.lit(t)
+        aggs.append(F.sum(keep.cast("long")).alias(f"_k_{i}"))
+        aggs.append(F.sum(F.when(keep, F.col("_tok")).otherwise(F.lit(0))).alias(f"_kt_{i}"))
+    m = base.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.coalesce(F.col(f"_k_{i}"), F.lit(0)).alias("kept_docs"),
+            F.round(
+                F.coalesce(F.col(f"_k_{i}"), F.lit(0))
+                / F.greatest(F.col("_n"), F.lit(1)).cast("double"),
+                6,
+            ).alias("kept_fraction"),
+            F.coalesce(F.col(f"_kt_{i}"), F.lit(0)).alias("kept_tokens"),
+            F.round(
+                F.coalesce(F.col(f"_kt_{i}"), F.lit(0))
+                / F.greatest(F.col("_tot_tok"), F.lit(1)).cast("double"),
+                6,
+            ).alias("token_fraction"),
+        )
+        for i, t in enumerate(ts)
+    ]
+    return m.select(F.explode(F.array(*rows)).alias("_r")).select(
+        "_r.threshold",
+        "_r.kept_docs",
+        "_r.kept_fraction",
+        "_r.kept_tokens",
+        "_r.token_fraction",
     )

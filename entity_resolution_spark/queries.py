@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = [
     "kaplan_meier_user_lifetimes",
     "did_event_value",
     "histogram_order_totalprice",
+    "quality_threshold_sweep",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

@@ -348,3 +348,26 @@ def test_readability_cols_hand_values(spark):
     assert r0["lix"] == round(8 / 2 + 100.0 * 2 / 8, 4)
     assert out[1]["w"] == 1 and out[1]["s"] == 1 and out[1]["lix"] == 1.0
     assert out[2]["lix"] is None and out[3]["lix"] is None
+
+
+def test_threshold_sweep_monotone_and_edges(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.curation import threshold_sweep
+
+    rows = [
+        Row(text="The quick brown fox jumps over the lazy dog near the bank. " * 10),
+        Row(text="x"),          # low quality
+        Row(text=None),         # NULL fails every threshold
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["threshold"]: r for r in threshold_sweep(df, [0.0, 0.5, 1.1]).collect()}
+    # kept counts are monotone non-increasing in the threshold
+    assert out[0.0]["kept_docs"] >= out[0.5]["kept_docs"] >= out[1.1]["kept_docs"]
+    assert out[1.1]["kept_docs"] == 0 and out[1.1]["kept_tokens"] == 0
+    assert out[0.0]["kept_docs"] == 2  # NULL text excluded even at 0.0
+    assert out[0.5]["kept_fraction"] == round(out[0.5]["kept_docs"] / 3, 6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        threshold_sweep(df, [])
