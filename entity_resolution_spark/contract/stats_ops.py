@@ -1706,3 +1706,66 @@ def histogram_order_totalprice(spark, sf_dir):
         _t(spark, sf_dir, "orders"), "o_totalprice",
         by=["o_orderpriority"], bin_width=25000.0,
     )
+
+
+def _hll_merge_sql(p: int = 12) -> str:
+    m = 1 << p
+    low = 60 - p
+    mask = (1 << low) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    am2 = alpha * m * m
+    est = (
+        f"""round(CASE WHEN {am2!r} / ((({m} - nonzero) * {1 << 40}::BIGINT + t)::DOUBLE
+                                      / {float(1 << 40)!r}) <= {2.5 * m!r}
+                       AND ({m} - nonzero) > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - nonzero)::DOUBLE)
+                      ELSE {am2!r} / ((({m} - nonzero) * {1 << 40}::BIGINT + t)::DOUBLE
+                                      / {float(1 << 40)!r}) END, 6)"""
+    )
+    return f"""
+    WITH v AS (
+      SELECT o_orderpriority AS source, CAST(o_orderkey AS VARCHAR) AS val
+      FROM orders),
+    k AS (SELECT source, ('0x' || substr(sha256(val), 1, 15))::UBIGINT::BIGINT AS h
+          FROM v WHERE val IS NOT NULL),
+    b AS (SELECT source, h >> {low} AS bucket, h & {mask} AS w FROM k),
+    r AS (SELECT source, bucket,
+                 least(CASE WHEN w = 0 THEN {low + 1}
+                            ELSE {low + 1} - length(bin(w)) END, 40) AS rho
+          FROM b),
+    regs AS (SELECT source, bucket, max(rho) AS M FROM r GROUP BY 1, 2),
+    merged AS (SELECT '__merged__' AS source, bucket, max(M) AS M
+               FROM regs GROUP BY 2),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    cm AS (SELECT source, M, count(*) AS c FROM allregs GROUP BY 1, 2),
+    s AS (SELECT source,
+                 CAST(coalesce(sum(c), 0) AS BIGINT) AS nonzero,
+                 CAST(coalesce(sum(c * (1::BIGINT << (40 - M))), 0) AS BIGINT) AS t,
+                 CAST(coalesce(sum(c * M), 0) AS BIGINT) AS register_sum
+          FROM cm GROUP BY 1)
+    SELECT source, nonzero AS nonzero_buckets, register_sum,
+           {est} AS estimate
+    FROM s
+    """
+
+
+# --- HLL sketch merge rollup -------------------------------------------------
+# The 100 TB distinct-count pattern made a value-checked gate: per-group
+# register files max-merge into the union's registers, and the merged
+# estimate is verified value-for-value alongside every per-group row.
+# Order keys are DISJOINT across priorities, so the merged estimate is a
+# genuine union (~5x any part), not a shared-set degenerate case.
+@query("hll_merge_sources", _hll_merge_sql())
+def hll_merge_sources(spark, sf_dir):
+    from ..operators.stats import hll_estimate_by, hll_grouped_registers
+
+    d = _t(spark, sf_dir, "orders")
+    toks = d.select(
+        F.col("o_orderpriority").alias("source"),
+        F.col("o_orderkey").cast("string").alias("val"),
+    )
+    regs = hll_grouped_registers(toks, ["source"], "val", p=12)
+    merged = regs.groupBy("bucket").agg(F.max("M").alias("M")).select(
+        F.lit("__merged__").alias("source"), "bucket", "M"
+    )
+    return hll_estimate_by(regs.unionByName(merged), ["source"], p=12)

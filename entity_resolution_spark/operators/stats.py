@@ -1342,3 +1342,72 @@ def histogram_report(
         "n_obs",
         F.round(F.col("n_obs") / F.sum("n_obs").over(wg), 6).alias("frac"),
     )
+
+
+def hll_grouped_registers(
+    df: DataFrame, by: Sequence[str], col: str, p: int = 12
+) -> DataFrame:
+    """(by..., bucket, M) — one HLL register file PER GROUP (same
+    engine-portable sha256/rho construction as `hll_registers`). Register
+    files are max-mergeable: the union of any set of groups is their
+    per-bucket max, so per-partition/per-source sketches roll up to any
+    coarser grain without touching the data again — the property that
+    makes a 100 TB distinct-count report one tiny sketch join."""
+    if not (7 <= p <= 18):
+        raise ValueError(f"p must be in [7, 18], got {p}")
+    by = list(by)
+    low_bits = 60 - p
+    mask = (1 << low_bits) - 1
+    h = F.conv(
+        F.substring(F.sha2(F.col(col).cast("string"), 256), 1, 15), 16, 10
+    ).cast("long")
+    keyed = df.filter(F.col(col).isNotNull()).select(
+        *by,
+        F.shiftright(h, low_bits).alias("bucket"),
+        h.bitwiseAND(F.lit(mask)).alias("w"),
+    )
+    rho_raw = F.when(F.col("w") == 0, F.lit(low_bits + 1)).otherwise(
+        F.lit(low_bits + 1) - F.length(F.bin(F.col("w")))
+    )
+    return (
+        keyed.select(*by, "bucket", F.least(rho_raw, F.lit(40)).alias("rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_estimate_by(regs: DataFrame, by: Sequence[str], p: int = 12) -> DataFrame:
+    """(by..., nonzero_buckets, register_sum, estimate) per group from a
+    grouped (by..., bucket, M) register frame — the same exact-integer
+    harmonic-sum arithmetic as `hll_estimate`, keyed by group."""
+    if not (7 <= p <= 18):
+        raise ValueError(f"p must be in [7, 18], got {p}")
+    by = list(by)
+    m = 1 << p
+    per_m = regs.groupBy(*by, "M").agg(F.count("*").alias("c"))
+    s = per_m.groupBy(*by).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nonzero"),
+        F.coalesce(
+            F.sum(F.expr("c * shiftleft(cast(1 as bigint), 40 - M)")), F.lit(0)
+        )
+        .cast("long")
+        .alias("t"),
+        F.coalesce(F.sum(F.col("c") * F.col("M")), F.lit(0))
+        .cast("long")
+        .alias("register_sum"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    total = (F.lit(m).cast("long") - F.col("nonzero")) * F.lit(1 << 40) + F.col("t")
+    harm = total.cast("double") / F.lit(float(1 << 40))
+    e_raw = F.lit(alpha * m * m) / harm
+    v = F.lit(m).cast("long") - F.col("nonzero")
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return s.select(
+        *by,
+        F.col("nonzero").alias("nonzero_buckets"),
+        "register_sum",
+        F.round(estimate, 6).alias("estimate"),
+    )

@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "did_event_value",
     "histogram_order_totalprice",
     "quality_threshold_sweep",
+    "hll_merge_sources",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

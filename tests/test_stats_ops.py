@@ -1081,3 +1081,35 @@ def test_histogram_report_bins(spark):
 
     with pytest.raises(ValueError):
         histogram_report(df, "v", bin_width=0)
+
+
+def test_hll_grouped_merge_equals_direct(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.stats import (
+        hll_estimate_by,
+        hll_grouped_registers,
+        hll_registers,
+    )
+
+    rows = [Row(g=f"g{i % 3}", v=f"item-{i}") for i in range(900)]
+    df = spark.createDataFrame(rows).repartition(4)
+    regs = hll_grouped_registers(df, ["g"], "v", p=10)
+    merged = regs.groupBy("bucket").agg(F.max("M").alias("M"))
+    direct = hll_registers(df, "v", p=10)
+    # max-merge of per-group register files == the union's register file,
+    # register-for-register
+    m = {(r["bucket"], r["M"]) for r in merged.collect()}
+    d = {(r["bucket"], r["M"]) for r in direct.collect()}
+    assert m == d
+    est = {r["g"]: r["estimate"] for r in hll_estimate_by(regs, ["g"], p=10).collect()}
+    # disjoint thirds: each group estimates ~300
+    for g in ("g0", "g1", "g2"):
+        assert 240 <= est[g] <= 360
+    import pytest
+
+    with pytest.raises(ValueError):
+        hll_grouped_registers(df, ["g"], "v", p=3)
+    with pytest.raises(ValueError):
+        hll_estimate_by(regs, ["g"], p=99)
