@@ -1328,3 +1328,119 @@ def link_prediction_copurchase(spark, sf_dir):
         .distinct()
     )
     return link_prediction(edges, min_common=2)
+
+
+_COPURCHASE_CTES = """
+    li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey % 10 = 0),
+    e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+
+# --- modularity of the brand partition over the co-purchase graph ------------
+@query(
+    "modularity_copurchase_brand",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    lab AS (SELECT p_partkey AS id, p_brand AS lb FROM part),
+    t AS (SELECT coalesce(la.lb, CAST(e0.a AS VARCHAR)) AS la_,
+                 coalesce(lr.lb, CAST(e0.b AS VARCHAR)) AS lb_
+          FROM e0 LEFT JOIN lab la ON la.id = e0.a
+                  LEFT JOIN lab lr ON lr.id = e0.b),
+    mm AS (SELECT count(*) AS m FROM e0),
+    intra AS (SELECT la_ AS c, CAST(count(*) AS BIGINT) AS ec
+              FROM t WHERE la_ = lb_ GROUP BY 1),
+    ends AS (SELECT la_ AS c FROM t UNION ALL SELECT lb_ AS c FROM t),
+    degc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM ends GROUP BY 1),
+    pc AS (SELECT degc.c, coalesce(ec, 0) AS ec, dc
+           FROM degc LEFT JOIN intra USING (c))
+    SELECT CAST(max(mm.m) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           round(sum(ec * 1.0 / mm.m
+                     - (dc / (2.0 * mm.m)) * (dc / (2.0 * mm.m))), 6)
+             AS modularity
+    FROM pc CROSS JOIN mm
+    """,
+)
+def modularity_copurchase_brand(spark, sf_dir):
+    """Modularity of the p_brand partition over the part co-purchase graph
+    (operators/graphmetrics.py modularity) — does brand structure explain
+    co-purchase structure better than the degree-preserving null model?"""
+    from ..operators.graphmetrics import modularity
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("left_id"),
+            F.col("b.l_partkey").alias("right_id"),
+        )
+        .distinct()
+    )
+    labels = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("label")
+    )
+    return modularity(edges, labels)
+
+
+# --- degree assortativity of the co-purchase graph ---------------------------
+@query(
+    "assortativity_copurchase",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS dg
+            FROM sym GROUP BY 1),
+    p AS (SELECT du.dg AS x, dv.dg AS y
+          FROM sym JOIN deg du ON du.id = sym.a
+                   JOIN deg dv ON dv.id = sym.b),
+    mrow AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(count(*) AS BIGINT) AS n2,
+                    sum(x * 1.0) AS sx, sum(y * 1.0) AS sy,
+                    sum(x * 1.0 * x) AS sxx, sum(y * 1.0 * y) AS syy,
+                    sum(x * 1.0 * y) AS sxy
+             FROM p)
+    SELECT CAST(n2 / 2 AS BIGINT) AS n_edges,
+           CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0 THEN
+             round((n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS assortativity
+    FROM mrow
+    """,
+)
+def assortativity_copurchase(spark, sf_dir):
+    """Degree assortativity of the part co-purchase graph
+    (operators/graphmetrics.py assortativity) — hub-to-hub vs
+    hub-and-spoke wiring, the one-number topology fingerprint."""
+    from ..operators.graphmetrics import assortativity
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("left_id"),
+            F.col("b.l_partkey").alias("right_id"),
+        )
+        .distinct()
+    )
+    return assortativity(edges)

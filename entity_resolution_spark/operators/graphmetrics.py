@@ -443,3 +443,131 @@ def link_prediction(
             6,
         ).alias("nbr_jaccard"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman-Girvan modularity of a node partition: one row (n_edges,
+    n_communities, modularity) with Q = sum over communities of
+    (e_c/m - (deg_c/2m)^2) — the standard audit of whether a community
+    assignment (LPA labels, cluster ids, or an external attribute) beats
+    the degree-preserving null model. Nodes missing from ``labels`` form
+    their own singleton community per node (left join, label = own id).
+
+    Scale shape: edge canonicalization + two shuffle-hash label joins +
+    census aggregates; the final sum runs over community-count rows.
+    """
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("string").alias("_lab")
+    )
+    la = lab.select(F.col("_id").alias("a"), F.col("_lab").alias("_la"))
+    lb = lab.select(F.col("_id").alias("b"), F.col("_lab").alias("_lb"))
+    tagged = (
+        e.join(la.hint("shuffle_hash"), "a", "left")
+        .join(lb.hint("shuffle_hash"), "b", "left")
+        .select(
+            F.coalesce("_la", F.col("a").cast("string")).alias("_la"),
+            F.coalesce("_lb", F.col("b").cast("string")).alias("_lb"),
+        )
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("_m"))
+    intra = tagged.where(F.col("_la") == F.col("_lb")).groupBy(
+        F.col("_la").alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_ec"))
+    # community degree mass: every edge endpoint contributes 1 to its
+    # community's degree sum
+    ends = tagged.select(F.col("_la").alias("_c")).unionAll(
+        tagged.select(F.col("_lb").alias("_c"))
+    )
+    degc = ends.groupBy("_c").agg(F.count(F.lit(1)).alias("_dc"))
+    per_c = degc.join(intra.hint("shuffle_hash"), "_c", "left").select(
+        "_c",
+        F.coalesce("_ec", F.lit(0)).alias("_ec"),
+        "_dc",
+    )
+    return (
+        per_c.crossJoin(F.broadcast(m_row))
+        .agg(
+            F.max("_m").alias("n_edges"),
+            F.count(F.lit(1)).alias("n_communities"),
+            F.round(
+                F.sum(
+                    F.col("_ec") / F.col("_m")
+                    - (F.col("_dc") / (F.lit(2.0) * F.col("_m")))
+                    * (F.col("_dc") / (F.lit(2.0) * F.col("_m")))
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def assortativity(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): one row (n_edges,
+    assortativity) — the Pearson correlation of endpoint degrees over the
+    symmetrized edge list (each undirected edge counted in both
+    directions, the standard convention). Positive: hubs link to hubs;
+    negative: hub-and-spoke. NULL when degrees are constant.
+
+    One degree census + two shuffle-hash joins + a single moment
+    aggregate — the same closed-form identity as `stats.correlation_report`.
+    """
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("dg"))
+    du = deg.select(F.col("id").alias("a"), F.col("dg").alias("_du"))
+    dv = deg.select(F.col("id").alias("b"), F.col("dg").alias("_dv"))
+    pairs = sym.join(du.hint("shuffle_hash"), "a").join(
+        dv.hint("shuffle_hash"), "b"
+    )
+    x = F.col("_du").cast("double")
+    y = F.col("_dv").cast("double")
+    mrow = pairs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    den = F.sqrt(
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return mrow.select(
+        (F.col("_n") / 2).cast("long").alias("n_edges"),
+        F.when(
+            den > 0,
+            F.round(
+                (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den, 6
+            ),
+        ).alias("assortativity"),
+    )

@@ -89,6 +89,8 @@ _DRIVER_PRIORITY = [
     "histogram_order_totalprice",
     "quality_threshold_sweep",
     "hll_merge_sources",
+    "modularity_copurchase_brand",
+    "assortativity_copurchase",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

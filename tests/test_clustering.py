@@ -407,3 +407,49 @@ def test_link_prediction_triangle_no_candidates_and_hub_cap(spark):
     )
     assert link_prediction(star).count() == 6
     assert link_prediction(star, max_middle_degree=3).count() == 0
+
+
+def test_modularity_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import modularity
+
+    # two triangles joined by one bridge; labels = the two triangles.
+    # m = 7; intra per community = 3; deg_c = 7 each (6 + bridge endpoint).
+    # Q = 2 * (3/7 - (7/14)^2) = 6/7 - 1/2 = 0.357143
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    e = spark.createDataFrame([Row(left_id=a, right_id=b) for a, b in edges])
+    labels = spark.createDataFrame(
+        [Row(id=i, label="t1") for i in (1, 2, 3)]
+        + [Row(id=i, label="t2") for i in (4, 5, 6)]
+    )
+    r = modularity(e, labels).collect()[0]
+    assert r["n_edges"] == 7 and r["n_communities"] == 2
+    assert r["modularity"] == round(6 / 7 - 0.5, 6)
+
+    # everything in ONE community: Q = m/m - (2m/2m)^2 = 0
+    one = spark.createDataFrame([Row(id=i, label="all") for i in range(1, 7)])
+    assert modularity(e, one).collect()[0]["modularity"] == 0.0
+
+    # unlabeled nodes become singletons: no intra edges, Q < 0
+    r = modularity(e, labels.limit(0)).collect()[0]
+    assert r["modularity"] < 0 and r["n_communities"] == 6
+
+
+def test_assortativity_extremes(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.graphmetrics import assortativity
+
+    # star: center degree 4, leaves degree 1 -> perfectly disassortative
+    star = spark.createDataFrame(
+        [Row(left_id=0, right_id=i) for i in range(1, 5)]
+    )
+    r = assortativity(star).collect()[0]
+    assert r["n_edges"] == 4 and r["assortativity"] == -1.0
+
+    # cycle: all degrees equal -> correlation undefined (NULL)
+    cyc = spark.createDataFrame(
+        [Row(left_id=i, right_id=(i + 1) % 5) for i in range(5)]
+    )
+    assert assortativity(cyc).collect()[0]["assortativity"] is None
