@@ -1769,3 +1769,115 @@ def hll_merge_sources(spark, sf_dir):
         F.lit("__merged__").alias("source"), "bucket", "M"
     )
     return hll_estimate_by(regs.unionByName(merged), ["source"], p=12)
+
+
+def _hll_est_cols(p: int = 12) -> str:
+    """DuckDB select-list fragment computing (nonzero, register_sum,
+    estimate) from grouped (c, M) census columns — same exact-integer
+    arithmetic as operators/stats.py hll_estimate_by."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    am2 = alpha * m * m
+    return f"""
+      CAST(coalesce(sum(c), 0) AS BIGINT) AS nonzero_buckets,
+      CAST(coalesce(sum(c * M), 0) AS BIGINT) AS register_sum,
+      round(CASE WHEN {am2!r} / ((({m} - coalesce(sum(c), 0)) * {1 << 40}::BIGINT
+                 + coalesce(sum(c * (1::BIGINT << (40 - M))), 0))::DOUBLE
+                 / {float(1 << 40)!r}) <= {2.5 * m!r}
+                 AND ({m} - coalesce(sum(c), 0)) > 0
+            THEN {float(m)!r} * ln({float(m)!r}
+                 / ({m} - coalesce(sum(c), 0))::DOUBLE)
+            ELSE {am2!r} / ((({m} - coalesce(sum(c), 0)) * {1 << 40}::BIGINT
+                 + coalesce(sum(c * (1::BIGINT << (40 - M))), 0))::DOUBLE
+                 / {float(1 << 40)!r}) END, 6) AS estimate"""
+
+
+def _hll_reg_ctes(src_select: str, p: int = 12) -> str:
+    """Grouped register-file CTE chain: ``src_select`` must yield (g, val)."""
+    low = 60 - p
+    mask = (1 << low) - 1
+    return f"""
+    v AS ({src_select}),
+    k AS (SELECT g, ('0x' || substr(sha256(val), 1, 15))::UBIGINT::BIGINT AS h
+          FROM v WHERE val IS NOT NULL),
+    b AS (SELECT g, h >> {low} AS bucket, h & {mask} AS w FROM k),
+    r AS (SELECT g, bucket,
+                 least(CASE WHEN w = 0 THEN {low + 1}
+                            ELSE {low + 1} - length(bin(w)) END, 40) AS rho
+          FROM b),
+    regs AS (SELECT g, bucket, max(rho) AS M FROM r GROUP BY 1, 2)"""
+
+
+# --- HLL pairwise audience overlap -------------------------------------------
+# Inclusion-exclusion on register files: one data scan, every pairwise
+# union is sketch arithmetic. Singles and unions are rounded BEFORE the
+# overlap subtraction on both engines.
+@query(
+    "hll_overlap_user_sets",
+    f"""
+    WITH {_hll_reg_ctes("SELECT event_type AS g, CAST(user_id AS VARCHAR) AS val FROM events")},
+    singles AS (
+      SELECT g, {_hll_est_cols()}
+      FROM (SELECT g, M, count(*) AS c FROM regs GROUP BY 1, 2)
+      GROUP BY g),
+    groups AS (SELECT DISTINCT g FROM regs),
+    pf AS (SELECT a.g AS ga, b.g AS gb FROM groups a JOIN groups b
+           ON a.g < b.g),
+    stack AS (
+      SELECT pf.ga, pf.gb, regs.bucket, regs.M FROM regs
+      JOIN pf ON regs.g = pf.ga
+      UNION ALL
+      SELECT pf.ga, pf.gb, regs.bucket, regs.M FROM regs
+      JOIN pf ON regs.g = pf.gb),
+    u AS (SELECT ga, gb, bucket, max(M) AS M FROM stack GROUP BY 1, 2, 3),
+    uest AS (
+      SELECT ga, gb, {_hll_est_cols()}
+      FROM (SELECT ga, gb, M, count(*) AS c FROM u GROUP BY 1, 2, 3)
+      GROUP BY ga, gb)
+    SELECT uest.ga AS group_a, uest.gb AS group_b,
+           sa.estimate AS est_a, sb.estimate AS est_b,
+           uest.estimate AS est_union,
+           greatest(round(sa.estimate + sb.estimate - uest.estimate, 6), 0.0)
+             AS est_overlap,
+           CASE WHEN uest.estimate > 0 THEN
+             round(greatest(round(sa.estimate + sb.estimate
+                                  - uest.estimate, 6), 0.0)
+                   / uest.estimate, 6) END AS jaccard
+    FROM uest JOIN singles sa ON sa.g = uest.ga
+              JOIN singles sb ON sb.g = uest.gb
+    """,
+)
+def hll_overlap_user_sets(spark, sf_dir):
+    from ..operators.stats import hll_overlap_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_overlap_report(ev, "event_type", "uid", p=12)
+
+
+# --- trailing 7-day rolling distinct users -----------------------------------
+# One raw scan builds daily registers; every trailing window is register
+# arithmetic (explode <= 7 target days per register row, per-bucket max).
+@query(
+    "hll_rolling_users_7d",
+    f"""
+    WITH {_hll_reg_ctes("SELECT CAST(ts AS DATE) AS g, CAST(user_id AS VARCHAR) AS val FROM events")},
+    offs AS (SELECT unnest(range(0, 7)) AS o),
+    targets AS (SELECT g + CAST(o AS INTEGER) AS day, bucket, M
+                FROM regs CROSS JOIN offs),
+    present AS (SELECT DISTINCT g AS day FROM regs),
+    rolled AS (SELECT t.day, bucket, max(M) AS M
+               FROM targets t JOIN present USING (day) GROUP BY 1, 2)
+    SELECT day, {_hll_est_cols()}
+    FROM (SELECT day, M, count(*) AS c FROM rolled GROUP BY 1, 2)
+    GROUP BY day
+    """,
+)
+def hll_rolling_users_7d(spark, sf_dir):
+    from ..operators.stats import hll_rolling_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_rolling_distinct(ev, "ts", "uid", window_days=7, p=12)

@@ -1411,3 +1411,115 @@ def hll_estimate_by(regs: DataFrame, by: Sequence[str], p: int = 12) -> DataFram
         "register_sum",
         F.round(estimate, 6).alias("estimate"),
     )
+
+
+def hll_overlap_report(
+    df: DataFrame, group: str, col: str, p: int = 12
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from their HLL
+    register files: for every unordered group pair, (group_a, group_b,
+    est_a, est_b, est_union, est_overlap, jaccard) via inclusion-
+    exclusion |A∩B| ≈ |A| + |B| - |A∪B| (clamped at 0). The audience-
+    overlap / source-contamination matrix at sketch cost: after ONE scan
+    builds per-group registers, every pairwise union is a register join —
+    the data is never re-read, never shuffled per pair.
+
+    Scale shape: register files are <= 2^p rows per group; the pair
+    "join" is registers-vs-registers (group-count^2 x m rows worst case —
+    sketch-sized, not data-sized).
+    """
+    regs = hll_grouped_registers(df, [group], col, p)
+    singles = hll_estimate_by(regs, [group], p).select(
+        F.col(group), F.col("estimate")
+    )
+    # unordered pair frame: |groups|^2/2 rows — tiny, broadcast both ways
+    groups = regs.select(F.col(group).alias("g")).distinct()
+    pair_frame = (
+        groups.select(F.col("g").alias("ga"))
+        .crossJoin(groups.select(F.col("g").alias("gb")))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    # union registers per pair: stack each side's file under the pair key,
+    # then per-bucket max — outer semantics fall out of the stacking
+    side_a = regs.join(
+        F.broadcast(pair_frame), regs[group] == F.col("ga")
+    ).select("ga", "gb", "bucket", "M")
+    side_b = regs.join(
+        F.broadcast(pair_frame), regs[group] == F.col("gb")
+    ).select("ga", "gb", "bucket", "M")
+    union_regs = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    union_est = hll_estimate_by(union_regs, ["ga", "gb"], p).select(
+        "ga", "gb", F.col("estimate").alias("est_union")
+    )
+    ea = singles.select(F.col(group).alias("ga"), F.col("estimate").alias("est_a"))
+    eb = singles.select(F.col(group).alias("gb"), F.col("estimate").alias("est_b"))
+    out = (
+        union_est.join(F.broadcast(ea), "ga")
+        .join(F.broadcast(eb), "gb")
+    )
+    overlap = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return out.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        overlap.alias("est_overlap"),
+        F.when(
+            F.col("est_union") > 0, F.round(overlap / F.col("est_union"), 6)
+        ).alias("jaccard"),
+    )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    ts: str,
+    col: str,
+    window_days: int = 7,
+    p: int = 12,
+) -> DataFrame:
+    """Trailing N-day distinct-count estimate per day — (day,
+    nonzero_buckets, register_sum, estimate) where each day's sketch is
+    the union of the per-day register files over [day - N + 1, day]. The
+    rolling-DAU/WAU primitive at sketch cost: the raw data is scanned
+    ONCE to build daily registers; every window after that is register
+    arithmetic.
+
+    Scale shape: daily register files (<= 2^p rows/day) explode to at
+    most N target days each — sketch-sized x N, never data-sized — then
+    one per-(day, bucket) max and the usual exact-integer estimate. Only
+    days present in the data are reported (the trailing window still sees
+    absent days' — empty — registers correctly).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    daily = hll_grouped_registers(
+        df.select(F.to_date(F.col(ts)).alias("_day"), F.col(col)),
+        ["_day"],
+        col,
+        p,
+    )
+    targets = daily.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+        ).alias("_off"),
+        "_day",
+        "bucket",
+        "M",
+    ).select(
+        F.date_add(F.col("_day"), F.col("_off")).alias("day"), "bucket", "M"
+    )
+    present = daily.select(F.col("_day").alias("day")).distinct()
+    rolled = (
+        targets.join(F.broadcast(present), "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    return hll_estimate_by(rolled, ["day"], p)

@@ -91,6 +91,8 @@ _DRIVER_PRIORITY = [
     "hll_merge_sources",
     "modularity_copurchase_brand",
     "assortativity_copurchase",
+    "hll_overlap_user_sets",
+    "hll_rolling_users_7d",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

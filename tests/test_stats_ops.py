@@ -1113,3 +1113,59 @@ def test_hll_grouped_merge_equals_direct(spark):
         hll_grouped_registers(df, ["g"], "v", p=3)
     with pytest.raises(ValueError):
         hll_estimate_by(regs, ["g"], p=99)
+
+
+def test_hll_overlap_report_known_sets(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import hll_overlap_report
+
+    # A = 0..599, B = 300..899 (300 shared), C disjoint 10000..10299
+    rows = [Row(g="A", v=f"u{i}") for i in range(600)]
+    rows += [Row(g="B", v=f"u{i}") for i in range(300, 900)]
+    rows += [Row(g="C", v=f"u{i}") for i in range(10000, 10300)]
+    df = spark.createDataFrame(rows).repartition(4)
+    out = {(r["group_a"], r["group_b"]): r for r in hll_overlap_report(df, "g", "v", p=12).collect()}
+    ab = out[("A", "B")]
+    # p=12 on n=900: ~1.6% typical error; assert within 10%
+    assert abs(ab["est_union"] - 900) / 900 < 0.1
+    assert abs(ab["est_overlap"] - 300) / 300 < 0.2
+    ac = out[("A", "C")]
+    assert ac["est_overlap"] < 60  # truly disjoint: estimate near 0
+    assert ac["jaccard"] < 0.07
+
+
+def test_hll_rolling_equals_direct_union(spark):
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.stats import (
+        hll_registers,
+        hll_rolling_distinct,
+    )
+
+    d0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    for day in range(10):
+        for i in range(50):
+            rows.append(Row(ts=d0 + datetime.timedelta(days=day), v=f"u{day * 30 + i}"))
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["day"]: r for r in hll_rolling_distinct(df, "ts", "v", window_days=3, p=10).collect()}
+    # day 5's rolling sketch must equal the direct sketch over days 3-5
+    sub = df.where(
+        (F.to_date("ts") >= F.lit("2024-03-04")) & (F.to_date("ts") <= F.lit("2024-03-06"))
+    )
+    direct = hll_registers(sub, "v", p=10)
+    from entity_resolution_spark.operators.stats import hll_estimate
+
+    want = hll_estimate(direct, p=10).collect()[0]
+    got = out[datetime.date(2024, 3, 6)]
+    assert got["nonzero_buckets"] == want["nonzero_buckets"]
+    assert got["register_sum"] == want["register_sum"]
+    assert got["estimate"] == want["estimate"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        hll_rolling_distinct(df, "ts", "v", window_days=0)
