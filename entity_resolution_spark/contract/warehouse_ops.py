@@ -905,3 +905,82 @@ def cusum_change_point_events(spark, sf_dir):
     return change_point(
         _t(spark, sf_dir, "events"), "ts", "value", by=["event_type"], unit="day"
     )
+
+
+def _markov_attribution_sql(conv: str = "purchase", rounds: int = 10) -> str:
+    """Unrolled replica of funnel.markov_attribution: same journey
+    construction, same per-round round(,12) fixed-point absorption, same
+    removal-effect normalization (the PageRank-oracle convention)."""
+    parts = [f"""
+    marked AS (
+      SELECT user_id AS u, ts, event_id AS tb, event_type AS c,
+             sum(CASE WHEN event_type = '{conv}' THEN 1 ELSE 0 END) OVER w
+               - CASE WHEN event_type = '{conv}' THEN 1 ELSE 0 END AS cb
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    path AS (SELECT * FROM marked WHERE cb = 0 AND c <> '{conv}'),
+    conv_u AS (SELECT DISTINCT u FROM marked WHERE c = '{conv}'),
+    stepped AS (
+      SELECT u, c AS t_, lag(c) OVER w2 AS f_,
+             row_number() OVER w2 AS rn,
+             count(*) OVER (PARTITION BY u) AS n
+      FROM path WINDOW w2 AS (PARTITION BY u ORDER BY ts, tb)),
+    alltr AS (
+      SELECT f_ AS f, t_ AS t FROM stepped WHERE rn > 1
+      UNION ALL
+      SELECT '__START__' AS f, t_ AS t FROM stepped WHERE rn = 1
+      UNION ALL
+      SELECT s.t_ AS f,
+             CASE WHEN cv.u IS NOT NULL THEN '__CONV__'
+                  ELSE '__NULL__' END AS t
+      FROM stepped s LEFT JOIN conv_u cv ON cv.u = s.u WHERE s.rn = s.n
+      UNION ALL
+      SELECT '__START__' AS f, '__CONV__' AS t FROM conv_u
+      WHERE u NOT IN (SELECT DISTINCT u FROM stepped)),
+    trans AS (SELECT f, t, count(*) AS n FROM alltr GROUP BY 1, 2),
+    probs AS (SELECT f, t, n * 1.0 / sum(n) OVER (PARTITION BY f) AS p
+              FROM trans),
+    scen AS (SELECT DISTINCT f AS s FROM probs WHERE f <> '__START__'
+             UNION ALL SELECT '__ALL__'),
+    st AS (SELECT scen.s AS sc, probs.f,
+                  CASE WHEN probs.t = scen.s THEN '__NULL__'
+                       ELSE probs.t END AS t,
+                  probs.p
+           FROM probs CROSS JOIN scen WHERE probs.f <> scen.s),
+    a0 AS (SELECT DISTINCT sc, f AS s, 0.0 AS a FROM st)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""a{i} AS (
+      SELECT st.sc, st.f AS s,
+             round(sum(st.p * CASE WHEN st.t = '__CONV__' THEN 1.0
+                                   WHEN st.t = '__NULL__' THEN 0.0
+                                   ELSE coalesce(av.a, 0.0) END), 12) AS a
+      FROM st LEFT JOIN a{i - 1} av ON av.sc = st.sc AND av.s = st.t
+      GROUP BY 1, 2)""")
+    parts.append(f"""sa AS (SELECT sc, a FROM a{rounds} WHERE s = '__START__'),
+    base AS (SELECT a AS b FROM sa WHERE sc = '__ALL__'),
+    perch AS (
+      SELECT sa.sc AS channel,
+             round(base.b, 6) AS p_conv_all,
+             round(sa.a, 6) AS p_conv_removed,
+             CASE WHEN base.b > 0 THEN
+               greatest(round(1.0 - sa.a / base.b, 6), 0.0) END
+               AS removal_effect
+      FROM sa CROSS JOIN base WHERE sa.sc <> '__ALL__')
+    SELECT channel, p_conv_all, p_conv_removed, removal_effect,
+           CASE WHEN sum(removal_effect) OVER () > 0 THEN
+             round(removal_effect / sum(removal_effect) OVER (), 6) END
+             AS attribution
+    FROM perch""")
+    return "WITH " + ",\n    ".join(parts)
+
+
+# --- Markov removal-effect attribution ---------------------------------------
+@query("attribution_markov_removal", _markov_attribution_sql())
+def attribution_markov_removal(spark, sf_dir):
+    """Data-driven attribution (operators/funnel.py markov_attribution):
+    channel credit = normalized drop in absorbing-chain conversion
+    probability when the channel is removed — the model-based companion
+    to the last-touch and position-based rules."""
+    from ..operators.funnel import markov_attribution
+
+    return markov_attribution(_t(spark, sf_dir, "events"), conv_type="purchase")

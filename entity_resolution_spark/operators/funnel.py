@@ -420,3 +420,183 @@ def cohort_ltv(
             ),
         )
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    conv_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+    rounds: int = 10,
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution, Anderl et al.
+    2016: per channel, (channel, p_conv_all, p_conv_removed,
+    removal_effect, attribution) — how much of the baseline conversion
+    probability disappears when the channel is deleted from the journey
+    graph, normalized into attribution shares.
+
+    Model: each user's pre-conversion channel sequence (conv events
+    excluded; journeys truncate at the first conversion) becomes
+    transitions START -> c1 -> ... -> ck -> CONV|NULL. Absorption
+    probabilities come from ``rounds`` fixed-point iterations a(s) <-
+    sum_t P(s->t)·val(t) — identical unrolled arithmetic on any engine
+    (the PageRank-oracle convention; journeys longer than ``rounds``
+    states contribute no further mass, an explicit truncation shared by
+    the SQL replica). Removing channel c drops its outgoing transitions
+    and redirects its incoming mass to NULL (the standard null-model).
+
+    Scale shape: one user-partitioned window pass over the events builds
+    transitions; everything after is censuses of |channels|+3 states —
+    the scenario dimension (one per removed channel, plus baseline) and
+    all ``rounds`` joins run on frames of at most
+    (|channels|+1)·(|channels|+3) rows. Control-plane arithmetic, data
+    scanned once.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    is_conv = (F.col(type_col) == conv_type).cast("int")
+    # events strictly before (and excluding) the user's first conversion
+    marked = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.col(type_col).alias("_c"),
+        (F.sum(is_conv).over(w_user) - is_conv).alias("_convs_before"),
+    )
+    path = marked.where(
+        (F.col("_convs_before") == 0) & (F.col("_c") != conv_type)
+    )
+    converted = (
+        marked.where(F.col("_c") == conv_type)
+        .select("_u")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    w_path = Window.partitionBy("_u").orderBy("_ts", "_tb")
+    stepped = path.select(
+        "_u",
+        F.col("_c").alias("_to"),
+        F.lag("_c").over(w_path).alias("_from"),
+        F.row_number().over(w_path).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_u")).alias("_n"),
+    )
+    mids = stepped.where(F.col("_rn") > 1).select(
+        "_u", "_from", "_to"
+    )
+    starts = stepped.where(F.col("_rn") == 1).select(
+        "_u", F.lit("__START__").alias("_from"), "_to"
+    )
+    lasts = (
+        stepped.where(F.col("_rn") == F.col("_n"))
+        .join(converted.hint("shuffle_hash"), "_u", "left")
+        .select(
+            "_u",
+            F.col("_to").alias("_from"),
+            F.when(F.col("_conv") == 1, F.lit("__CONV__"))
+            .otherwise(F.lit("__NULL__"))
+            .alias("_to"),
+        )
+    )
+    # converted users with NO prior channel events: START -> CONV direct
+    with_path = stepped.select("_u").distinct()
+    bare = (
+        converted.join(with_path, "_u", "left_anti")
+        .select(
+            "_u",
+            F.lit("__START__").alias("_from"),
+            F.lit("__CONV__").alias("_to"),
+        )
+    )
+    trans = (
+        mids.unionByName(starts)
+        .unionByName(lasts)
+        .unionByName(bare)
+        .groupBy("_from", "_to")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    probs = trans.withColumn(
+        "_p",
+        F.col("_n")
+        / F.sum("_n").over(Window.partitionBy("_from")).cast("double"),
+    ).select("_from", "_to", "_p")
+    channels = probs.select(F.col("_from").alias("_ch")).where(
+        F.col("_ch") != "__START__"
+    ).distinct()
+    scenarios = channels.select(
+        F.col("_ch").alias("_scen")
+    ).unionByName(
+        probs.sparkSession.createDataFrame([("__ALL__",)], "_scen string")
+    )
+    # per-scenario transition table: drop rows FROM the removed channel,
+    # redirect rows INTO it to __NULL__ (outgoing mass preserved)
+    st = (
+        probs.crossJoin(F.broadcast(scenarios))
+        .where(F.col("_from") != F.col("_scen"))
+        .select(
+            "_scen",
+            "_from",
+            F.when(F.col("_to") == F.col("_scen"), F.lit("__NULL__"))
+            .otherwise(F.col("_to"))
+            .alias("_to"),
+            "_p",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # fixed-point absorption: a(state) per scenario, a0 = 0 everywhere
+    a = st.select("_scen", F.col("_from").alias("_s")).distinct().withColumn(
+        "_a", F.lit(0.0)
+    )
+    for _ in range(int(rounds)):
+        av = a.select(
+            F.col("_scen"), F.col("_s").alias("_to"), F.col("_a").alias("_av")
+        )
+        a = (
+            st.join(av.hint("shuffle_hash"), ["_scen", "_to"], "left")
+            .select(
+                "_scen",
+                "_from",
+                (
+                    F.col("_p")
+                    * F.when(F.col("_to") == "__CONV__", F.lit(1.0))
+                    .when(F.col("_to") == "__NULL__", F.lit(0.0))
+                    .otherwise(F.coalesce("_av", F.lit(0.0)))
+                ).alias("_m"),
+            )
+            .groupBy("_scen", F.col("_from").alias("_s"))
+            .agg(F.round(F.sum("_m"), 12).alias("_a"))
+        )
+    start_a = a.where(F.col("_s") == "__START__").select("_scen", "_a")
+    base = start_a.where(F.col("_scen") == "__ALL__").select(
+        F.col("_a").alias("_base")
+    )
+    per_ch = (
+        start_a.where(F.col("_scen") != "__ALL__")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("_scen").alias("channel"),
+            F.round("_base", 6).alias("p_conv_all"),
+            F.round("_a", 6).alias("p_conv_removed"),
+            F.when(
+                F.col("_base") > 0,
+                F.greatest(
+                    F.round(F.lit(1.0) - F.col("_a") / F.col("_base"), 6),
+                    F.lit(0.0),
+                ),
+            ).alias("removal_effect"),
+        )
+    )
+    total_re = Window.partitionBy()
+    return per_ch.withColumn(
+        "attribution",
+        F.when(
+            F.sum("removal_effect").over(total_re) > 0,
+            F.round(
+                F.col("removal_effect")
+                / F.sum("removal_effect").over(total_re),
+                6,
+            ),
+        ),
+    )

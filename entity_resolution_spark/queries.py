@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "assortativity_copurchase",
     "hll_overlap_user_sets",
     "hll_rolling_users_7d",
+    "attribution_markov_removal",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

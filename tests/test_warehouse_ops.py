@@ -480,3 +480,37 @@ def test_sortedness_report_hand_values(spark):
     assert r["n_rows"] == 7 and r["n_pairs"] == 5
     assert r["n_inversions"] == 1
     assert r["sortedness"] == 0.8
+
+
+def test_markov_attribution_hand_chain(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.funnel import markov_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def e(i, u, s, typ):
+        return Row(event_id=i, user_id=u, ts=t0 + datetime.timedelta(seconds=s), event_type=typ)
+
+    # u1: click -> purchase; u2: view -> (no conversion);
+    # u3: direct purchase (bare START -> CONV journey)
+    rows = [e(1, 1, 0, "click"), e(2, 1, 10, "purchase"),
+            e(3, 2, 0, "view"),
+            e(4, 3, 0, "purchase")]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["channel"]: r for r in markov_attribution(df, "purchase").collect()}
+    assert set(out) == {"click", "view"}
+    # P(conv): START -> click(1/3)->CONV, view(1/3)->NULL, CONV(1/3) = 2/3
+    assert out["click"]["p_conv_all"] == round(2 / 3, 6)
+    # removing click: its START mass dies in NULL -> a = 1/3, RE = 0.5
+    assert out["click"]["p_conv_removed"] == round(1 / 3, 6)
+    assert out["click"]["removal_effect"] == 0.5
+    # view never reaches CONV: removing it changes nothing
+    assert out["view"]["removal_effect"] == 0.0
+    assert out["click"]["attribution"] == 1.0 and out["view"]["attribution"] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        markov_attribution(df, "purchase", rounds=0)
