@@ -57,10 +57,13 @@ from .contract import (  # noqa: E402,F401
 # ROTATION STRATEGY (for the next round): once CORRECTNESS_r03 lands,
 # move every query that received a green r3 row BELOW the ones that
 # didn't — the window rotates each round until every registered query has
-# at least one driver-green row on record. 198 registered / ~50-query
+# at least one driver-green row on record. 221 registered / ~50-query
 # window: everything after position ~50 waits for a later rotation; the
-# 46 names not listed here at all are r1/r2-driver-green and deliberately
-# land at the tail in registration order.
+# names not listed here at all are r1/r2-driver-green and deliberately
+# land at the tail in registration order. The 23 queries added in the
+# final session (correlation/rank stats through markov attribution) sit
+# at positions 7-29 — all inside the window — because fresh code benefits
+# most from an external value check.
 _DRIVER_PRIORITY = [
     # never received a driver CORRECTNESS row (round 1-2 window overflow)
     "doc_repetition_stats",
