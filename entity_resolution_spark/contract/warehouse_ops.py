@@ -984,3 +984,67 @@ def attribution_markov_removal(spark, sf_dir):
     from ..operators.funnel import markov_attribution
 
     return markov_attribution(_t(spark, sf_dir, "events"), conv_type="purchase")
+
+
+# --- Shapley-value attribution over observed coalitions ----------------------
+# Same observed-coalition game on both engines: v(unobserved) = 0, exact
+# integer factorial weights, per-channel phi rounded before the share.
+# Journeys use the FIRST DAY of events: over the full window conversion
+# is near-universal on this corpus (v == 1 on every coalition — a
+# degenerate game); day one gives 15 coalitions at a 30% rate.
+@query(
+    "attribution_shapley",
+    """
+    WITH marked AS (
+      SELECT user_id AS u, event_type AS c,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts)
+               - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cb
+      FROM events WHERE ts < TIMESTAMP '2024-01-02'),
+    touched AS (
+      SELECT u, list_sort(list_distinct(list(c))) AS s
+      FROM marked WHERE cb = 0 AND c <> 'purchase' GROUP BY u),
+    conv_u AS (SELECT DISTINCT u FROM marked WHERE c = 'purchase'),
+    journeys AS (
+      SELECT t.s, CASE WHEN cv.u IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM touched t LEFT JOIN conv_u cv ON cv.u = t.u),
+    census AS (
+      SELECT array_to_string(s, '|') AS key_, any_value(s) AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS nc
+      FROM journeys GROUP BY 1),
+    cen2 AS (SELECT *, nc / (n * 1.0) AS v, len(s) AS sz FROM census),
+    kk AS (SELECT count(DISTINCT ch) AS k
+           FROM (SELECT unnest(s) AS ch FROM cen2)),
+    terms AS (
+      SELECT ch, key_, v, sz,
+             array_to_string([x FOR x IN s IF x <> ch], '|') AS key_minus
+      FROM (SELECT key_, s, v, sz, unnest(s) AS ch FROM cen2)),
+    joined AS (
+      SELECT t.ch,
+             factorial(CAST(t.sz - 1 AS INTEGER)) * 1.0
+               * factorial(CAST(kk.k - t.sz AS INTEGER))
+               / factorial(CAST(kk.k AS INTEGER))
+               * (t.v - coalesce(vm.v, 0.0)) AS term
+      FROM terms t
+      CROSS JOIN kk
+      LEFT JOIN cen2 vm ON vm.key_ = t.key_minus),
+    phi AS (SELECT ch AS channel, round(sum(term), 6) AS shapley_value
+            FROM joined GROUP BY 1)
+    SELECT channel, shapley_value,
+           CASE WHEN sum(greatest(shapley_value, 0.0)) OVER () > 0 THEN
+             round(greatest(shapley_value, 0.0)
+                   / sum(greatest(shapley_value, 0.0)) OVER (), 6) END
+             AS attribution
+    FROM phi
+    """,
+)
+def attribution_shapley(spark, sf_dir):
+    """Shapley-value attribution (operators/funnel.py shapley_attribution)
+    — the cooperative-game companion to markov/multi-touch credit."""
+    from ..operators.funnel import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    )
+    return shapley_attribution(ev, conv_type="purchase")

@@ -600,3 +600,96 @@ def markov_attribution(
             ),
         ),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    conv_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Shapley-value attribution over observed channel coalitions (the
+    simplified game of Zhao et al. 2018): each user's journey collapses to
+    the SET of channels touched before their first conversion, v(S) is
+    the observed conversion rate of journeys with exactly that touch set
+    (unobserved coalitions contribute v = 0), and each channel's credit is
+    phi_c = sum over observed S containing c of
+    (|S|-1)!(k-|S|)!/k! * (v(S) - v(S\\{c})). Exact factorial weights via
+    the engines' integer factorial — no sampling, no approximation beyond
+    the observed-coalition restriction, which the SQL replica shares.
+
+    Scale shape: one window/aggregate pass collapses users to coalition
+    strings; the census is at most 2^k rows (k = distinct channels) and
+    every join after it is census-vs-census. Control-plane arithmetic
+    after a single data scan — the model-based companion to
+    `markov_attribution`.
+    """
+    w_user = Window.partitionBy(user_col).orderBy(ts_col)
+    is_conv = (F.col(type_col) == conv_type).cast("int")
+    marked = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_c"),
+        (F.sum(is_conv).over(w_user) - is_conv).alias("_cb"),
+    )
+    touched = (
+        marked.where((F.col("_cb") == 0) & (F.col("_c") != conv_type))
+        .groupBy("_u")
+        .agg(F.sort_array(F.collect_set("_c")).alias("_set"))
+    )
+    converted = (
+        marked.where(F.col("_c") == conv_type)
+        .select("_u")
+        .distinct()
+        .withColumn("_conv", F.lit(1))
+    )
+    journeys = touched.join(converted.hint("shuffle_hash"), "_u", "left").select(
+        "_set", F.coalesce("_conv", F.lit(0)).alias("_conv")
+    )
+    census = journeys.groupBy(
+        F.concat_ws("|", "_set").alias("_key"), F.col("_set")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_conv").alias("_nc"),
+    ).withColumn("_v", F.col("_nc") / F.col("_n").cast("double"))
+    k_row = census.select(F.explode("_set").alias("_ch")).distinct().agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    # one term per (coalition, member): join the v-map on the reduced set
+    terms = census.select(
+        "_key", "_set", "_v", F.size("_set").alias("_s"),
+        F.explode("_set").alias("_ch"),
+    ).withColumn(
+        "_key_minus", F.concat_ws("|", F.array_remove("_set", F.col("_ch")))
+    )
+    vmap = census.select(
+        F.col("_key").alias("_key_minus"), F.col("_v").alias("_v_minus")
+    )
+    joined = (
+        terms.join(vmap.hint("shuffle_hash"), "_key_minus", "left")
+        .crossJoin(F.broadcast(k_row))
+        .select(
+            "_ch",
+            (
+                F.factorial(F.col("_s") - 1).cast("double")
+                * F.factorial(F.col("_k") - F.col("_s")).cast("double")
+                / F.factorial(F.col("_k")).cast("double")
+                * (F.col("_v") - F.coalesce("_v_minus", F.lit(0.0)))
+            ).alias("_t"),
+        )
+    )
+    phi = joined.groupBy(F.col("_ch").alias("channel")).agg(
+        F.round(F.sum("_t"), 6).alias("shapley_value")
+    )
+    # negative phi (a channel whose presence predicts WORSE conversion)
+    # gets zero credit; shares normalize over the positive mass — the
+    # practitioner convention for budget allocation
+    w_all = Window.partitionBy()
+    pos = F.greatest(F.col("shapley_value"), F.lit(0.0))
+    return phi.withColumn(
+        "attribution",
+        F.when(
+            F.sum(pos).over(w_all) > 0,
+            F.round(pos / F.sum(pos).over(w_all), 6),
+        ),
+    )

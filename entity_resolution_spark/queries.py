@@ -97,6 +97,7 @@ _DRIVER_PRIORITY = [
     "hll_overlap_user_sets",
     "hll_rolling_users_7d",
     "attribution_markov_removal",
+    "attribution_shapley",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

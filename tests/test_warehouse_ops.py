@@ -514,3 +514,30 @@ def test_markov_attribution_hand_chain(spark):
 
     with pytest.raises(ValueError):
         markov_attribution(df, "purchase", rounds=0)
+
+
+def test_shapley_attribution_hand_game(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.funnel import shapley_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def e(u, s, typ):
+        return Row(user_id=u, ts=t0 + datetime.timedelta(seconds=s), event_type=typ)
+
+    # v({A}) = 1 (2/2), v({B}) = 0 (0/2), v({A,B}) = 0.5 (1/2), k = 2
+    # phi_A = 1/2*(1-0) + 1/2*(0.5-0) = 0.75
+    # phi_B = 1/2*(0-0) + 1/2*(0.5-1) = -0.25 -> clamped to 0 credit
+    rows = [e(1, 0, "A"), e(1, 1, "purchase"),
+            e(2, 0, "A"), e(2, 1, "purchase"),
+            e(3, 0, "B"), e(4, 0, "B"),
+            e(5, 0, "A"), e(5, 1, "B"), e(5, 2, "purchase"),
+            e(6, 0, "A"), e(6, 1, "B")]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["channel"]: r for r in shapley_attribution(df, "purchase").collect()}
+    assert out["A"]["shapley_value"] == 0.75
+    assert out["B"]["shapley_value"] == -0.25
+    assert out["A"]["attribution"] == 1.0 and out["B"]["attribution"] == 0.0
