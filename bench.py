@@ -238,6 +238,19 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "attribution_multi_touch",
         "join_size_estimate_events",
         "range_boundaries_lineitem",
+        # closing-session batch: rank statistics with distributed prefix-
+        # sum ranking, snapshot reconciliation, model-based attribution,
+        # mergeable-sketch rollups, survival analysis
+        "correlation_lineitem",
+        "table_diff_event_snapshots",
+        "fingerprint_events_by_type",
+        "link_prediction_copurchase",
+        "attribution_markov_removal",
+        "attribution_shapley",
+        "hll_merge_sources",
+        "hll_rolling_users_7d",
+        "kaplan_meier_user_lifetimes",
+        "quality_threshold_sweep",
     ]:
         if name not in SPARK_QUERIES:
             continue
