@@ -1881,3 +1881,42 @@ def hll_rolling_users_7d(spark, sf_dir):
         "ts", F.col("user_id").cast("string").alias("uid")
     )
     return hll_rolling_distinct(ev, "ts", "uid", window_days=7, p=12)
+
+
+# --- multi-point weighted quantiles ------------------------------------------
+# Quantity-weighted price bands: integer-valued weights keep every
+# cumulative sum exact in double, so the q*total boundary is engine-safe.
+@query(
+    "weighted_quantiles_lineitem",
+    """
+    WITH base AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0),
+    census AS (
+      SELECT l_returnflag, v, sum(w) AS w FROM base GROUP BY 1, 2),
+    ranked AS (
+      SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM census)
+    SELECT l_returnflag,
+           round(max(tot), 6) AS total_weight,
+           round(min(CASE WHEN cum >= 0.25 * tot THEN v END), 6) AS q_0_25,
+           round(min(CASE WHEN cum >= 0.5 * tot THEN v END), 6) AS q_0_5,
+           round(min(CASE WHEN cum >= 0.9 * tot THEN v END), 6) AS q_0_9
+    FROM ranked GROUP BY 1
+    """,
+)
+def weighted_quantiles_lineitem(spark, sf_dir):
+    from ..operators.stats import weighted_quantiles
+
+    return weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        [0.25, 0.5, 0.9],
+        group_cols=["l_returnflag"],
+    )

@@ -1169,3 +1169,26 @@ def test_hll_rolling_equals_direct_union(spark):
 
     with pytest.raises(ValueError):
         hll_rolling_distinct(df, "ts", "v", window_days=0)
+
+
+def test_weighted_quantiles_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import weighted_quantiles
+
+    # weights 1,1,2,4 on values 1,2,3,4 (total 8): cum = 1,2,4,8
+    # q=0.25 -> first cum >= 2 is value 2; q=0.5 -> cum >= 4 is value 3;
+    # q=1.0 -> value 4. NULL/non-positive weights excluded.
+    rows = [Row(g="a", v=1.0, w=1.0), Row(g="a", v=2.0, w=1.0),
+            Row(g="a", v=3.0, w=2.0), Row(g="a", v=4.0, w=4.0),
+            Row(g="a", v=9.0, w=None), Row(g="a", v=9.0, w=0.0)]
+    df = spark.createDataFrame(rows).repartition(2)
+    r = weighted_quantiles(df, "v", "w", [0.25, 0.5, 1.0], ["g"]).collect()[0]
+    assert r["total_weight"] == 8.0
+    assert r["q_0_25"] == 2.0 and r["q_0_5"] == 3.0 and r["q_1_0"] == 4.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [0.0])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [])
