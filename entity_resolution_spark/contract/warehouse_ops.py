@@ -1048,3 +1048,74 @@ def attribution_shapley(spark, sf_dir):
         F.col("ts") < F.lit("2024-01-02").cast("timestamp")
     )
     return shapley_attribution(ev, conv_type="purchase")
+
+
+# --- per-period new vs returning users ---------------------------------------
+@query(
+    "new_vs_returning_weekly",
+    """
+    WITH first_ AS (SELECT user_id, date_trunc('week', min(ts)) AS f
+                    FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+            FROM events),
+    t AS (SELECT period, CASE WHEN period = f THEN 1 ELSE 0 END AS nw
+          FROM act JOIN first_ USING (user_id))
+    SELECT period, CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(nw) AS BIGINT) AS new_users,
+           CAST(count(*) - sum(nw) AS BIGINT) AS returning_users,
+           round((count(*) - sum(nw)) * 1.0 / count(*), 6)
+             AS returning_ratio
+    FROM t GROUP BY period
+    """,
+)
+def new_vs_returning_weekly(spark, sf_dir):
+    """Weekly audience decomposition (operators/funnel.py
+    new_vs_returning): first-seen census + distinct activity census."""
+    from ..operators.funnel import new_vs_returning
+
+    return new_vs_returning(_t(spark, sf_dir, "events"), bucket="week")
+
+
+# --- touch-to-conversion latency summary -------------------------------------
+# Aggregates the last-touch attribution rows (same carry-forward chain as
+# attribution_last_touch; lags rounded to 6 BEFORE the summary on both
+# engines); the direct bucket reports NULL latencies.
+@query(
+    "funnel_stage_latency",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN {'t_ts': ts, 't_id': event_id, 't_type': event_type}
+               END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+      FROM events),
+    c AS (
+      SELECT t, (epoch_us(ts) - epoch_us(t.t_ts)) / 1000000.0 AS lag
+      FROM w WHERE event_type = 'purchase'),
+    a AS (
+      SELECT CASE WHEN t IS NOT NULL AND lag <= 86400.0 THEN t.t_type
+                  ELSE 'direct' END AS attributed_type,
+             CASE WHEN t IS NOT NULL AND lag <= 86400.0 THEN round(lag, 6)
+               END AS lag_seconds
+      FROM c)
+    SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_conversions,
+           round(avg(lag_seconds), 6) AS avg_lag_s,
+           round(quantile_cont(lag_seconds, 0.5), 6) AS p50_lag_s,
+           round(quantile_cont(lag_seconds, 0.9), 6) AS p90_lag_s
+    FROM a GROUP BY attributed_type
+    """,
+)
+def funnel_stage_latency(spark, sf_dir):
+    """Touch-to-conversion latency percentiles per attributed type
+    (operators/funnel.py stage_latency_report) — the funnel-speed view of
+    the last-touch chain."""
+    from ..operators.funnel import stage_latency_report
+
+    return stage_latency_report(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=("view", "click"),
+        window_seconds=86400.0,
+    )

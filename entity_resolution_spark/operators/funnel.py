@@ -693,3 +693,86 @@ def shapley_attribution(
             F.round(pos / F.sum(pos).over(w_all), 6),
         ),
     )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    bucket: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-period audience decomposition: (period, active_users,
+    new_users, returning_users, returning_ratio) — a user is NEW in the
+    period of their first event and RETURNING in every later active
+    period. The growth-dashboard companion to `cohort_retention` (same
+    two aggregates, period-grain output instead of the cohort matrix).
+
+    One first-seen census + one distinct activity census joined on the
+    user key; output is period-count rows.
+    """
+    if bucket not in ("day", "week", "month"):
+        raise ValueError("bucket must be day|week|month")
+    b = lambda c: F.date_trunc(bucket, c)  # noqa: E731
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        b(F.min(ts_col)).alias("__first")
+    )
+    activity = events.select(
+        F.col(user_col).alias("__u"), b(F.col(ts_col)).alias("period")
+    ).distinct()
+    tagged = activity.join(first.hint("shuffle_hash"), "__u").select(
+        "period",
+        (F.col("period") == F.col("__first")).cast("long").alias("__new"),
+    )
+    return tagged.groupBy("period").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("__new").alias("new_users"),
+        (F.count(F.lit(1)) - F.sum("__new")).alias("returning_users"),
+        F.round(
+            (F.count(F.lit(1)) - F.sum("__new"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("returning_ratio"),
+    )
+
+
+def stage_latency_report(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    window_seconds: float = 86400.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Touch-to-conversion latency summary per attributed touch type:
+    (attributed_type, n_conversions, avg_lag_s, p50_lag_s, p90_lag_s) —
+    the funnel-speed report on top of `attribute_conversions` (direct
+    conversions, which have no lag, report as type 'direct' with NULL
+    latency columns). Lags are exact integer-microsecond differences;
+    percentiles are exact interpolated percentiles per type.
+
+    Same single per-user carry-forward window as last-touch attribution,
+    then one hash aggregate over conversion rows.
+    """
+    attributed = attribute_conversions(
+        events,
+        conversion_type=conversion_type,
+        touch_types=touch_types,
+        window_seconds=window_seconds,
+        user_col=user_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        type_col=type_col,
+    )
+    q = lambda p: F.round(  # noqa: E731
+        F.percentile(F.col("lag_seconds"), F.lit(p)), 6
+    )
+    return attributed.groupBy(
+        F.coalesce("attributed_type", F.lit("direct")).alias("attributed_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.avg("lag_seconds"), 6).alias("avg_lag_s"),
+        q(0.5).alias("p50_lag_s"),
+        q(0.9).alias("p90_lag_s"),
+    )

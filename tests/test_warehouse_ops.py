@@ -541,3 +541,55 @@ def test_shapley_attribution_hand_game(spark):
     assert out["A"]["shapley_value"] == 0.75
     assert out["B"]["shapley_value"] == -0.25
     assert out["A"]["attribution"] == 1.0 and out["B"]["attribution"] == 0.0
+
+
+def test_new_vs_returning_hand_values(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.funnel import new_vs_returning
+
+    w0 = datetime.datetime(2024, 1, 1)  # Monday
+
+    def e(u, weeks):
+        return Row(user_id=u, ts=w0 + datetime.timedelta(weeks=weeks))
+
+    # w0: users 1,2 (both new). w1: user 1 returns, user 3 is new.
+    rows = [e(1, 0), e(2, 0), e(1, 1), e(3, 1), e(1, 1)]
+    df = spark.createDataFrame(rows).repartition(2)
+    out = {r["period"].date().isoformat(): r for r in new_vs_returning(df, "week").collect()}
+    w0r, w1r = out["2024-01-01"], out["2024-01-08"]
+    assert w0r["active_users"] == 2 and w0r["new_users"] == 2
+    assert w0r["returning_users"] == 0 and w0r["returning_ratio"] == 0.0
+    assert w1r["active_users"] == 2 and w1r["new_users"] == 1
+    assert w1r["returning_users"] == 1 and w1r["returning_ratio"] == 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        new_vs_returning(df, "hour")
+
+
+def test_stage_latency_report_hand_values(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.funnel import stage_latency_report
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def e(i, u, secs, typ):
+        return Row(event_id=i, user_id=u, ts=t0 + datetime.timedelta(seconds=secs), event_type=typ)
+
+    # u1: view -> +10s purchase (view lag 10); u2: click -> +30s purchase;
+    # u3: purchase with no touch -> direct
+    rows = [e(1, 1, 0, "view"), e(2, 1, 10, "purchase"),
+            e(3, 2, 0, "click"), e(4, 2, 30, "purchase"),
+            e(5, 3, 0, "purchase")]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {r["attributed_type"]: r for r in stage_latency_report(df).collect()}
+    assert out["view"]["n_conversions"] == 1 and out["view"]["avg_lag_s"] == 10.0
+    assert out["view"]["p50_lag_s"] == 10.0
+    assert out["click"]["avg_lag_s"] == 30.0
+    assert out["direct"]["n_conversions"] == 1 and out["direct"]["avg_lag_s"] is None
