@@ -1920,3 +1920,33 @@ def weighted_quantiles_lineitem(spark, sf_dir):
         [0.25, 0.5, 0.9],
         group_cols=["l_returnflag"],
     )
+
+
+# --- trimmed / winsorized means ----------------------------------------------
+# Exact-percentile band per group; identical interpolated percentiles on
+# both engines (the exact_quantiles convention).
+@query(
+    "robust_means_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+      WHERE o_totalprice IS NOT NULL),
+    cuts AS (
+      SELECT g, quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi
+      FROM base GROUP BY g)
+    SELECT base.g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(avg(v), 6) AS mean,
+           round(avg(CASE WHEN v >= lo AND v <= hi THEN v END), 6)
+             AS trimmed_mean,
+           round(avg(least(greatest(v, lo), hi)), 6) AS winsorized_mean
+    FROM base JOIN cuts USING (g) GROUP BY base.g
+    """,
+)
+def robust_means_orders(spark, sf_dir):
+    from ..operators.stats import robust_means
+
+    return robust_means(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        by=["o_orderpriority"], trim=0.1,
+    )

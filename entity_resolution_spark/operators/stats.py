@@ -1583,3 +1583,46 @@ def weighted_quantiles(
             ).alias(name)
         )
     return ranked.groupBy(*gc).agg(*aggs)
+
+
+def robust_means(
+    df: DataFrame,
+    value: str,
+    by: Sequence[str] = (),
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed AND winsorized means at the ``trim`` fraction:
+    (by..., n_rows, mean, trimmed_mean, winsorized_mean) — the robust
+    location estimates that survive heavy-tailed value columns (the
+    exact-percentile companion to `mad_outliers`). The trimmed mean
+    averages values strictly inside the [trim, 1-trim] exact-percentile
+    band (band edges INCLUDED); the winsorized mean clamps values to the
+    band edges first. NULLs are excluded.
+
+    One exact-percentile aggregate per group (group-sized output) joined
+    back to the rows, then one conditional aggregate — two shuffles on
+    the group key, no global sort.
+    """
+    if not (0 < trim < 0.5):
+        raise ValueError("trim must be in (0, 0.5)")
+    by = list(by)
+    base = df.where(F.col(value).isNotNull()).select(
+        *by, F.col(value).alias("_v")
+    )
+    cuts = base.groupBy(*by).agg(
+        F.percentile(F.col("_v"), F.lit(float(trim))).alias("_lo"),
+        F.percentile(F.col("_v"), F.lit(1.0 - float(trim))).alias("_hi"),
+    )
+    joined = (
+        base.join(cuts.hint("shuffle_hash"), by)
+        if by
+        else base.crossJoin(F.broadcast(cuts))
+    )
+    inside = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+    clamped = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
+    return joined.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("_v"), 6).alias("mean"),
+        F.round(F.avg(F.when(inside, F.col("_v"))), 6).alias("trimmed_mean"),
+        F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+    )

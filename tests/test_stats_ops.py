@@ -1192,3 +1192,23 @@ def test_weighted_quantiles_hand_values(spark):
         weighted_quantiles(df, "v", "w", [0.0])
     with pytest.raises(ValueError):
         weighted_quantiles(df, "v", "w", [])
+
+
+def test_robust_means_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import robust_means
+
+    # 1..9 plus an outlier 1000: mean is dragged, robust means are not.
+    vals = [float(i) for i in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals]).repartition(3)
+    r = robust_means(df, "v", ["g"], trim=0.1).collect()[0]
+    assert r["n_rows"] == 10 and r["mean"] == 104.5
+    # exact percentiles: p10 = 1.9, p90 = 108.1 -> inside band = 2..9
+    assert r["trimmed_mean"] == round(sum(range(2, 10)) / 8, 6)
+    # winsorized: clamp 1 -> 1.9 and 1000 -> 108.1
+    assert r["winsorized_mean"] == round((1.9 + sum(range(2, 10)) + 108.1) / 10, 6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        robust_means(df, "v", trim=0.5)
