@@ -1950,3 +1950,53 @@ def robust_means_orders(spark, sf_dir):
         _t(spark, sf_dir, "orders"), "o_totalprice",
         by=["o_orderpriority"], trim=0.1,
     )
+
+
+def _assoc_pair_sql(x: str, y: str) -> str:
+    """One Cramér's-V pair over the prepared `b` relation (columns rf, ls,
+    qb) — census windows + divide-first expected counts, mirroring
+    operators/stats.py categorical_association."""
+    return f"""
+    SELECT '{x}' AS col_x, '{y}' AS col_y,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(sum(c * 1.0 * c / (cx * 1.0 / n * cy)) - max(n), 6) AS chi2,
+           CASE WHEN least(max(dx), max(dy)) - 1 > 0 THEN
+             round(sqrt((sum(c * 1.0 * c / (cx * 1.0 / n * cy)) - max(n))
+                        / (max(n) * (least(max(dx), max(dy)) - 1.0))), 6)
+           END AS cramers_v
+    FROM (
+      SELECT c,
+             sum(c) OVER (PARTITION BY xv) AS cx,
+             sum(c) OVER (PARTITION BY yv) AS cy,
+             (SELECT sum(c2.c) FROM (
+                SELECT count(*) AS c FROM b GROUP BY {x}, {y}) c2) AS n,
+             (SELECT count(DISTINCT {x}) + max(CASE WHEN {x} IS NULL
+                 THEN 1 ELSE 0 END) FROM b) AS dx,
+             (SELECT count(DISTINCT {y}) + max(CASE WHEN {y} IS NULL
+                 THEN 1 ELSE 0 END) FROM b) AS dy
+      FROM (SELECT {x} AS xv, {y} AS yv, count(*) AS c
+            FROM b GROUP BY 1, 2))
+    """
+
+
+# --- all-pairs categorical association (Cramér's V) --------------------------
+@query(
+    "categorical_assoc_lineitem",
+    "WITH b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,"
+    " CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS VARCHAR) AS qb"
+    " FROM lineitem)"
+    + _assoc_pair_sql("rf", "ls")
+    + " UNION ALL "
+    + _assoc_pair_sql("rf", "qb")
+    + " UNION ALL "
+    + _assoc_pair_sql("ls", "qb"),
+)
+def categorical_assoc_lineitem(spark, sf_dir):
+    from ..operators.stats import categorical_association
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.floor(F.col("l_quantity") / 10).cast("long").cast("string").alias("qb"),
+    )
+    return categorical_association(li, ["rf", "ls", "qb"])

@@ -1626,3 +1626,73 @@ def robust_means(
         F.round(F.avg(F.when(inside, F.col("_v"))), 6).alias("trimmed_mean"),
         F.round(F.avg(clamped), 6).alias("winsorized_mean"),
     )
+
+
+def categorical_association(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """All-pairs association between categorical columns — the
+    categorical mirror of `correlation_report`: one row per unordered
+    pair (col_x, col_y, n_rows, chi2, cramers_v) with Cramér's V =
+    sqrt(chi2 / (n * (min(|X|,|Y|) - 1))). NULL is a category of its own
+    (same convention as `mutual_information`); pairs where either column
+    is constant report NULL V.
+
+    Scale shape: per pair, ONE contingency census (hash aggregate) with
+    marginals from census-partitioned windows and the grand total from a
+    broadcast 1-row aggregate — chi-square accumulates over census rows,
+    never the raw data; the pair loop unions census-sized frames.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("categorical_association needs at least two columns")
+    out = None
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            census = df.groupBy(
+                F.col(x).alias("_x"), F.col(y).alias("_y")
+            ).agg(F.count(F.lit(1)).alias("_c"))
+            total = census.agg(
+                F.sum("_c").alias("_n"),
+                F.count_distinct("_x").alias("_kx"),
+                F.count_distinct("_y").alias("_ky"),
+                F.max(F.when(F.col("_x").isNull(), 1).otherwise(0)).alias("_nx"),
+                F.max(F.when(F.col("_y").isNull(), 1).otherwise(0)).alias("_ny"),
+            )
+            wx = Window.partitionBy("_x")
+            wy = Window.partitionBy("_y")
+            t = census.crossJoin(F.broadcast(total)).select(
+                "_c",
+                F.sum("_c").over(wx).alias("_cx"),
+                F.sum("_c").over(wy).alias("_cy"),
+                "_n",
+                (F.col("_kx") + F.col("_nx")).alias("_dx"),
+                (F.col("_ky") + F.col("_ny")).alias("_dy"),
+            )
+            # zero cells never appear in the census; the identity
+            # chi2 = sum_observed o^2/e - n accounts for them exactly
+            # ((0-e)^2/e summed over all cells contributes n - 2n + sum o^2/e)
+            e = F.col("_cx") / F.col("_n") * F.col("_cy")
+            chi2 = F.sum(F.col("_c") * F.col("_c") / e) - F.max("_n")
+            dmin = F.least(F.max("_dx"), F.max("_dy")) - 1
+            pair = t.agg(
+                F.max("_n").alias("n_rows"),
+                F.round(chi2, 6).alias("chi2"),
+                F.when(
+                    dmin > 0,
+                    F.round(
+                        F.sqrt(
+                            chi2 / (F.max("_n") * dmin.cast("double"))
+                        ),
+                        6,
+                    ),
+                ).alias("cramers_v"),
+            ).select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                "n_rows",
+                "chi2",
+                "cramers_v",
+            )
+            out = pair if out is None else out.unionByName(pair)
+    return out

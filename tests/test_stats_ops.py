@@ -1212,3 +1212,27 @@ def test_robust_means_hand_values(spark):
 
     with pytest.raises(ValueError):
         robust_means(df, "v", trim=0.5)
+
+
+def test_categorical_association_extremes(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import categorical_association
+
+    # y == x -> perfect association (V = 1); z constant -> V NULL
+    rows = [Row(x=c, y=c, z="k") for c in ["a", "a", "b", "b", "c", "c"]]
+    df = spark.createDataFrame(rows).repartition(3)
+    out = {(r["col_x"], r["col_y"]): r for r in categorical_association(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")]["cramers_v"] == 1.0
+    assert out[("x", "z")]["cramers_v"] is None and out[("y", "z")]["cramers_v"] is None
+
+    # independent 2x2 with equal counts -> chi2 = 0
+    ind = spark.createDataFrame(
+        [Row(x=x, y=y) for x in ["a", "b"] for y in ["c", "d"]]
+    )
+    r = categorical_association(ind, ["x", "y"]).collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        categorical_association(df, ["x"])
