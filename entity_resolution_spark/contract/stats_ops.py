@@ -2000,3 +2000,56 @@ def categorical_assoc_lineitem(spark, sf_dir):
         F.floor(F.col("l_quantity") / 10).cast("long").cast("string").alias("qb"),
     )
     return categorical_association(li, ["rf", "ls", "qb"])
+
+
+def _bootstrap_sql(b: int = 200, seed: int = 42) -> str:
+    from ..operators.stats import _GOLDEN64, POISSON1_CDF
+    from . import sql_kernels as _sql
+
+    seed_mix = (seed * _GOLDEN64) % (1 << 64)
+    case = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    inv53 = repr(2.0 ** -53)
+    return f"""
+    WITH base AS (
+      SELECT event_type AS g, value AS v,
+             CAST(event_id AS BIGINT) * {b} AS k0
+      FROM events WHERE value IS NOT NULL),
+    ex AS (SELECT g, v, k0 + o AS k
+           FROM base CROSS JOIN (SELECT unnest(range(0, {b})) AS o) t),
+    __m0 AS (SELECT g, v, k,
+                    xor(CAST(k AS UBIGINT), {seed_mix}::UBIGINT) AS h
+             FROM ex),
+    {_sql._splitmix64_ctes("__m0", "g, v, k")},
+    u_ AS (SELECT g, v, k, (h >> 11)::DOUBLE * {inv53} AS u FROM __mixed),
+    w_ AS (SELECT g, v, k % {b} AS r,
+                  CASE {case} ELSE 10 END AS w
+           FROM u_),
+    reps AS (SELECT g, r,
+                    CASE WHEN sum(w) > 0
+                         THEN round(sum(w * v) / sum(w), 6) END AS m
+             FROM w_ GROUP BY 1, 2),
+    st AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_rows,
+                  round(avg(value), 6) AS mean
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+    ci AS (SELECT g, round(stddev_samp(m), 6) AS se,
+                  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+                  round(quantile_cont(m, 0.975), 6) AS ci_hi
+           FROM reps GROUP BY 1)
+    SELECT st.g AS event_type, n_rows, mean, se, ci_lo, ci_hi
+    FROM st JOIN ci USING (g)
+    """
+
+
+# --- seeded Poisson-bootstrap confidence intervals ---------------------------
+# Weights come from the shared splitmix64 kernel and the SAME Poisson-CDF
+# literals on both engines, so every replicate is bit-reproducible.
+@query("bootstrap_ci_event_value", _bootstrap_sql())
+def bootstrap_ci_event_value(spark, sf_dir):
+    from ..operators.stats import bootstrap_ci
+
+    return bootstrap_ci(
+        _t(spark, sf_dir, "events"), "event_id", "value",
+        by=["event_type"], n_replicas=200, seed=42,
+    )

@@ -1696,3 +1696,107 @@ def categorical_association(
             )
             out = pair if out is None else out.unionByName(pair)
     return out
+
+
+# exact Poisson(1) CDF prefix, shared verbatim with the SQL oracle (the
+# engine and the replica must compare the SAME doubles)
+POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216,
+)
+_GOLDEN64 = 0x9E3779B97F4A7C15
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    by: Sequence[str] = (),
+    n_replicas: int = 200,
+    seed: int = 42,
+    level: float = 0.95,
+) -> DataFrame:
+    """Seeded Poisson-bootstrap confidence interval for the per-group mean
+    (Chamandy et al., Google 2012): each row enters replica r with weight
+    ~ Poisson(1) drawn from splitmix64(id·B + r XOR seed-mix) — fully
+    deterministic, reproducible on any engine — and the CI comes from
+    exact percentiles of the B replicate means. Output: (by..., n_rows,
+    mean, se, ci_lo, ci_hi).
+
+    Scale shape: the replica explode happens MAP-SIDE and collapses
+    immediately into per-(group, replica) partial sums (hash aggregate
+    with map-side combine), so shuffle volume is partitions x B x groups
+    — never B x rows; the percentile runs over B replicate rows per
+    group. The only Python is one Arrow-batched weight kernel. Replicas
+    whose group weight is zero (possible for tiny groups) yield a NULL
+    replicate mean, which the percentile skips.
+    """
+    if n_replicas < 2:
+        raise ValueError("n_replicas must be >= 2")
+    if not (0 < level < 1):
+        raise ValueError("level must be in (0, 1)")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import _splitmix64
+    from ..session import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    seed_mix = np.uint64((int(seed) * _GOLDEN64) % (1 << 64))
+    cdf = np.array(POISSON1_CDF, dtype=np.float64)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark cannot resolve function-local pd/np names
+    def _pois_fn(keys):
+        h = keys.to_numpy().astype(np.int64).view(np.uint64) ^ seed_mix
+        u = (_splitmix64(h) >> np.uint64(11)).astype(np.float64) * 2.0**-53
+        return pd.Series(np.searchsorted(cdf, u, side="right").astype(np.int32))
+
+    _pois = pandas_udf(_pois_fn, "int")
+
+    by = list(by)
+    b = int(n_replicas)
+    base = df.where(F.col(value).isNotNull()).select(
+        *by,
+        F.col(value).alias("_v"),
+        (F.col(id_col).cast("long") * b).alias("_k0"),
+    )
+    exploded = (
+        base.select(
+            *by,
+            "_v",
+            "_k0",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_r0"),
+        )
+        .select(*by, "_v", (F.col("_k0") + F.col("_r0")).alias("_k"))
+        .withColumn("_w", _pois(F.col("_k")))
+    )
+    reps = exploded.groupBy(*by, (F.col("_k") % b).alias("_r")).agg(
+        F.sum(F.col("_w") * F.col("_v")).alias("_wv"),
+        F.sum("_w").alias("_wsum"),
+    ).select(
+        *by,
+        "_r",
+        F.when(
+            F.col("_wsum") > 0, F.round(F.col("_wv") / F.col("_wsum"), 6)
+        ).alias("_m"),
+    )
+    alpha = (1.0 - float(level)) / 2.0
+    stats = df.where(F.col(value).isNotNull()).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(value), 6).alias("mean"),
+    )
+    ci = reps.groupBy(*by).agg(
+        F.round(F.stddev_samp("_m"), 6).alias("se"),
+        F.round(F.percentile(F.col("_m"), F.lit(alpha)), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("_m"), F.lit(1.0 - alpha)), 6).alias("ci_hi"),
+    )
+    joined = (
+        stats.join(ci.hint("shuffle_hash"), by)
+        if by
+        else stats.crossJoin(F.broadcast(ci))
+    )
+    return joined.select(*by, "n_rows", "mean", "se", "ci_lo", "ci_hi")

@@ -1236,3 +1236,34 @@ def test_categorical_association_extremes(spark):
 
     with pytest.raises(ValueError):
         categorical_association(df, ["x"])
+
+
+def test_bootstrap_ci_constant_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import bootstrap_ci
+
+    # constant outcome: every replicate mean is the constant -> zero-width CI
+    const = spark.createDataFrame(
+        [Row(i=i, g="a", v=7.5) for i in range(40)]
+    ).repartition(3)
+    r = bootstrap_ci(const, "i", "v", ["g"], n_replicas=50).collect()[0]
+    assert r["mean"] == 7.5 and r["se"] == 0.0
+    assert r["ci_lo"] == 7.5 and r["ci_hi"] == 7.5
+
+    # seeded: identical runs; different seed -> different replicate draws
+    var = spark.createDataFrame(
+        [Row(i=i, g="a", v=float(i % 13)) for i in range(120)]
+    ).repartition(4)
+    a = bootstrap_ci(var, "i", "v", ["g"], n_replicas=80, seed=1).collect()[0]
+    b = bootstrap_ci(var, "i", "v", ["g"], n_replicas=80, seed=1).collect()[0]
+    c = bootstrap_ci(var, "i", "v", ["g"], n_replicas=80, seed=2).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"], a["se"]) == (b["ci_lo"], b["ci_hi"], b["se"])
+    assert (a["ci_lo"], a["ci_hi"]) != (c["ci_lo"], c["ci_hi"])
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        bootstrap_ci(var, "i", "v", n_replicas=1)
+    with pytest.raises(ValueError):
+        bootstrap_ci(var, "i", "v", level=1.5)
