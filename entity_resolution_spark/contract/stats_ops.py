@@ -2053,3 +2053,49 @@ def bootstrap_ci_event_value(spark, sf_dir):
         _t(spark, sf_dir, "events"), "event_id", "value",
         by=["event_type"], n_replicas=200, seed=42,
     )
+
+
+# --- standardized effect size ------------------------------------------------
+# Same moment identities on both engines; round(6) absorbs summation
+# order.
+@query(
+    "effect_size_purchase_vs_view",
+    """
+    WITH base AS (
+      SELECT event_type = 'purchase' AS ga, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+    m AS (
+      SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             sum(CASE WHEN ga THEN v END) AS sa,
+             sum(CASE WHEN ga THEN v * v END) AS ssa,
+             CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN NOT ga THEN v END) AS sb,
+             sum(CASE WHEN NOT ga THEN v * v END) AS ssb
+      FROM base),
+    c AS (
+      SELECT n_a, n_b,
+             sa / n_a AS mean_a, sb / n_b AS mean_b,
+             (ssa - sa * sa / n_a) / (n_a - 1) AS va,
+             (ssb - sb * sb / n_b) / (n_b - 1) AS vb
+      FROM m),
+    p AS (
+      SELECT *, sqrt(((n_a - 1) * va + (n_b - 1) * vb) / (n_a + n_b - 2))
+                  AS pooled
+      FROM c)
+    SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(pooled, 6) AS pooled_sd,
+           CASE WHEN pooled > 0
+                THEN round((mean_a - mean_b) / pooled, 6) END AS cohens_d,
+           CASE WHEN pooled > 0
+                THEN round((mean_a - mean_b) / pooled
+                           * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6) END
+             AS hedges_g
+    FROM p
+    """,
+)
+def effect_size_purchase_vs_view(spark, sf_dir):
+    from ..operators.stats import effect_size
+
+    return effect_size(
+        _t(spark, sf_dir, "events"), "value", "event_type", "purchase", "view"
+    )

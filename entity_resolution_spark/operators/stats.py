@@ -1800,3 +1800,56 @@ def bootstrap_ci(
         else stats.crossJoin(F.broadcast(ci))
     )
     return joined.select(*by, "n_rows", "mean", "se", "ci_lo", "ci_hi")
+
+
+def effect_size(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Standardized mean difference between groups ``a`` and ``b``: one
+    row (n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d, hedges_g) with
+    pooled SD = sqrt(((n_a-1)s_a² + (n_b-1)s_b²)/(n_a+n_b-2)) and Hedges'
+    small-sample correction g = d·(1 - 3/(4(n_a+n_b)-9)). The practical-
+    significance companion to `ab_test_report`'s p-value machinery. NULL
+    values are excluded; d is NULL when the pooled SD is 0.
+
+    One conditional hash aggregate — a single scan; variances come from
+    the sum/sum-of-squares moments so the plan stays map-side
+    combinable.
+    """
+    base = df.where(
+        F.col(value).isNotNull() & F.col(group).isin([a, b])
+    ).select((F.col(group) == a).alias("_ga"), F.col(value).alias("_v"))
+
+    def side(flag):
+        cond = F.col("_ga") if flag else ~F.col("_ga")
+        n = F.sum(cond.cast("long"))
+        s = F.sum(F.when(cond, F.col("_v")))
+        ss = F.sum(F.when(cond, F.col("_v") * F.col("_v")))
+        return n, s, ss
+
+    na, sa, ssa = side(True)
+    nb, sb, ssb = side(False)
+    m = base.agg(
+        na.alias("n_a"), sa.alias("_sa"), ssa.alias("_ssa"),
+        nb.alias("n_b"), sb.alias("_sb"), ssb.alias("_ssb"),
+    )
+    fa = F.col("n_a").cast("double")
+    fb = F.col("n_b").cast("double")
+    mean_a = F.col("_sa") / fa
+    mean_b = F.col("_sb") / fb
+    var_a = (F.col("_ssa") - F.col("_sa") * F.col("_sa") / fa) / (fa - 1)
+    var_b = (F.col("_ssb") - F.col("_sb") * F.col("_sb") / fb) / (fb - 1)
+    pooled = F.sqrt(
+        ((fa - 1) * var_a + (fb - 1) * var_b) / (fa + fb - 2)
+    )
+    d = (mean_a - mean_b) / pooled
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (fa + fb) - 9))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        F.when(pooled > 0, F.round(d, 6)).alias("cohens_d"),
+        F.when(pooled > 0, F.round(g, 6)).alias("hedges_g"),
+    )

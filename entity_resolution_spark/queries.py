@@ -57,12 +57,12 @@ from .contract import (  # noqa: E402,F401
 # ROTATION STRATEGY (for the next round): once CORRECTNESS_r03 lands,
 # move every query that received a green r3 row BELOW the ones that
 # didn't — the window rotates each round until every registered query has
-# at least one driver-green row on record. 228 registered / ~50-query
+# at least one driver-green row on record. 229 registered / ~50-query
 # window: everything after position ~50 waits for a later rotation; the
 # names not listed here at all are r1/r2-driver-green and deliberately
-# land at the tail in registration order. The 30 queries added in the
+# land at the tail in registration order. The 31 queries added in the
 # final session (correlation/rank stats through markov attribution) sit
-# at positions 7-36 — all inside the window — because fresh code benefits
+# at positions 7-37 — all inside the window — because fresh code benefits
 # most from an external value check.
 _DRIVER_PRIORITY = [
     # never received a driver CORRECTNESS row (round 1-2 window overflow)
@@ -104,6 +104,7 @@ _DRIVER_PRIORITY = [
     "robust_means_orders",
     "categorical_assoc_lineitem",
     "bootstrap_ci_event_value",
+    "effect_size_purchase_vs_view",
     # new in round 3 (resumed session): join-planning analytics trio +
     # chaining-resistant star clustering
     "tpch_q3_topk",

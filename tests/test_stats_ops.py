@@ -1267,3 +1267,28 @@ def test_bootstrap_ci_constant_and_determinism(spark):
         bootstrap_ci(var, "i", "v", n_replicas=1)
     with pytest.raises(ValueError):
         bootstrap_ci(var, "i", "v", level=1.5)
+
+
+def test_effect_size_hand_values(spark):
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import effect_size
+
+    # A = {1,2,3}: mean 2, var 1; B = {4,5,6,7}: mean 5.5, var 5/3
+    rows = [Row(g="a", v=float(v)) for v in (1, 2, 3)]
+    rows += [Row(g="b", v=float(v)) for v in (4, 5, 6, 7)]
+    rows += [Row(g="x", v=99.0), Row(g="a", v=None)]
+    df = spark.createDataFrame(rows).repartition(3)
+    r = effect_size(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 4)
+    assert r["mean_a"] == 2.0 and r["mean_b"] == 5.5
+    pooled = ((2 * 1.0 + 3 * (5 / 3)) / 5) ** 0.5
+    assert r["pooled_sd"] == round(pooled, 6)
+    d = (2.0 - 5.5) / pooled
+    assert r["cohens_d"] == round(d, 6)
+    assert r["hedges_g"] == round(d * (1 - 3 / (4 * 7 - 9)), 6)
+
+    # zero-variance groups: d undefined
+    z = spark.createDataFrame([Row(g="a", v=1.0), Row(g="a", v=1.0),
+                               Row(g="b", v=1.0), Row(g="b", v=1.0)])
+    assert effect_size(z, "v", "g", "a", "b").collect()[0]["cohens_d"] is None
