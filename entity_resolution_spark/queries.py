@@ -49,31 +49,146 @@ from .contract import (  # noqa: E402,F401
 # The external correctness driver executes at most ~50 queries in dict
 # insertion order; with >50 registered, the tail never receives a
 # CORRECTNESS row. Re-rank so queries that have never been driver-verified
-# (or were only verified in an early round) come first; everything else
-# keeps its relative registration order. Every query still runs in pytest
-# (tests/test_queries_oracle.py parametrizes the full registry), so the
-# re-rank only changes driver-visibility, not coverage.
+# come first; everything else keeps its relative registration order. Every
+# query still runs in pytest (tests/test_queries_oracle.py parametrizes the
+# full registry), so the re-rank only changes driver-visibility, not
+# coverage.
 #
-# ROTATION STRATEGY (for the next round): once CORRECTNESS_r03 lands,
-# move every query that received a green r3 row BELOW the ones that
-# didn't — the window rotates each round until every registered query has
-# at least one driver-green row on record. 229 registered / ~50-query
-# window: everything after position ~50 waits for a later rotation; the
-# names not listed here at all are r1/r2-driver-green and deliberately
-# land at the tail in registration order. The 31 queries added in the
-# final session (correlation/rank stats through markov attribution) sit
-# at positions 7-37 — all inside the window — because fresh code benefits
-# most from an external value check.
+# ROUND-4 ROTATION: the r1+r2+r3 union covers 111 of 229 queries; 118 have
+# never received a driver row. The ~50-slot window this round goes to
+# (a) the flagship default-config `pipeline_clusters` (its full value-hash
+# oracle has never driver-run; only an early rows-only row exists) and the
+# north_rule resumability gate `pipeline_resume_equivalence`, then
+# (b) the probabilistic-linkage / set-similarity-join suite,
+# (c) the dedup/curation/embedding block, and (d) warehouse maintenance.
+# The remaining never-verified names follow in registration order for the
+# round-5 window; all previously driver-green queries sit at the tail.
 _DRIVER_PRIORITY = [
-    # never received a driver CORRECTNESS row (round 1-2 window overflow)
+    "pipeline_clusters",
+    "pipeline_resume_equivalence",
+    "fs_em_linkage",
+    "fs_em_linkage_tf",
+    "fs_linkage_clusters",
+    "fs_review_queue",
+    "fs_cluster_audit",
+    "fs_explain_weights",
+    "fs_pr_curve_report",
+    "one_to_one_matches",
+    "survivorship_golden_records",
+    "snm_candidate_pairs",
+    "metablocking_wnp_edges",
+    "ppjoin_token_jaccard",
+    "edit_distance_join_names",
+    "monge_elkan_part_names",
+    "soft_tfidf_part_names",
+    "tfidf_cosine_join_docs",
+    "canopy_blocking_docs",
+    "phonetic_soundex_keys",
+    "bcubed_nmi_ari_metrics",
+    "dedup_remove_spans",
+    "doc_line_dedup",
+    "c4_page_filter",
+    "boilerplate_segment_removal",
+    "cross_corpus_neardup",
+    "dedup_containment",
+    "semantic_dedup_embeddings",
+    "dedup_cluster_size_histogram",
+    "knn_join_topk_string_ids",
+    "quantize_embeddings_int8",
+    "sim_search_quantized_topk",
+    "chunk_documents_sliding",
+    "leakage_safe_split",
+    "dsir_importance_sample",
+    "cdc_apply_user_state",
+    "ivm_event_type_totals",
+    "cube_lineitem_revenue",
+    "compaction_plan_documents",
+    "zorder_layout_events",
+    "scd2_user_event_history",
+    "skipping_report_events",
+    "join_size_estimate_events",
+    "range_boundaries_lineitem",
+    "schema_drift_events_halves",
+    "expectations_orders_report",
+    "key_skew_events_user",
+    "key_skew_summary_events",
+    "shuffle_shards_layout",
+    "stream_dedup_gate",
+    "decayed_user_value",
+    "weighted_jaccard_docs",
+    "wow_event_growth",
+    "rfm_customer_segments",
+    "attribution_last_touch",
+    "lpa_communities_ngram",
+    "bitext_margin_pairs",
+    "mad_outliers_orders",
+    "mixture_temperature_report",
+    "smith_waterman_part_names",
+    "rolling_daily_user_value",
+    "attribution_multi_touch",
+    "corrclust_pivot_ngram",
+    "dbscan_embeddings",
+    "bm25_search_topk",
+    "bpe_train_merges",
+    "gopher_quality_flags",
+    "weighted_docs_sample",
+    "blocking_quality_report",
+    "ivf_append_full_probe",
+    "length_batch_layout",
+    "padding_efficiency_report",
+    "source_sketch_similarity",
+    "zipf_fit_report",
+    "hll_vocab_estimate",
+    "bloom_membership_probe",
+    "cm_token_frequencies",
+    "stream_vocab_monitor",
+    "ccnet_perplexity_buckets",
+    "corpus_stats_report",
+    "stratified_docs_sample",
+    "embedding_decontamination",
+    "vocab_coverage_oov",
+    "contrastive_pair_mining",
+    "token_drift_report",
+    "kmeans_topic_assign",
+    "cluster_balanced_sample",
+    "balanced_token_shards",
+    "random_projection_reduce",
+    "embedding_drift_report",
+    "encode_documents_ids",
+    "pack_token_ids_stream",
+    "bigram_lm_perplexity",
+    "bpe_top_merges",
+    "source_overlap_matrix",
+    "nb_lang_predictions",
+    "token_entropy_stats",
+    "ngram_novelty_scores",
+    "similarity_graph_triangles",
+    "k_anonymity_customer",
+    "k_anonymity_summary_customer",
+    "iqr_outlier_orders",
+    "pagerank_similarity_graph",
+    "heavy_hitters_per_window",
+    "hybrid_rrf_search",
+    "pmi_collocations_top",
+    "funnel_view_click_purchase",
+    "hits_similarity_graph",
+    "cohort_retention_weekly",
+    "k_core_similarity_graph",
+    "resample_user_events_daily",
+    "markov_event_transitions",
+    "ab_test_events_value",
+    "association_rules_lineitem",
+    "activity_streaks_users",
+    "ols_trend_value_by_type",
+    "chi2_lang_source_documents",
+    "bfs_labels_similarity_graph",
+    "weighted_median_lineitem",
     "doc_repetition_stats",
     "redact_customer_pii",
     "tfidf_top_terms",
     "multimodal_fake_features",
     "f_jw_levenshtein",
     "stream_interval_join",
-    # newest this session: rank-statistics trio (distributed prefix-sum
-    # ranking) — freshest code, verify first
     "correlation_lineitem",
     "mw_u_purchase_vs_click",
     "gini_event_value",
@@ -105,8 +220,6 @@ _DRIVER_PRIORITY = [
     "categorical_assoc_lineitem",
     "bootstrap_ci_event_value",
     "effect_size_purchase_vs_view",
-    # new in round 3 (resumed session): join-planning analytics trio +
-    # chaining-resistant star clustering
     "tpch_q3_topk",
     "tpch_q5_region_volume",
     "tpch_q18_big_orders",
@@ -120,137 +233,9 @@ _DRIVER_PRIORITY = [
     "fuzzy_duplicate_orders",
     "ks_drift_events_value",
     "benford_orders_totalprice",
-    "decayed_user_value",
-    "weighted_jaccard_docs",
-    "wow_event_growth",
-    "rfm_customer_segments",
-    # new in round 3 (closing session): warehouse maintenance + mining
-    "cdc_apply_user_state",
-    "ivm_event_type_totals",
-    "attribution_last_touch",
-    "lpa_communities_ngram",
-    "bitext_margin_pairs",
-    "mad_outliers_orders",
-    "mixture_temperature_report",
-    "smith_waterman_part_names",
-    "skipping_report_events",
-    "rolling_daily_user_value",
-    "attribution_multi_touch",
-    "join_size_estimate_events",
-    "range_boundaries_lineitem",
-    # new in round 3 (later session)
-    "cube_lineitem_revenue",
-    "corrclust_pivot_ngram",
-    "dbscan_embeddings",
-    "bm25_search_topk",
-    "bpe_train_merges",
-    "gopher_quality_flags",
-    "weighted_docs_sample",
-    "blocking_quality_report",
-    "ivf_append_full_probe",
-    "length_batch_layout",
-    "padding_efficiency_report",
-    "source_sketch_similarity",
-    "zipf_fit_report",
-    "hll_vocab_estimate",
-    "bloom_membership_probe",
-    "cm_token_frequencies",
-    "stream_vocab_monitor",
-    "ccnet_perplexity_buckets",
-    "corpus_stats_report",
-    "stratified_docs_sample",
-    "embedding_decontamination",
-    "vocab_coverage_oov",
-    "contrastive_pair_mining",
-    "dedup_cluster_size_histogram",
-    "token_drift_report",
-    "kmeans_topic_assign",
-    "cluster_balanced_sample",
-    "balanced_token_shards",
-    "random_projection_reduce",
-    "embedding_drift_report",
-    "encode_documents_ids",
-    "pack_token_ids_stream",
-    # new in round 3
-    "pipeline_resume_equivalence",
-    "knn_join_topk_string_ids",
-    "pipeline_clusters",
-    "dedup_remove_spans",
-    "doc_line_dedup",
-    "c4_page_filter",
-    "shuffle_shards_layout",
-    "boilerplate_segment_removal",
-    "bigram_lm_perplexity",
-    "cross_corpus_neardup",
-    "bpe_top_merges",
-    "source_overlap_matrix",
-    "stream_dedup_gate",
-    "nb_lang_predictions",
-    "fs_em_linkage",
-    "snm_candidate_pairs",
-    "metablocking_wnp_edges",
-    "survivorship_golden_records",
-    "ppjoin_token_jaccard",
-    "fs_em_linkage_tf",
-    "fs_linkage_clusters",
-    "dedup_containment",
-    "token_entropy_stats",
-    "fs_review_queue",
-    "fs_cluster_audit",
-    "fs_explain_weights",
-    "ngram_novelty_scores",
-    "phonetic_soundex_keys",
-    "fs_pr_curve_report",
-    "edit_distance_join_names",
-    "one_to_one_matches",
-    "tfidf_cosine_join_docs",
-    "bcubed_nmi_ari_metrics",
-    "soft_tfidf_part_names",
-    "similarity_graph_triangles",
-    "k_anonymity_customer",
-    "k_anonymity_summary_customer",
-    "monge_elkan_part_names",
-    "iqr_outlier_orders",
-    "compaction_plan_documents",
-    "zorder_layout_events",
-    "scd2_user_event_history",
-    "pagerank_similarity_graph",
-    "canopy_blocking_docs",
-    "heavy_hitters_per_window",
-    "key_skew_events_user",
-    "key_skew_summary_events",
-    "hybrid_rrf_search",
-    "expectations_orders_report",
-    "pmi_collocations_top",
-    "funnel_view_click_purchase",
-    "hits_similarity_graph",
-    "schema_drift_events_halves",
-    "cohort_retention_weekly",
-    "k_core_similarity_graph",
-    "resample_user_events_daily",
-    "markov_event_transitions",
-    "ab_test_events_value",
-    "association_rules_lineitem",
-    "activity_streaks_users",
-    "ols_trend_value_by_type",
-    "chi2_lang_source_documents",
-    "bfs_labels_similarity_graph",
-    "weighted_median_lineitem",
-    # never driver-verified (added round 3; strictly before the reworked
-    # trio below, which at least carries pre-rework r2-green rows +
-    # full-probe equality pytest gates)
-    "chunk_documents_sliding",
-    "quantize_embeddings_int8",
-    "semantic_dedup_embeddings",
-    "sim_search_quantized_topk",
-    "leakage_safe_split",
-    "dsir_importance_sample",
-    # reworked in round 3 (distributed kNN joins) — re-verify when the
-    # window allows
     "knn_join_topk",
     "ivf_knn_join_full_probe",
     "dedup_embedding_cosine",
-    # round-1 row only; re-verify under the current engine
     "lang_id_heuristic",
     "text_quality_score",
     "token_count_bpe",
@@ -262,6 +247,52 @@ _DRIVER_PRIORITY = [
     "f10_parse_probes",
     "p2_null_drop",
     "o5_longest_per_lang",
+    "p1_threshold_filter",
+    "a2_group_count",
+    "a3_a4_distinct_null_counts",
+    "o2_topk",
+    "j2_outer_join",
+    "u1_union_align",
+    "a5_jaccard_sets",
+    "a1_topk_mean",
+    "p5_freq_filter",
+    "a7_weighted_score",
+    "dedup_exact_sha",
+    "f15_sha_invariant",
+    "tpch_q1_agg",
+    "token_count_ws",
+    "rollup_lineitem_revenue",
+    "pivot_event_type_counts",
+    "exact_quantiles_lineitem",
+    "json_props_extract",
+    "dedup_ngram_jaccard",
+    "sim_search_topk",
+    "sim_search_ivf_full_probe",
+    "j_semi_join",
+    "j_anti_join",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_values",
+    "dedup_simhash",
+    "corpus_curation",
+    "cc_clusters_ngram",
+    "doc_fingerprints",
+    "asof_join_events_orders",
+    "range_join_events_in_order_window",
+    "pipeline_clusters_light",
+    "dup_span_stats",
+    "incremental_clusters_light",
+    "label_centroids",
+    "ngram_decontamination",
+    "cluster_agreement_metrics",
+    "split_assign",
+    "source_cap_sample",
+    "token_budget_sample",
+    "sequence_packing",
+    "windowed_event_counts",
+    "sessionize_events",
+    "sessionize_events_segmented",
+    "session_window_counts",
 ]
 
 
