@@ -1602,7 +1602,7 @@ def sortedness_events_ts(spark, sf_dir):
     "kaplan_meier_user_lifetimes",
     """
     WITH lives AS (
-      SELECT (event_id * 2654435761) % 4096 AS life_id,
+      SELECT ((event_id % 4096) * 2654435761) % 4096 AS life_id,
              CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
       FROM events GROUP BY 1),
     hz AS (SELECT CAST(max(ts) AS DATE) AS h FROM events),
@@ -1639,11 +1639,17 @@ def kaplan_meier_user_lifetimes(spark, sf_dir):
     # lives keyed by a multiplicative-hash id (~2.4 events/key at the
     # gate's sf, times scattered) so the curve carries real deaths AND
     # censoring; per-user lives on this synthetic corpus all span the
-    # window (degenerate S == 1)
+    # window (degenerate S == 1). event_id is reduced mod 4096 BEFORE
+    # the multiply: the raw 64-bit product overflows at larger scale
+    # factors, where DuckDB/ANSI-Spark error while non-ANSI Spark wraps
+    # to a negative dividend whose % diverges — the reduced form is
+    # congruent (mod 4096 divides the multiplicand grid) and stays
+    # within int64 on every engine at any scale.
     from ..operators.stats import kaplan_meier
 
     ev = _t(spark, sf_dir, "events").withColumn(
-        "life_id", (F.col("event_id") * F.lit(2654435761)) % 4096
+        "life_id",
+        ((F.col("event_id") % 4096) * F.lit(2654435761)) % 4096,
     )
     return kaplan_meier(ev, "life_id", "ts", censor_days=7)
 
@@ -2016,14 +2022,14 @@ def _bootstrap_sql(b: int = 200, seed: int = 42) -> str:
       SELECT event_type AS g, value AS v,
              CAST(event_id AS BIGINT) * {b} AS k0
       FROM events WHERE value IS NOT NULL),
-    ex AS (SELECT g, v, k0 + o AS k
+    ex AS (SELECT g, v, o, k0 + o AS k
            FROM base CROSS JOIN (SELECT unnest(range(0, {b})) AS o) t),
-    __m0 AS (SELECT g, v, k,
+    __m0 AS (SELECT g, v, o, k,
                     xor(CAST(k AS UBIGINT), {seed_mix}::UBIGINT) AS h
              FROM ex),
-    {_sql._splitmix64_ctes("__m0", "g, v, k")},
-    u_ AS (SELECT g, v, k, (h >> 11)::DOUBLE * {inv53} AS u FROM __mixed),
-    w_ AS (SELECT g, v, k % {b} AS r,
+    {_sql._splitmix64_ctes("__m0", "g, v, o, k")},
+    u_ AS (SELECT g, v, o, (h >> 11)::DOUBLE * {inv53} AS u FROM __mixed),
+    w_ AS (SELECT g, v, o AS r,
                   CASE {case} ELSE 10 END AS w
            FROM u_),
     reps AS (SELECT g, r,

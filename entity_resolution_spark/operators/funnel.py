@@ -456,6 +456,7 @@ def markov_attribution(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    _reject_reserved_channels(events, type_col, "markov_attribution")
     w_user = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
     is_conv = (F.col(type_col) == conv_type).cast("int")
     # events strictly before (and excluding) the user's first conversion
@@ -602,6 +603,51 @@ def markov_attribution(
     )
 
 
+_RESERVED_STATES = ("__START__", "__CONV__", "__NULL__", "__ALL__")
+
+
+def _coalition_key(arr: F.Column) -> F.Column:
+    """Collision-free coalition key: sha256 of a length-prefixed
+    encoding of the sorted channel set. concat_ws('|', ...) would let a
+    channel name containing '|' alias two distinct coalitions and
+    silently corrupt the v(S \\ {c}) lookups; the length prefix makes
+    the encoding injective for any channel strings.
+    """
+    return F.sha2(
+        F.concat_ws(
+            "",
+            F.transform(
+                arr,
+                lambda x: F.concat(
+                    F.length(x).cast("string"), F.lit(":"), x
+                ),
+            ),
+        ),
+        256,
+    )
+
+
+def _reject_reserved_channels(
+    events: DataFrame, type_col: str, caller: str
+) -> None:
+    """Raise if any observed channel collides with a reserved Markov
+    state sentinel — a channel literally named '__CONV__' would splice
+    itself into the absorption chain instead of erroring.
+    """
+    hit = (
+        events.select(F.col(type_col).alias("_c"))
+        .where(F.col("_c").isin(*_RESERVED_STATES))
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        raise ValueError(
+            f"{caller}: channel value {hit[0]['_c']!r} collides with a "
+            f"reserved state sentinel {_RESERVED_STATES}; rename the "
+            "channel before attribution"
+        )
+
+
 def shapley_attribution(
     events: DataFrame,
     conv_type: str,
@@ -647,7 +693,7 @@ def shapley_attribution(
         "_set", F.coalesce("_conv", F.lit(0)).alias("_conv")
     )
     census = journeys.groupBy(
-        F.concat_ws("|", "_set").alias("_key"), F.col("_set")
+        _coalition_key(F.col("_set")).alias("_key"), F.col("_set")
     ).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_conv").alias("_nc"),
@@ -660,7 +706,8 @@ def shapley_attribution(
         "_key", "_set", "_v", F.size("_set").alias("_s"),
         F.explode("_set").alias("_ch"),
     ).withColumn(
-        "_key_minus", F.concat_ws("|", F.array_remove("_set", F.col("_ch")))
+        "_key_minus",
+        _coalition_key(F.array_remove("_set", F.col("_ch"))),
     )
     vmap = census.select(
         F.col("_key").alias("_key_minus"), F.col("_v").alias("_v_minus")

@@ -363,12 +363,20 @@ def label_propagation(
             .groupBy(F.col("b").alias("id"), "lab")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        # arg-max by (count desc, label asc): labels are node ids (>= 0),
-        # so max(struct(count, -label)) picks the unique winner
+        # arg-max by (count desc, label asc), type-agnostic: min over
+        # (-count, label) picks max count then smallest label for any
+        # orderable label type (negating the label itself would NULL out
+        # string ids and break the deterministic min-label schedule)
         labels = (
             counts.groupBy("id")
-            .agg(F.max(F.struct(F.col("__c"), (-F.col("lab")).alias("__nl"))).alias("__m"))
-            .select("id", (-F.col("__m.__nl")).alias("lab"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("__nc"), F.col("lab")
+                    )
+                ).alias("__m")
+            )
+            .select("id", F.col("__m.lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("lab").alias("community"))

@@ -31,6 +31,37 @@ from pyspark.sql import DataFrame, functions as F
 _US = ""  # unit separator: canonical field delimiter
 
 
+def _resolve_compare_cols(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None,
+) -> list[str]:
+    """Validate the comparison column set against BOTH sides. Silently
+    intersecting with new.columns would hide a dropped column: rows
+    differing only in it would report unchanged and the schema drop
+    itself would be invisible in a snapshot-reconciliation audit.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    compare_cols = list(compare_cols)
+    missing_new = [c for c in compare_cols if c not in new.columns]
+    missing_old = [c for c in compare_cols if c not in old.columns]
+    if missing_new or missing_old:
+        parts = []
+        if missing_new:
+            parts.append(f"missing from new: {missing_new}")
+        if missing_old:
+            parts.append(f"missing from old: {missing_old}")
+        raise ValueError(
+            "table_diff: comparison columns not present on both sides "
+            f"({'; '.join(parts)}). A dropped/renamed column is a schema "
+            "change the diff must not silently ignore - pass compare_cols "
+            "restricted to the shared columns to compare values only."
+        )
+    return compare_cols
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,
@@ -43,9 +74,7 @@ def table_diff(
     (NULL-safe comparison; '' never occurs — unchanged rows are dropped).
     """
     keys = list(keys)
-    if compare_cols is None:
-        compare_cols = [c for c in old.columns if c not in keys]
-    compare_cols = [c for c in compare_cols if c in new.columns]
+    compare_cols = _resolve_compare_cols(old, new, keys, compare_cols)
     # presence flags must come from a column that exists on each side; with
     # no compare columns, a constant marker column is joined in instead
     if not compare_cols:
@@ -102,9 +131,7 @@ def diff_summary(
     ever materializing per-row diff output.
     """
     keys = list(keys)
-    if compare_cols is None:
-        compare_cols = [c for c in old.columns if c not in keys]
-    compare_cols = [c for c in compare_cols if c in new.columns]
+    compare_cols = _resolve_compare_cols(old, new, keys, compare_cols)
     o = old.select(*keys, F.lit(1).alias("__mo"), *compare_cols).alias("o")
     n = new.select(*keys, F.lit(1).alias("__mn"), *compare_cols).alias("n")
     joined = o.join(n, on=keys, how="full_outer")

@@ -1732,6 +1732,12 @@ def bootstrap_ci(
     group. The only Python is one Arrow-batched weight kernel. Replicas
     whose group weight is zero (possible for tiny groups) yield a NULL
     replicate mean, which the percentile skips.
+
+    Rows whose ``id_col`` is NULL or not castable to long are excluded
+    up front (a NULL key has no deterministic replica assignment); the
+    replica label is the exploded offset itself — never recomputed via
+    ``%``, which would mislabel negative ids (Spark's ``%`` follows the
+    dividend's sign).
     """
     if n_replicas < 2:
         raise ValueError("n_replicas must be >= 2")
@@ -1759,10 +1765,14 @@ def bootstrap_ci(
 
     by = list(by)
     b = int(n_replicas)
-    base = df.where(F.col(value).isNotNull()).select(
+    eligible = df.where(
+        F.col(value).isNotNull()
+        & F.col(id_col).try_cast("long").isNotNull()
+    )
+    base = eligible.select(
         *by,
         F.col(value).alias("_v"),
-        (F.col(id_col).cast("long") * b).alias("_k0"),
+        (F.col(id_col).try_cast("long") * b).alias("_k0"),
     )
     exploded = (
         base.select(
@@ -1771,10 +1781,12 @@ def bootstrap_ci(
             "_k0",
             F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_r0"),
         )
-        .select(*by, "_v", (F.col("_k0") + F.col("_r0")).alias("_k"))
+        .select(
+            *by, "_v", "_r0", (F.col("_k0") + F.col("_r0")).alias("_k")
+        )
         .withColumn("_w", _pois(F.col("_k")))
     )
-    reps = exploded.groupBy(*by, (F.col("_k") % b).alias("_r")).agg(
+    reps = exploded.groupBy(*by, F.col("_r0").alias("_r")).agg(
         F.sum(F.col("_w") * F.col("_v")).alias("_wv"),
         F.sum("_w").alias("_wsum"),
     ).select(
@@ -1785,7 +1797,7 @@ def bootstrap_ci(
         ).alias("_m"),
     )
     alpha = (1.0 - float(level)) / 2.0
-    stats = df.where(F.col(value).isNotNull()).groupBy(*by).agg(
+    stats = eligible.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg(value), 6).alias("mean"),
     )

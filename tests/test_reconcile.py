@@ -94,3 +94,23 @@ def test_change_point_planted_step(spark):
     assert s["mean_before"] == 0.0 and s["mean_after"] == 10.0
     f = out["flat"]
     assert f["cusum_max"] == 0.0 and f["cp_period"] == d0
+
+
+def test_table_diff_rejects_missing_compare_columns(spark):
+    """A column dropped from the new snapshot must fail loudly: silently
+    intersecting compare_cols with new.columns made rows differing only
+    in the dropped column report as unchanged."""
+    import pytest
+
+    old = spark.createDataFrame([(1, "x", "y")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x")], "k long, a string")
+    with pytest.raises(ValueError, match="missing from new.*'b'"):
+        table_diff(old, new, ["k"])
+    with pytest.raises(ValueError, match="missing from new"):
+        table_diff(old, new, ["k"], ["a", "b"])
+    with pytest.raises(ValueError, match="missing from old"):
+        table_diff(new, old, ["k"], ["a", "b"])
+    with pytest.raises(ValueError, match="missing from new"):
+        diff_summary(old, new, ["k"])
+    # explicit shared-column request still works on diverged schemas
+    assert table_diff(old, new, ["k"], ["a"]).count() == 0

@@ -1292,3 +1292,62 @@ def test_effect_size_hand_values(spark):
     z = spark.createDataFrame([Row(g="a", v=1.0), Row(g="a", v=1.0),
                                Row(g="b", v=1.0), Row(g="b", v=1.0)])
     assert effect_size(z, "v", "g", "a", "b").collect()[0]["cohens_d"] is None
+
+
+def test_bootstrap_ci_mixed_sign_ids_match_numpy_replica(spark):
+    """Negative ids previously got replica labels from `_k % b` (dividend-
+    sign modulo -> labels in (-b, 0]), silently splitting every replica's
+    sample. The exploded offset itself is now the replica key; verify the
+    whole statistic against an exact numpy replication of the algorithm
+    on a mixed-sign id set."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.functions.text import _splitmix64
+    from entity_resolution_spark.operators.stats import (
+        _GOLDEN64,
+        POISSON1_CDF,
+        bootstrap_ci,
+    )
+
+    b, seed = 60, 42
+    ids = np.array([i - 20 for i in range(50)], dtype=np.int64)  # mixed sign
+    vals = np.array([float((i * 7) % 13) for i in range(50)])
+    rows = [Row(i=int(i), g="a", v=float(v)) for i, v in zip(ids, vals)]
+    out = bootstrap_ci(
+        spark.createDataFrame(rows).repartition(4),
+        "i", "v", ["g"], n_replicas=b, seed=seed,
+    ).collect()[0]
+
+    # exact numpy replication: same keys, same splitmix64, same CDF
+    seed_mix = np.uint64((seed * _GOLDEN64) % (1 << 64))
+    cdf = np.array(POISSON1_CDF, dtype=np.float64)
+    k = ids[:, None] * b + np.arange(b, dtype=np.int64)[None, :]
+    h = k.reshape(-1).view(np.uint64) ^ seed_mix
+    u = (_splitmix64(h) >> np.uint64(11)).astype(np.float64) * 2.0**-53
+    w = np.searchsorted(cdf, u, side="right").reshape(len(ids), b)
+    wsum = w.sum(axis=0).astype(np.float64)
+    means = np.round((w * vals[:, None]).sum(axis=0) / wsum, 6)
+    exp_se = round(float(np.std(means, ddof=1)), 6)
+
+    assert out["n_rows"] == 50
+    assert out["mean"] == round(float(vals.mean()), 6)
+    assert out["se"] == exp_se
+    assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+
+
+def test_bootstrap_ci_null_ids_excluded(spark):
+    """NULL / non-castable ids previously reached the weight kernel and
+    crashed astype(int64); they are now excluded up front and the summary
+    stats reflect the same eligible row set."""
+    from pyspark.sql import Row
+
+    from entity_resolution_spark.operators.stats import bootstrap_ci
+
+    rows = [Row(i=str(i), g="a", v=float(i % 7)) for i in range(30)]
+    rows += [Row(i=None, g="a", v=99.0), Row(i="oops", g="a", v=99.0)]
+    out = bootstrap_ci(
+        spark.createDataFrame(rows), "i", "v", ["g"], n_replicas=40
+    ).collect()[0]
+    assert out["n_rows"] == 30  # the NULL and non-castable ids dropped
+    assert out["mean"] == round(sum(i % 7 for i in range(30)) / 30, 6)

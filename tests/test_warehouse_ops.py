@@ -593,3 +593,111 @@ def test_stage_latency_report_hand_values(spark):
     assert out["view"]["p50_lag_s"] == 10.0
     assert out["click"]["avg_lag_s"] == 30.0
     assert out["direct"]["n_conversions"] == 1 and out["direct"]["avg_lag_s"] is None
+
+
+class TestAdviceRegressionsR4:
+    def test_label_propagation_string_ids_deterministic_tiebreak(self, spark):
+        """String node ids: the tiebreak must not negate the label (which
+        NULLs out strings). Node "c" sees labels {"a": 1, "b": 1} after
+        round 1 — the min-label schedule must pick "a" deterministically."""
+        from entity_resolution_spark.operators.graphmetrics import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "c"), ("b", "c")], "left_id string, right_id string"
+        )
+        outs = [
+            {r["id"]: r["community"]
+             for r in label_propagation(edges, iterations=1).collect()}
+            for _ in range(3)
+        ]
+        for comm in outs:
+            assert comm["c"] == "a"
+            assert comm == outs[0]
+
+    def test_label_propagation_string_triangles(self, spark):
+        from entity_resolution_spark.operators.graphmetrics import (
+            label_propagation,
+        )
+
+        # same topology and label ordering as the numeric two-triangle
+        # test above (labels on the left triangle sort first, bridge
+        # n3-n4): the communities must come out identical under the
+        # string rendering of the ids
+        edges = spark.createDataFrame(
+            [("n1", "n2"), ("n2", "n3"), ("n1", "n3"),
+             ("n4", "n5"), ("n5", "n6"), ("n4", "n6"), ("n3", "n4")],
+            "left_id string, right_id string",
+        )
+        comm = {r["id"]: r["community"]
+                for r in label_propagation(edges, iterations=5).collect()}
+        assert comm["n1"] == comm["n2"] == comm["n3"]
+        assert comm["n4"] == comm["n5"] == comm["n6"]
+        assert comm["n1"] != comm["n4"]
+
+    def test_shapley_pipe_channel_rename_invariance(self, spark):
+        """A channel literally named "a|b" must not alias the coalition
+        {"a", "b"} (the old concat_ws('|') key collided them). Renaming
+        "a|b" -> "X" bijectively must leave every Shapley value
+        unchanged."""
+        import datetime
+
+        from pyspark.sql import Row
+
+        from entity_resolution_spark.operators.funnel import (
+            shapley_attribution,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def mk(ch3):
+            def e(u, s, typ):
+                return Row(
+                    user_id=u,
+                    ts=t0 + datetime.timedelta(seconds=s),
+                    event_type=typ,
+                )
+
+            # coalition {a, b} (converting) coexists with {ch3} where
+            # ch3 in ("a|b", "X"); under the broken key v({"a","b"})
+            # and v({"a|b"}) collide and corrupt each other's lookups
+            return spark.createDataFrame(
+                [e(1, 0, "a"), e(1, 1, "b"), e(1, 2, "purchase"),
+                 e(2, 0, "a"), e(2, 1, "b"),
+                 e(3, 0, ch3), e(3, 1, "purchase"),
+                 e(4, 0, ch3),
+                 e(5, 0, "a"), e(5, 1, "purchase")]
+            ).repartition(3)
+
+        piped = {
+            r["channel"]: (r["shapley_value"], r["attribution"])
+            for r in shapley_attribution(mk("a|b"), "purchase").collect()
+        }
+        plain = {
+            r["channel"]: (r["shapley_value"], r["attribution"])
+            for r in shapley_attribution(mk("X"), "purchase").collect()
+        }
+        assert piped["a|b"] == plain["X"]
+        assert piped["a"] == plain["a"]
+        assert piped["b"] == plain["b"]
+
+    def test_markov_reserved_sentinel_rejected(self, spark):
+        import datetime
+
+        import pytest
+        from pyspark.sql import Row
+
+        from entity_resolution_spark.operators.funnel import (
+            markov_attribution,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            Row(event_id=1, user_id=1, ts=t0, event_type="__NULL__"),
+            Row(event_id=2, user_id=1,
+                ts=t0 + datetime.timedelta(seconds=5), event_type="purchase"),
+        ]
+        df = spark.createDataFrame(rows)
+        with pytest.raises(ValueError, match="reserved state sentinel"):
+            markov_attribution(df, "purchase")
