@@ -262,6 +262,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     total = round(time.time() - t_all, 3)
     with open("/proc/loadavg") as fh:
         extras["loadavg_at_end"] = float(fh.read().split()[0])
+    # Stable round-over-round comparison subset: the exact 10 queries the
+    # round-1/2 benches timed (4 flagship jobs + 6 operator queries). The
+    # full `queries` map keeps growing as operators land, which makes
+    # `value` incomparable across rounds; `headline_total_sec` is the
+    # apples-to-apples number (VERDICT r3 directive #7).
+    headline = [
+        "pipeline_documents", "incremental_fold", "pipeline_repo_files",
+        "corpus_curation", "tpch_q1_agg", "dedup_exact_sha",
+        "j2_outer_join", "o2_topk", "a5_jaccard_sets", "token_count_ws",
+    ]
+    extras["headline_total_sec"] = round(
+        sum(queries[q] for q in headline if q in queries), 3
+    )
+    extras["headline_queries"] = {
+        q: queries[q] for q in headline if q in queries
+    }
     return {
         "metric": "bench_total_sec",
         "value": total,

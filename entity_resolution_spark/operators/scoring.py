@@ -51,26 +51,40 @@ from ..config import PipelineConfig
 
 _OUT_COLS = ["left_id", "right_id", "block_key", "lev_ratio", "token_jaccard", "path_jw", "score"]
 
-# wall-clock of the most recent phase-1 eager cache fill (see score_pairs);
-# read by plans/pipeline.py into the stage-timing metrics
-_P1_FILL_SECS: list[float] = [0.0]
+class ScoringContext:
+    """Per-call scoring-stage state: the phase-1 fill wall-clock and the
+    live phase-1 cache handle. Each `resolve()` builds its own context and
+    threads it through `score_pairs`, so two interleaved pipelines in one
+    session report independent timings and release only their own caches
+    (module-global state would cross-contaminate both).
+    """
+
+    def __init__(self) -> None:
+        self.p1_fill_seconds: float = 0.0
+        self._phase1: list[DataFrame] = []
+
+    def release_phase1(self) -> None:
+        """Unpersist any live phase-1 cache (safe to call anytime; the
+        union must be materialized first or its branches will recompute
+        phase 1)."""
+        while self._phase1:
+            self._phase1.pop().unpersist()
+
+
+# default context for callers that invoke score_pairs without threading
+# their own (ad-hoc / single-pipeline sessions); the module-level helpers
+# below delegate to it for backward compatibility
+_DEFAULT_CTX = ScoringContext()
 
 
 def last_p1_fill_seconds() -> float:
-    return _P1_FILL_SECS[0]
-
-# phase-1 frames persisted by score_pairs, released either explicitly
-# (release_phase1, called by the pipeline once the scored union is
-# materialized) or implicitly at the NEXT score_pairs call — so repeated
-# calls in one session never accumulate more than one cached frame.
-_PHASE1_CACHE: list[DataFrame] = []
+    return _DEFAULT_CTX.p1_fill_seconds
 
 
 def release_phase1() -> None:
-    """Unpersist any live phase-1 cache (safe to call anytime; the union
-    must be materialized first or its branches will recompute phase 1)."""
-    while _PHASE1_CACHE:
-        _PHASE1_CACHE.pop().unpersist()
+    """Release the DEFAULT context's phase-1 cache (back-compat shim;
+    pipelines that pass their own ScoringContext call its method)."""
+    _DEFAULT_CTX.release_phase1()
 
 
 @pandas_udf(T.DoubleType())
@@ -88,7 +102,10 @@ def _lev_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def score_pairs(
-    pairs: DataFrame, features: DataFrame, cfg: PipelineConfig | None = None
+    pairs: DataFrame,
+    features: DataFrame,
+    cfg: PipelineConfig | None = None,
+    ctx: ScoringContext | None = None,
 ) -> DataFrame:
     """pairs(left_id, right_id, block_key) x features -> scored pairs
     (left_id, right_id, block_key, lev_ratio, token_jaccard, path_jw,
@@ -101,6 +118,7 @@ def score_pairs(
     short-circuit).
     """
     cfg = cfg or PipelineConfig()
+    ctx = ctx if ctx is not None else _DEFAULT_CTX
     # the phase-1 fill below executes the JW UDF at CALL time — workers
     # must be able to import this package even under a caller-built
     # vanilla session (idempotent; resolve() also calls it)
@@ -148,7 +166,7 @@ def score_pairs(
     # pressure) vs 2.6x split (/tmp A/B recorded in BENCH/BASELINE.md).
     # Pass 1 (pure JVM) computes jaccard + the length bound and DROPS the
     # arrays; pass 2 runs the JW UDF over the slim cached rows.
-    release_phase1()
+    ctx.release_phase1()
     slim = p.select(
         "left_id",
         "right_id",
@@ -185,9 +203,9 @@ def score_pairs(
         "base_score",
         cfg.w_jaccard * 100.0 * F.col("token_jaccard") + cfg.w_path * 100.0 * F.col("path_jw"),
     ).persist()
-    _PHASE1_CACHE.append(p1)
+    ctx._phase1.append(p1)
     p1.count()
-    _P1_FILL_SECS[0] = round(_time.time() - _t0, 3)
+    ctx.p1_fill_seconds = round(_time.time() - _t0, 3)
     # p1 is filled — the slim intermediate (with its basename payload) can go
     slim.unpersist()
     # lev_ratio is banker's-rounded to an int, so the true blend can exceed

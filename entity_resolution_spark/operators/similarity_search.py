@@ -85,6 +85,25 @@ def quantized_topk(
     )
 
 
+def _assign_nearest(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Row-chunked nearest-centroid assignment. The naive broadcast
+    ``((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)`` materializes
+    an (n, n_cells, dim) float64 temp — a silent driver/worker memory wall
+    once n·n_cells·dim grows (e.g. sample_size=10^5 with 4096 cells).
+    Chunking the ROW dimension keeps the temp bounded (~32 MB) while using
+    the exact same per-row arithmetic, so assignments are bit-identical to
+    the unchunked form at any size.
+    """
+    n_cells, dim = cent.shape
+    chunk = max(1, (1 << 22) // max(n_cells * dim, 1))
+    out = np.empty(len(X), dtype=np.int64)
+    for i in range(0, len(X), chunk):
+        xs = X[i : i + chunk]
+        d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        out[i : i + chunk] = d.argmin(axis=1)
+    return out
+
+
 def train_centroids(
     emb: DataFrame,
     n_cells: int = 16,
@@ -105,8 +124,7 @@ def train_centroids(
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), n_cells, replace=False)]
     for _ in range(iters):
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _assign_nearest(X, cent)
         for c in range(n_cells):
             members = X[assign == c]
             if len(members):
@@ -123,8 +141,7 @@ def assign_cells(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embeddin
         X = np.array(list(vecs), dtype="float64")
         if X.size == 0:
             return pd.Series([], dtype="int32")
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        return pd.Series(_assign_nearest(X, cent).astype("int32"))
 
     return emb.withColumn("cell", cell_udf(F.col(vec_col)))
 
@@ -358,9 +375,17 @@ def ivf_knn_join(
         X = np.asarray(list(vecs), dtype="float64")
         if X.size == 0:
             return pd.Series([], dtype=object)
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        idx = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(idx))
+        # row-chunked like _assign_nearest: bounds the (rows, n_cells,
+        # dim) broadcast temp without changing any row's arithmetic
+        n_cells, dim = cent.shape
+        chunk = max(1, (1 << 22) // max(n_cells * dim, 1))
+        parts = []
+        for i in range(0, len(X), chunk):
+            d = ((X[i : i + chunk, None, :] - cent[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            parts.append(np.argsort(d, axis=1)[:, :n_probe].astype("int32"))
+        return pd.Series(list(np.concatenate(parts)))
 
     probes = queries.select(
         F.col(query_id).alias("query_id"),

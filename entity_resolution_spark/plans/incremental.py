@@ -255,10 +255,14 @@ def resolve_incremental(
     feat_scoring = feat_all.join(
         F.broadcast(pair_ids), "file_id", "left_semi"
     ).localCheckpoint(eager=True)
-    scored = _force("scoring", score_pairs(pairs, feat_scoring, cfg))
-    from ..operators.scoring import release_phase1
+    from ..operators.scoring import ScoringContext
 
-    release_phase1()
+    scoring_ctx = ScoringContext()
+    scored = _force(
+        "scoring", score_pairs(pairs, feat_scoring, cfg, ctx=scoring_ctx)
+    )
+    stage_secs["scoring_p1_fill"] = scoring_ctx.p1_fill_seconds
+    scoring_ctx.release_phase1()
 
     near = matched_edges(scored, cfg).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")

@@ -29,7 +29,7 @@ from ..config import PipelineConfig
 from ..operators.blocking import exploded_blocks, with_block_keys, with_features
 from ..operators.candidates import candidate_pairs, dropped_block_keys
 from ..operators.clustering import assign_clusters, connected_components
-from ..operators.scoring import matched_edges, score_pairs
+from ..operators.scoring import ScoringContext, matched_edges, score_pairs
 from ..sources.io import StageStore
 
 
@@ -43,6 +43,9 @@ class ResolutionResult:
     blocks: DataFrame | None = None  # (block_key, file_id) index over reps —
     # persist it (StageStore/parquet) and hand it to resolve_incremental as
     # prior_blocks so later folds skip re-keying the old corpus
+    scoring_ctx: "ScoringContext | None" = None  # per-call scoring-stage
+    # state (phase-1 fill seconds + cache handle); interleaved resolve()
+    # calls in one session each carry their own
 
 
 def sha_group_key():
@@ -176,17 +179,18 @@ def resolve(
 
     _trace("build:blocks")
     pairs = _force("candidates", _stage("pairs", lambda: candidate_pairs(blocks, cfg)))
-    scored = _force("scoring", _stage("scored", lambda: score_pairs(pairs, reps, cfg)))
+    scoring_ctx = ScoringContext()
+    scored = _force(
+        "scoring",
+        _stage("scored", lambda: score_pairs(pairs, reps, cfg, ctx=scoring_ctx)),
+    )
     # the eager phase-1 fill inside score_pairs runs at build time, before
-    # _force's timer starts — surface it as its own stage row
-    from ..operators.scoring import last_p1_fill_seconds
-
-    stage_secs["scoring_p1_fill"] = last_p1_fill_seconds()
+    # _force's timer starts — surface it as its own stage row (read from
+    # THIS call's context, so interleaved resolves don't cross-contaminate)
+    stage_secs["scoring_p1_fill"] = scoring_ctx.p1_fill_seconds
     # the scored union is materialized (persisted count or StageStore
     # write) — phase-1's internal cache is no longer needed
-    from ..operators.scoring import release_phase1
-
-    release_phase1()
+    scoring_ctx.release_phase1()
 
     _trace("release_phase1")
     near_edges = matched_edges(scored, cfg)
@@ -213,7 +217,9 @@ def resolve(
         store.write("lineage", scored)  # every pair decision, with block_key provenance
 
     _trace("build:timing_union")
-    return ResolutionResult(feat, scored, clusters, metrics, dropped, blocks)
+    return ResolutionResult(
+        feat, scored, clusters, metrics, dropped, blocks, scoring_ctx
+    )
 
 
 def _build_metrics(spark, files, pairs, scored, clusters, cfg, blocks=None) -> DataFrame:

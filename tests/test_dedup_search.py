@@ -464,3 +464,32 @@ def test_append_ivf_index_delta_fold(spark, tmp_path):
     # partition layout intact: cell= directories, no refit of centroids
     assert any(d.startswith("cell=") for d in os.listdir(path))
     assert np.allclose(cent2, cent)
+
+
+def test_train_centroids_large_sample_bounded_memory(spark):
+    """VERDICT r3 #6: a user raising sample_size to 1e5 must not hit the
+    (n, n_cells, dim) broadcast temp wall — the chunked assignment keeps
+    the temp ~32 MB and stays bit-identical to the naive form."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.similarity_search import (
+        _assign_nearest,
+        train_centroids,
+    )
+
+    # bit-identical vs the naive broadcast on a moderate slab
+    rng = np.random.RandomState(7)
+    X = rng.randn(5000, 16)
+    cent = rng.randn(64, 16)
+    naive = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert (_assign_nearest(X, cent) == naive).all()
+
+    # 1e5-row sample at dim 16 completes (previously a quadratic-ish temp)
+    emb = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * (i + 1) % 97).cast("double") for i in range(16)]
+        ).alias("embedding"),
+    )
+    cents = train_centroids(emb, n_cells=32, sample_size=100_000, iters=2)
+    assert cents.shape == (32, 16)

@@ -163,3 +163,29 @@ def test_line_dedup_stays_whole_stage_codegen(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "(3) Project" in plan and "(4)" not in plan
+
+
+def test_interleaved_resolves_report_independent_scoring_state(spark):
+    """Each resolve() call carries its OWN ScoringContext: a later call
+    must not overwrite an earlier result's phase-1 fill timing or release
+    its cache (the old module-global state cross-contaminated both)."""
+    from entity_resolution_spark.datagen import generate_repo_files
+    from entity_resolution_spark.plans.pipeline import resolve
+
+    res1 = resolve(generate_repo_files(spark, 60))
+    ctx1 = res1.scoring_ctx
+    t1 = ctx1.p1_fill_seconds
+    assert t1 > 0.0
+
+    res2 = resolve(generate_repo_files(spark, 30))
+    ctx2 = res2.scoring_ctx
+    assert ctx2 is not ctx1
+    assert ctx2.p1_fill_seconds > 0.0
+    # the first result's recorded timing is untouched by the second run
+    assert ctx1.p1_fill_seconds == t1
+    # and each metrics table carries its own context's number
+    for res, ctx in ((res1, ctx1), (res2, ctx2)):
+        row = res.metrics.filter(
+            "stage = 'scoring_p1_fill' AND metric = 'seconds'"
+        ).collect()
+        assert row and row[0]["value"] == ctx.p1_fill_seconds

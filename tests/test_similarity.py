@@ -105,8 +105,17 @@ def test_native_lcs_bit_identical_to_python():
     )
 
     if get_lib() is None:
+        import shutil
+
         import pytest
 
+        # only a host genuinely lacking a C compiler may skip; if `cc`
+        # exists, a None lib means the kernel build broke — fail loudly
+        cc = shutil.which(__import__("os").environ.get("CC", "cc"))
+        assert cc is None, (
+            f"C toolchain present at {cc} but the native kernel failed "
+            "to build — get_lib() returned None"
+        )
         pytest.skip("no C toolchain — pure-Python path is the only path")
     random.seed(13)
     alpha = "abcdef XYZ_09é中🎉"
