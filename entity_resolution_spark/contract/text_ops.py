@@ -659,6 +659,98 @@ def multimodal_fake_features(spark, sf_dir):
     )
 
 
+# Real-codec multimodal decode (operators/multimodal.py decode_ppm /
+# decode_wav): payloads are REAL binary PPM images and RIFF PCM-16 WAVs,
+# built worker-side from arithmetic formulas keyed by media_id
+# (synthesize_real_payload), shipped through Arrow as binary columns, and
+# decoded header-to-samples by the dependency-free numpy codecs. Every
+# feature statistic is an integer < 2^24 (exact in float32), so the oracle
+# replicates the DECODED values term-for-term from the same generative
+# formulas — n_bytes additionally checks the encoders' exact byte layout
+# (header grammar + raster/data sizes). payload_sha256 is excluded only
+# because DuckDB's sha256 takes VARCHAR (not BLOB); it stays pinned by
+# tests/test_multimodal_streaming.py round-trips.
+@query(
+    "multimodal_real_decode",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 7 = 0),
+    img AS (
+      SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+      FROM ids WHERE media_id % 2 = 0),
+    imgpx AS (
+      SELECT media_id, w, h, r.i AS i, (media_id * 31 + r.i * 7) % 256 AS b
+      FROM img, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) r),
+    imga AS (
+      SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+             sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS sr,
+             sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS sg,
+             sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS sb,
+             min(b) AS mn, max(b) AS mx, sum(b) AS sa,
+             sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS z,
+             arg_min(b, i) AS b0, arg_max(b, i) AS bl,
+             sum(i * b) AS iw
+      FROM imgpx GROUP BY media_id),
+    imgrows AS (
+      SELECT media_id, 'image' AS kind,
+             3 + strlen(CAST(w AS VARCHAR)) + 1
+               + strlen(CAST(h AS VARCHAR)) + 1 + 4 + w*h*3 AS n_bytes,
+             r.p AS pos,
+             CASE r.p WHEN 0 THEN 1 WHEN 1 THEN w WHEN 2 THEN h
+               WHEN 3 THEN 255 WHEN 4 THEN w*h WHEN 5 THEN sr
+               WHEN 6 THEN sg WHEN 7 THEN sb WHEN 8 THEN mn WHEN 9 THEN mx
+               WHEN 10 THEN sa WHEN 11 THEN z WHEN 12 THEN b0
+               WHEN 13 THEN bl WHEN 14 THEN iw ELSE 0 END AS val
+      FROM imga, LATERAL (SELECT unnest(range(0, 16)) AS p) r),
+    aud AS (SELECT media_id, 32 + media_id % 64 AS n
+            FROM ids WHERE media_id % 2 = 1),
+    audsx AS (
+      SELECT media_id, n, r.i AS i,
+             (media_id * 131 + r.i * 17) % 65536 - 32768 AS s
+      FROM aud, LATERAL (SELECT unnest(range(0, n)) AS i) r),
+    auda AS (
+      SELECT media_id, any_value(n) AS n, sum(s) AS ss,
+             min(s) AS mn, max(s) AS mx,
+             sum(abs(s)) AS sabs, arg_min(s, i) AS s0, arg_max(s, i) AS sl,
+             sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS z,
+             sum(CASE WHEN i > 0 AND ((s < 0) != (prev < 0))
+                 THEN 1 ELSE 0 END) AS zc
+      FROM (SELECT *, lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+            FROM audsx)
+      GROUP BY media_id),
+    audrows AS (
+      SELECT media_id, 'audio' AS kind, 44 + 2 * n AS n_bytes, r.p AS pos,
+             CASE r.p WHEN 0 THEN 2 WHEN 1 THEN 8000 WHEN 2 THEN n
+               WHEN 3 THEN ss WHEN 4 THEN mn WHEN 5 THEN mx WHEN 6 THEN sabs
+               WHEN 7 THEN zc WHEN 8 THEN s0 WHEN 9 THEN sl WHEN 10 THEN z
+               WHEN 11 THEN 1 ELSE 0 END AS val
+      FROM auda, LATERAL (SELECT unnest(range(0, 16)) AS p) r)
+    SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(pos AS INT) AS pos, CAST(val AS FLOAT) AS val
+    FROM (SELECT * FROM imgrows UNION ALL SELECT * FROM audrows)
+    """,
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL media decode end-to-end: synthesize PPM/WAV bytes worker-side,
+    decode them with the numpy codecs inside the mapInPandas extractor,
+    explode the integer-exact feature vectors to scalar rows."""
+    from ..operators.multimodal import extract_features, with_real_payloads
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.pmod("doc_id", F.lit(7)) == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    feats = extract_features(with_real_payloads(ids), fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "val"),
+    )
+
+
 # --- document chunking (sliding windows with overlap; RAG prep) -------------
 _CHUNK, _OVERLAP = 160, 32
 _CHUNK_STEP = _CHUNK - _OVERLAP

@@ -66,6 +66,7 @@ from .contract import (  # noqa: E402,F401
 _DRIVER_PRIORITY = [
     "pipeline_clusters",
     "pipeline_resume_equivalence",
+    "multimodal_real_decode",  # new this round: real PPM/WAV codec path
     "fs_em_linkage",
     "fs_em_linkage_tf",
     "fs_linkage_clusters",
