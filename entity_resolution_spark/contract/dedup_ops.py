@@ -850,6 +850,45 @@ def knn_join_topk_string_ids(spark, sf_dir):
 
 # Same oracle at full probe: the IVF join's cell machinery must return
 # EXACTLY the exact-kNN rows when every cell is probed (n_probe == cells).
+# Corpus-scale SELF-kNN (every row a query, self-hits excluded) through
+# the cell-cogrouped big-query join at FULL probe: must equal brute force
+# over all ordered pairs. No broadcast of either side anywhere in the plan
+# (gated by tests/test_dedup_search.py); the oracle is the all-pairs
+# definition.
+_SELF_KNN_ORACLE = """
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             list_cosine_similarity(a.v, b.v) AS raw
+      FROM c a CROSS JOIN c b WHERE a.vec_id <> b.vec_id),
+    r AS (
+      SELECT query_id, vec_id, raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS rank
+      FROM s)
+    SELECT query_id, vec_id, round(raw, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """
+
+
+@query("self_knn_embeddings", _SELF_KNN_ORACLE)
+def self_knn_embeddings(spark, sf_dir):
+    """Cell-cogrouped self-kNN over the whole embedding table."""
+    from ..operators.similarity_search import (
+        assign_cells,
+        self_knn_join,
+        train_centroids,
+    )
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_cells=8)
+    with_cells = assign_cells(e, cents)
+    return self_knn_join(with_cells, cents, k=3, n_probe=8, id_col="vec_id")
+
+
 @query("ivf_knn_join_full_probe", _KNN_ORACLE)
 def ivf_knn_join_full_probe(spark, sf_dir):
     from ..operators.similarity_search import (

@@ -415,3 +415,174 @@ def ivf_knn_join(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_knn_join_big(
+    queries: DataFrame,
+    corpus_with_cells: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Corpus-scale-query kNN join: NEITHER side is broadcast or
+    replicated per bucket — the shape for a query table as large as the
+    corpus (the self-kNN / all-pairs-retrieval case `knn_join` and
+    `ivf_knn_join` would flood: the former replicates queries
+    |Q| x n_buckets, the latter broadcasts the probe + query frames).
+
+    Both sides are cell-keyed: the corpus carries its `assign_cells`
+    label; each query row is expanded to its ``n_probe`` nearest cells
+    (the same distributed Arrow argsort `ivf_knn_join` uses — n_probe
+    replicas, not n_buckets). A cogrouped ``applyInPandas`` on the cell
+    key then scores each cell's corpus block against the queries probing
+    it in chunked BLAS matmuls and emits local top-k per query; a
+    query-keyed window merges the ≤ n_probe x k local winners, and the
+    winners are re-scored with the JVM zip_with/aggregate expression via
+    shuffle-hash joins (no broadcast anywhere, so a 10^9-row query side
+    follows the same linear-shuffle plan as the corpus). A corpus row
+    lives in exactly one cell, so no (query, row) pair is scored twice.
+
+    ``exclude_self`` drops hits where the corpus id equals the query id
+    (the self-kNN convention). n_probe == n_cells degenerates to exact
+    brute-force output (pinned by the contract oracle).
+    """
+    spark = corpus_with_cells.sparkSession
+    cent = centroids.copy()
+    n_probe = min(n_probe, len(cent))
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id].dataType),
+            T.StructField(id_col, corpus_with_cells.schema[id_col].dataType),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells_udf(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(list(vecs), dtype="float64")
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        n_cells, dim = cent.shape
+        chunk = max(1, (1 << 22) // max(n_cells * dim, 1))
+        parts = []
+        for i in range(0, len(X), chunk):
+            d = ((X[i : i + chunk, None, :] - cent[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            parts.append(np.argsort(d, axis=1)[:, :n_probe].astype("int32"))
+        return pd.Series(list(np.concatenate(parts)))
+
+    probes = queries.select(
+        F.col(query_id).alias("query_id"), F.col(qvec_col).alias("__qv")
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(probe_cells_udf(F.col("__qv"))).alias("cell"),
+    )
+    corpus_c = corpus_with_cells.select(
+        "cell", F.col(id_col), F.col(vec_col).alias("__v")
+    )
+
+    def cell_topk(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cdf) or not len(qdf):
+            return pd.DataFrame({"query_id": [], id_col: [], "approx": []})
+        V = np.asarray(cdf["__v"].tolist(), dtype="float64")
+        ids = cdf[id_col].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        Vn = V / np.maximum(norms, 1e-300)[:, None]
+        out = {"query_id": [], id_col: [], "approx": []}
+        # chunk the query side: bounds the (cell_rows x chunk) score
+        # matrix regardless of how many queries probe this cell
+        q_ids_all = qdf["query_id"].to_numpy()
+        chunk = max(1, (1 << 22) // max(len(cdf), 1))
+        for lo in range(0, len(qdf), chunk):
+            Q = np.asarray(
+                qdf["__qv"].iloc[lo : lo + chunk].tolist(), dtype="float64"
+            )
+            Qn = Q / np.maximum(
+                np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+            )
+            S = Vn @ Qn.T  # (cell rows x chunk queries)
+            S[norms == 0, :] = -1.0
+            for j, qid in enumerate(q_ids_all[lo : lo + chunk]):
+                col = S[:, j]
+                if exclude_self:
+                    col = np.where(ids == qid, -np.inf, col)
+                kk = min(k, len(cdf))
+                order = np.lexsort((ids, -col))[:kk]
+                if exclude_self:
+                    order = order[np.isfinite(col[order])]
+                out["query_id"] += [qid] * len(order)
+                out[id_col] += list(ids[order])
+                out["approx"] += list(col[order])
+        return pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    cand = (
+        corpus_c.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(cell_topk, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc(id_col))
+    winners = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+    # exact JVM re-score of winners through shuffle-hash joins: with a
+    # corpus-sized query table the winner frame is |Q| x k rows — a
+    # broadcast here would be the very wall this operator removes
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+    )
+    cv = corpus_with_cells.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    return (
+        winners.join(cv.hint("shuffle_hash"), id_col)
+        .join(qv.hint("shuffle_hash"), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cosine"
+            ),
+            "rank",
+        )
+    )
+
+
+def self_knn_join(
+    corpus_with_cells: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-kNN over a cell-assigned corpus (every row is a query;
+    self-hits excluded): the all-pairs retrieval shape — near-duplicate
+    mining, link candidate generation — at corpus scale with no broadcast
+    of either side. Output: (query_id, id_col, cosine, rank)."""
+    q = corpus_with_cells.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__sq")
+    )
+    return ivf_knn_join_big(
+        q,
+        corpus_with_cells,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        query_id="query_id",
+        id_col=id_col,
+        vec_col=vec_col,
+        qvec_col="__sq",
+        exclude_self=True,
+    )

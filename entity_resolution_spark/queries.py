@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "pipeline_clusters",
     "pipeline_resume_equivalence",
     "multimodal_real_decode",  # new this round: real PPM/WAV codec path
+    "self_knn_embeddings",  # new this round: cell-cogrouped self-kNN
     "fs_em_linkage",
     "fs_em_linkage_tf",
     "fs_linkage_clusters",

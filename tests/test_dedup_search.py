@@ -493,3 +493,98 @@ def test_train_centroids_large_sample_bounded_memory(spark):
     )
     cents = train_centroids(emb, n_cells=32, sample_size=100_000, iters=2)
     assert cents.shape == (32, 16)
+
+
+class TestSelfKnnJoin:
+    def _corpus(self, spark, n=400):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * (i + 3) % 23).cast("double") - 11.0)
+                    for i in range(8)
+                ]
+            ).alias("embedding"),
+        )
+
+    def test_full_probe_equals_brute_force(self, spark):
+        """n_probe == n_cells: the cell-cogrouped self-kNN must reproduce
+        the brute-force all-pairs ranking exactly."""
+        import numpy as np
+
+        from entity_resolution_spark.operators.similarity_search import (
+            assign_cells,
+            self_knn_join,
+            train_centroids,
+        )
+        from entity_resolution_spark.session import ensure_py_files
+
+        ensure_py_files(spark)
+        e = self._corpus(spark)
+        cents = train_centroids(e, n_cells=6, iters=4)
+        got = self_knn_join(
+            assign_cells(e, cents), cents, k=4, n_probe=6
+        ).collect()
+        rows = e.collect()
+        V = np.array([r["embedding"] for r in rows])
+        ids = np.array([r["vec_id"] for r in rows])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        S = Vn @ Vn.T
+        exp = {}
+        for qi, qid in enumerate(ids):
+            col = S[qi].copy()
+            col[ids == qid] = -np.inf
+            order = np.lexsort((ids, -col))[:4]
+            for rank, ci in enumerate(order, 1):
+                exp[(int(qid), int(ids[ci]))] = (
+                    round(float(S[qi, ci]), 6),
+                    rank,
+                )
+        assert len(got) == len(exp)
+        for r in got:
+            cos, rank = exp[(r["query_id"], r["vec_id"])]
+            assert (r["cosine"], r["rank"]) == (cos, rank)
+
+    def test_no_broadcast_of_either_side(self, spark):
+        """The corpus-scale shape: the physical plan must contain NO
+        broadcast exchange — both the probe frame and the winner
+        re-score joins stay shuffle-based."""
+        from entity_resolution_spark.operators.similarity_search import (
+            assign_cells,
+            self_knn_join,
+            train_centroids,
+        )
+        from entity_resolution_spark.session import ensure_py_files
+
+        ensure_py_files(spark)
+        e = self._corpus(spark, n=120)
+        cents = train_centroids(e, n_cells=4, iters=3)
+        plan = self_knn_join(
+            assign_cells(e, cents), cents, k=3, n_probe=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastHashJoin" not in plan
+
+    def test_reduced_probe_recall_and_self_exclusion(self, spark):
+        from entity_resolution_spark.operators.similarity_search import (
+            assign_cells,
+            self_knn_join,
+            train_centroids,
+        )
+        from entity_resolution_spark.session import ensure_py_files
+
+        ensure_py_files(spark)
+        e = self._corpus(spark, n=200)
+        cents = train_centroids(e, n_cells=8, iters=4)
+        out = self_knn_join(
+            assign_cells(e, cents), cents, k=3, n_probe=2
+        ).collect()
+        assert all(r["query_id"] != r["vec_id"] for r in out)
+        # every query keeps at most k hits with contiguous ranks from 1
+        from collections import defaultdict
+
+        per_q = defaultdict(list)
+        for r in out:
+            per_q[r["query_id"]].append(r["rank"])
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
