@@ -83,6 +83,15 @@ class PipelineConfig:
     # under the cap (everything in the reference's domain) are bit-exact
     # fuzz.ratio. Worst-case kernel cost becomes ~1e7 word-ops (~ms).
     lev_max_chars: int = 25_000
+    # scoring phase 1: when the candidate pairs carry at most this many
+    # DISTINCT (l_base, r_base) operand pairs, Jaro-Winkler is computed
+    # once per distinct pair and broadcast-joined back — the 2-string-in /
+    # 1-double-out Arrow round trip over EVERY pair collapses to a
+    # census-sized kernel call (blocking groups candidates by shared
+    # basename tokens, so distinct operand pairs are orders of magnitude
+    # fewer than pairs). Above the cap the inline per-pair Arrow path runs
+    # instead (no broadcast-size hazard on adversarial inputs).
+    jw_dedup_broadcast_max: int = 2_000_000
     # clustering
     cc_max_iterations: int = 50
     # checkpointing / resume

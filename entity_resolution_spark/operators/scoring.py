@@ -165,16 +165,20 @@ def score_pairs(
     # scales at only 1.3x for 4x cores (queue buffering + allocation
     # pressure) vs 2.6x split (/tmp A/B recorded in BENCH/BASELINE.md).
     # Pass 1 (pure JVM) computes jaccard + the length bound and DROPS the
-    # arrays; pass 2 runs the JW UDF over the slim cached rows.
+    # arrays; pass 2 attaches JW over the slim cached rows (via the
+    # distinct-operand census below).
     ctx.release_phase1()
+    # basenames coalesce to "" here: the JW kernel maps None -> "" anyway
+    # (bit-identical result), and non-null keys keep the dedup join below
+    # a plain equi-join
     slim = p.select(
         "left_id",
         "right_id",
         "block_key",
         jac.alias("token_jaccard"),
         ub.alias("ub"),
-        "l_base",
-        "r_base",
+        F.coalesce("l_base", F.lit("")).alias("l_base"),
+        F.coalesce("r_base", F.lit("")).alias("r_base"),
     ).persist()
     # The union below reads p1 through two branches (rejected + survivors);
     # without a materialization boundary each branch would re-run the
@@ -188,16 +192,41 @@ def score_pairs(
     # release_phase1() / the next call, so repeated score_pairs calls never
     # leak executor memory. (A StageStore write plays this role on a
     # cluster.)
+    #
+    # JW runs on DISTINCT (l_base, r_base) operand pairs, not per pair:
+    # blocking groups candidates by shared basename tokens, so the
+    # distinct-operand census is orders of magnitude smaller than the
+    # pair table (measured 741 distinct across 3.85M pairs at 24k
+    # groups). The census job doubles as slim's cache fill; the kernel
+    # then sees only the census rows (one tiny Arrow exchange instead of
+    # a 2-string-in/1-double-out round trip over every pair) and the
+    # values scatter back through a broadcast hash join — the big path
+    # becomes pure JVM, which is also why the fill now scales with cores
+    # instead of serializing on the Python exchange. Identical values by
+    # construction: the same kernel on the same operands (the per-batch
+    # factorize inside batch_jaro_winkler was already exploiting this
+    # redundancy batch-locally; this lifts it to the whole frame). On
+    # adversarial inputs where the census is pair-sized, the guarded
+    # fallback keeps the inline per-pair Arrow path rather than risk an
+    # oversized broadcast.
     import time as _time
 
     _t0 = _time.time()
-    slim.count()
-    p1 = slim.select(
+    base_pairs = slim.select("l_base", "r_base").distinct()
+    # this census count is the fill job for slim's cache too: the joins
+    # run once here, and every later read is a cache hit
+    n_distinct = base_pairs.count()
+    if n_distinct <= cfg.jw_dedup_broadcast_max:
+        jw_map = base_pairs.withColumn("path_jw", jw)
+        with_jw = slim.join(F.broadcast(jw_map), ["l_base", "r_base"])
+    else:
+        with_jw = slim.withColumn("path_jw", jw)
+    p1 = with_jw.select(
         "left_id",
         "right_id",
         "block_key",
         "token_jaccard",
-        jw.alias("path_jw"),
+        "path_jw",
         "ub",
     ).withColumn(
         "base_score",

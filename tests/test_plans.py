@@ -45,11 +45,18 @@ def test_scoring_joins_never_broadcast_the_corpus(spark):
     feat = with_features(generate_repo_files(spark, 30), cfg)
     blocks = exploded_blocks(with_block_keys(feat, cfg))
     pairs = candidate_pairs(blocks, cfg)
-    plan = _plan(score_pairs(pairs, feat, cfg))
+    scored = score_pairs(pairs, feat, cfg)
+    # simple mode keeps join keys on the operator line (formatted mode
+    # splits them into a details section)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
     # the corpus-sized feature/content joins carry explicit shuffle_hash
     # hints; size estimates must never pick broadcast for them (observed
-    # 2x anti-scaling when they did)
-    assert "BroadcastHashJoin" not in plan
+    # 2x anti-scaling when they did). The ONE allowed broadcast is the
+    # census-sized distinct-operand JW map, recognizable by its basename
+    # join keys — every other join must stay shuffle-based.
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "l_base" in line, f"corpus-sized broadcast join: {line}"
     assert "ShuffledHashJoin" in plan
 
 
