@@ -251,6 +251,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "hll_rolling_users_7d",
         "kaplan_meier_user_lifetimes",
         "quality_threshold_sweep",
+        # round-4 operators: real PPM/WAV codec decode, cell-cogrouped
+        # corpus-scale self-kNN
+        "multimodal_real_decode",
+        "self_knn_embeddings",
     ]:
         if name not in SPARK_QUERIES:
             continue

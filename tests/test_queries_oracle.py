@@ -60,16 +60,20 @@ def test_every_query_has_callable():
 NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_rows_only_queries_run_and_are_deterministic(spark, name):
+def test_rows_only_queries_run_and_are_deterministic(spark):
     """Queries without a SQL oracle get the driver's weaker rows-only check;
-    here we additionally pin determinism (two runs, identical results)."""
+    here we additionally pin determinism (two runs, identical results).
+    NO_ORACLE is EMPTY today — every registered query carries a full
+    value-hash oracle — so this is a guard that only activates if a
+    future rows-only query lands (a plain loop, not parametrize: an
+    empty parametrize reports a perpetual skip)."""
+    assert NO_ORACLE == [], "new rows-only queries should get oracles"
     sf = "/root/testdata/sf0.001"
-    df1 = QUERIES[name](spark, sf)
-    rows1 = sorted(map(str, df1.collect()))
-    rows2 = sorted(map(str, QUERIES[name](spark, sf).collect()))
-    assert rows1 == rows2
-    assert len(rows1) >= 0
+    for name in NO_ORACLE:
+        df1 = QUERIES[name](spark, sf)
+        rows1 = sorted(map(str, df1.collect()))
+        rows2 = sorted(map(str, QUERIES[name](spark, sf).collect()))
+        assert rows1 == rows2
 
 
 def test_entry_smoke(spark):
