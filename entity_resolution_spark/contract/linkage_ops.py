@@ -1273,6 +1273,56 @@ def weighted_jaccard_docs(spark, sf_dir):
     return weighted_token_jaccard(_t(spark, sf_dir, "documents"), threshold=0.9)
 
 
+# --- degree distribution of the co-purchase graph ----------------------------
+# The pre-flight shape diagnostic for every wedge/block operator: the
+# histogram is census-sized (distinct degrees), the cumulative fraction
+# runs over that census, and a heavy tail here is what max_middle_degree /
+# stop-key budgets exist to absorb.
+@query(
+    "degree_profile_copurchase",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 10 = 0),
+    e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e1 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    deg AS (SELECT a AS id, count(*) AS degree FROM e1 GROUP BY 1),
+    hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY 1),
+    t AS (SELECT sum(n_nodes) AS total FROM hist)
+    SELECT degree, n_nodes,
+           round(n_nodes * 1.0 / total, 6) AS frac_nodes,
+           round(sum(n_nodes) OVER (ORDER BY degree) * 1.0 / total, 6)
+             AS cum_frac
+    FROM hist CROSS JOIN t
+    """,
+)
+def degree_profile_copurchase(spark, sf_dir):
+    """Degree histogram (operators/graphmetrics.py degree_profile)."""
+    from ..operators.graphmetrics import degree_profile
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("left_id"),
+            F.col("b.l_partkey").alias("right_id"),
+        )
+        .distinct()
+    )
+    return degree_profile(edges)
+
+
 # --- link prediction over the part co-purchase graph -------------------------
 # Candidate-recall repair / substitute discovery: score NON-adjacent part
 # pairs of the co-purchase graph (parts sharing an order; every-10th order

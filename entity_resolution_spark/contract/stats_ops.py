@@ -826,6 +826,42 @@ def cohort_retention_weekly(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"), bucket="week")
 
 
+# --- running EWMA per user ---------------------------------------------------
+# The sequential e_t = a*x_t + (1-a)*e_(t-1) recurrence, replicated by a
+# recursive CTE stepping the SAME double expression in the SAME order —
+# alpha and beta are injected as Python reprs so both engines use the
+# identical IEEE literals (1 - 0.3 == 0.7 exactly in binary64; pinned
+# here rather than assumed).
+@query(
+    "ewma_user_value",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, rn, CAST(value AS DOUBLE) AS e
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn,
+             0.3 * CAST(b.value AS DOUBLE) + 0.7 * r.e
+      FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, CAST(rn AS INT) AS rn, round(e, 6) AS ewma FROM r
+    """,
+)
+def ewma_user_value(spark, sf_dir):
+    """Arrow-cogrouped running EWMA (operators/timeseries.ewma_running)."""
+    from ..operators.timeseries import ewma_running
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ewma_running(
+        ev, "user_id", "ts", "value", alpha=0.3, tiebreak="event_id"
+    )
+
+
 @query(
     "resample_user_events_daily",
     """

@@ -659,6 +659,88 @@ def multimodal_fake_features(spark, sf_dir):
     )
 
 
+# Luhn-VALIDATED credit-card redaction (functions/text.py cc_redact_cols):
+# candidate digit runs come from one regexp pass; only runs whose
+# separator-stripped form is 13-19 digits AND passes the Luhn mod-10
+# checksum are masked — the 12-digit phone and order-ref runs in the same
+# text are candidates that must NOT redact (the false-positive class a
+# bare digit-pattern scrubber hits). Text is built deterministically from
+# the customer row (real c_phone + a custkey-derived 16-digit number whose
+# Luhn validity varies), so both engines construct identical bytes and the
+# whole candidate->validate->redact path is value-hashed.
+@query(
+    "cc_luhn_redact_customer",
+    """
+    WITH built AS (
+      SELECT c_custkey,
+        lpad(CAST((CAST(c_custkey AS BIGINT) * 76543210) % 100000000
+             AS VARCHAR), 8, '0')
+          || lpad(CAST((CAST(c_custkey AS BIGINT) * 1234567 + 11) % 100000000
+               AS VARCHAR), 8, '0') AS dg16,
+        lpad(CAST(c_nationkey AS VARCHAR), 2, '0') || '-555-741-2988' AS phone
+      FROM customer),
+    txt AS (
+      SELECT c_custkey,
+        'tel ' || phone || ' ref 123456789012 card '
+          || substring(dg16, 1, 4) || '-' || substring(dg16, 5, 4) || '-'
+          || substring(dg16, 9, 4) || '-' || substring(dg16, 13, 4)
+          || ' thanks' AS text
+      FROM built),
+    cand AS (
+      SELECT c_custkey, text,
+             regexp_extract_all(text, '\\d(?:[ -]?\\d){11,18}') AS cands
+      FROM txt),
+    v AS (
+      SELECT c_custkey, text, cands,
+        list_filter(cands, x -> (
+          length(regexp_replace(x, '[ -]', '', 'g')) BETWEEN 13 AND 19
+          AND list_sum(list_transform(
+                range(1, length(regexp_replace(x, '[ -]', '', 'g')) + 1),
+            i -> CASE WHEN (length(regexp_replace(x, '[ -]', '', 'g')) - i) % 2 = 1
+                   THEN CASE WHEN CAST(substring(regexp_replace(x, '[ -]', '', 'g'), i, 1) AS INT) * 2 > 9
+                             THEN CAST(substring(regexp_replace(x, '[ -]', '', 'g'), i, 1) AS INT) * 2 - 9
+                             ELSE CAST(substring(regexp_replace(x, '[ -]', '', 'g'), i, 1) AS INT) * 2 END
+                   ELSE CAST(substring(regexp_replace(x, '[ -]', '', 'g'), i, 1) AS INT) END)) % 10 = 0
+        )) AS valid
+      FROM cand)
+    SELECT c_custkey, CAST(len(cands) AS INT) AS cc_candidates,
+           CAST(len(valid) AS INT) AS cc_valid,
+           list_reduce(list_prepend(text, valid),
+                       (acc, x) -> replace(acc, x, '<CC_REDACTED>')) AS redacted
+    FROM v
+    """,
+)
+def cc_luhn_redact_customer(spark, sf_dir):
+    """Candidate extraction -> Luhn validation -> selective redaction,
+    all JVM higher-order expressions (functions/text.py)."""
+    from ..functions.text import cc_redact_cols
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("bigint")
+    dg16 = F.concat(
+        F.lpad(((k * 76543210) % 100000000).cast("string"), 8, "0"),
+        F.lpad(((k * 1234567 + 11) % 100000000).cast("string"), 8, "0"),
+    )
+    phone = F.concat(
+        F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+        F.lit("-555-741-2988"),
+    )
+    text = F.concat(
+        F.lit("tel "), phone, F.lit(" ref 123456789012 card "),
+        F.substring(dg16, 1, 4), F.lit("-"), F.substring(dg16, 5, 4),
+        F.lit("-"), F.substring(dg16, 9, 4), F.lit("-"),
+        F.substring(dg16, 13, 4), F.lit(" thanks"),
+    )
+    base = cust.select("c_custkey", text.alias("text"))
+    cols = cc_redact_cols(F.col("text"))
+    return base.select(
+        "c_custkey",
+        cols["cc_candidates"].alias("cc_candidates"),
+        cols["cc_valid"].alias("cc_valid"),
+        cols["redacted"].alias("redacted"),
+    )
+
+
 # Real-codec multimodal decode (operators/multimodal.py decode_ppm /
 # decode_wav): payloads are REAL binary PPM images and RIFF PCM-16 WAVs,
 # built worker-side from arithmetic formulas keyed by media_id

@@ -195,6 +195,69 @@ def redact_pii_col(c: Column) -> Column:
     return F.regexp_replace(no_email, r"[0-9]", "#")
 
 
+_CC_CANDIDATE_RE = r"\d(?:[ -]?\d){11,18}"
+_CC_MASK = "<CC_REDACTED>"
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """Luhn mod-10 checksum over a pure-digit string column (ISO/IEC
+    7812): from the RIGHT, odd positions count as-is, even positions
+    double (minus 9 when > 9); valid iff the sum is 0 mod 10. Pure JVM
+    higher-order expression (sequence + aggregate), syntax chosen for
+    term-for-term replication in an external SQL engine."""
+    L = F.length(digits)
+    d = lambda i: F.substring(digits, i, 1).cast("int")  # noqa: E731
+    # aggregate over 1..L; empty string -> sum 0 -> "valid" guarded by
+    # the caller's length check
+    return (
+        F.aggregate(
+            F.sequence(F.lit(1), F.greatest(L, F.lit(1))),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i <= L,
+                F.when(
+                    ((L - i) % 2) == 1,
+                    F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
+                ).otherwise(d(i)),
+            ).otherwise(F.lit(0)),
+        )
+        % 10
+        == 0
+    )
+
+
+def cc_redact_cols(c: Column) -> dict[str, Column]:
+    """Credit-card detection with Luhn VALIDATION before redaction: digit
+    runs (optional single space/dash separators, 12-19 digits) are
+    candidates; only runs whose separator-stripped form is 13-19 digits
+    AND passes the Luhn checksum are masked — the validation step that
+    keeps order ids and timestamps out of the redaction (the classic
+    false-positive source of digit-pattern PII scrubbers). Returns
+    {'cc_candidates', 'cc_valid', 'redacted'} columns, all JVM
+    higher-order expressions over one regexp_extract_all pass; patterns
+    restricted to syntax with identical semantics in Java regex and RE2.
+    """
+    cands = F.regexp_extract_all(c, F.lit(_CC_CANDIDATE_RE), 0)
+    digits_of = lambda x: F.regexp_replace(x, r"[ -]", "")  # noqa: E731
+
+    def is_valid(x: Column) -> Column:
+        dg = digits_of(x)
+        return (
+            (F.length(dg) >= 13) & (F.length(dg) <= 19) & luhn_valid_expr(dg)
+        )
+
+    valid = F.filter(cands, is_valid)
+    redacted = F.aggregate(
+        valid, c, lambda acc, x: F.replace(acc, x, F.lit(_CC_MASK))
+    )
+    return {
+        "cc_candidates": F.size(cands),
+        "cc_valid": F.size(valid),
+        "redacted": redacted,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting (winnowed rolling hash)
 # ---------------------------------------------------------------------------

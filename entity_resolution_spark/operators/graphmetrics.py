@@ -18,7 +18,7 @@ once. All JVM joins/aggregates, no UDF, ~3 shuffles on edge keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -578,4 +578,47 @@ def assortativity(
                 (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den, 6
             ),
         ).alias("assortativity"),
+    )
+
+
+def degree_profile(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Degree distribution of the undirected simple graph: one row per
+    observed degree — (degree, n_nodes, frac_nodes, cum_frac) with the
+    cumulative fraction over ascending degree. The first graph-shape
+    diagnostic before any quadratic work: a heavy tail here is the
+    hub-explosion warning for wedge joins (`link_prediction`) and
+    block-based candidate generation, and the basis for choosing
+    `max_middle_degree` / stop-key budgets.
+
+    Scale shape: canonical-edge dedup, one degree hash aggregate, then a
+    census-sized histogram — the window for cum_frac runs over rows ==
+    distinct degrees, never nodes or edges.
+    """
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("a"),
+            F.greatest(left_col, right_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = directed.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("degree").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("n_nodes").over(w_all)
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.round(F.col("n_nodes") / total, 6).alias("frac_nodes"),
+        F.round(F.sum("n_nodes").over(w_cum) / total, 6).alias("cum_frac"),
     )

@@ -18,6 +18,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _UNITS = ("hour", "day", "week")
 
@@ -343,4 +344,75 @@ def interarrival_stats(
         q(0.50).alias("p50_s"),
         q(0.75).alias("p75_s"),
         q(0.95).alias("p95_s"),
+    )
+
+
+def ewma_running(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-event RUNNING exponentially-weighted moving average: for each
+    key's events ordered by (ts, tiebreak), e_1 = x_1 and
+    e_t = alpha*x_t + (1-alpha)*e_{t-1} — the online-smoothing baseline
+    every anomaly detector and live dashboard keeps (Hunter 1986 EWMA
+    control charts). Output: (key, rn, ewma) with rn the 1-based event
+    index inside the key. NULL values are dropped before indexing.
+
+    The recurrence is inherently sequential WITHIN a key — that is the
+    operator's semantics, not an implementation shortcut (contrast
+    `decayed_value`, which is the closed-form as-of aggregate and
+    distributes as a plain hash agg). Scale shape: one shuffle on the
+    key, then an Arrow-cogrouped pass with a vectorized-per-group numpy
+    recursion; keys are independent so the stage parallelizes across the
+    key space, and per-key memory is the key's own event count. The
+    float operation order (alpha*x + beta*e, beta = 1-alpha, evaluated
+    left to right in doubles) is pinned so an external recursive-CTE
+    replica is bit-identical before the final round(6).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    beta = 1.0 - alpha
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    base = df.where(F.col(value).isNotNull()).select(
+        F.col(key).alias("__k"), *[F.col(c) for c in order],
+        F.col(value).cast("double").alias("__x"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__k", df.schema[key].dataType),
+            T.StructField("rn", T.IntegerType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf["__x"].to_numpy(dtype="float64")
+        e = np.empty_like(x)
+        acc = 0.0
+        for i in range(len(x)):
+            acc = x[i] if i == 0 else alpha * x[i] + beta * acc
+            e[i] = acc
+        return pd.DataFrame(
+            {
+                "__k": pdf["__k"].to_numpy(),
+                "rn": np.arange(1, len(x) + 1, dtype="int32"),
+                "ewma": np.round(e, 6),
+            }
+        )
+
+    return (
+        base.groupBy("__k")
+        .applyInPandas(run, out_schema)
+        .select(F.col("__k").alias(key), "rn", "ewma")
     )

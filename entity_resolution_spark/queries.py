@@ -68,6 +68,9 @@ _DRIVER_PRIORITY = [
     "pipeline_resume_equivalence",
     "multimodal_real_decode",  # new this round: real PPM/WAV codec path
     "self_knn_embeddings",  # new this round: cell-cogrouped self-kNN
+    "ewma_user_value",  # new this round: running EWMA (recursive-CTE oracle)
+    "cc_luhn_redact_customer",  # new this round: Luhn-validated redaction
+    "degree_profile_copurchase",  # new this round: graph shape diagnostic
     "fs_em_linkage",
     "fs_em_linkage_tf",
     "fs_linkage_clusters",

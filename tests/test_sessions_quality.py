@@ -253,3 +253,52 @@ def test_gopher_plan_has_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+class TestLuhnRedaction:
+    def test_hand_cases(self, spark):
+        from entity_resolution_spark.functions.text import cc_redact_cols
+
+        rows = [
+            ("valid16", "card 4539-1488-0343-6467 ok"),
+            ("invalid16", "card 4539-1488-0343-6468 ok"),
+            ("short12", "ref 123456789012 end"),
+            ("amex15", "amex 3782 822463 10005 !"),
+            ("none", "no digits here"),
+            ("two", "a 4539148803436467 b 6011000990139424 c"),
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        cols = cc_redact_cols(F.col("text"))
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id", *[v.alias(k) for k, v in cols.items()]
+            ).collect()
+        }
+        assert (out["valid16"]["cc_valid"], out["valid16"]["redacted"]) == (
+            1, "card <CC_REDACTED> ok",
+        )
+        # checksum failure and too-short runs are candidates but NOT masked
+        assert out["invalid16"]["cc_candidates"] == 1
+        assert out["invalid16"]["cc_valid"] == 0
+        assert out["invalid16"]["redacted"] == "card 4539-1488-0343-6468 ok"
+        assert out["short12"]["cc_valid"] == 0
+        assert out["short12"]["redacted"] == "ref 123456789012 end"
+        assert out["amex15"]["cc_valid"] == 1  # 15-digit Amex validates
+        assert out["none"]["cc_candidates"] == 0
+        assert out["two"]["cc_valid"] == 2
+        assert out["two"]["redacted"] == "a <CC_REDACTED> b <CC_REDACTED> c"
+
+    def test_plan_is_pure_jvm(self, spark):
+        """Candidate extraction, Luhn fold, and redaction fold must stay
+        inside whole-stage codegen — no Python node."""
+        from entity_resolution_spark.functions.text import cc_redact_cols
+
+        df = spark.createDataFrame([("x", "t 4539148803436467")],
+                                   "id string, text string")
+        cols = cc_redact_cols(F.col("text"))
+        plan = (
+            df.select("id", *[v.alias(k) for k, v in cols.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -4,6 +4,7 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from entity_resolution_spark.operators.timeseries import resample_events
 
@@ -165,3 +166,62 @@ def test_interarrival_stats_hand_values(spark):
     assert out["a"]["n_gaps"] == 1 and out["a"]["avg_gap_s"] == 10.0
     assert out["b"]["n_gaps"] == 2 and out["b"]["avg_gap_s"] == 10.0  # 20 and 0
     assert out["b"]["p50_s"] == 10.0 and out["b"]["p25_s"] == 5.0
+
+
+class TestEwmaRunning:
+    def test_hand_recursion(self, spark):
+        import datetime
+
+        from pyspark.sql import Row
+
+        from entity_resolution_spark.operators.timeseries import ewma_running
+        from entity_resolution_spark.session import ensure_py_files
+
+        ensure_py_files(spark)
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            Row(k="a", ts=t0 + datetime.timedelta(seconds=s), eid=s, v=v)
+            for s, v in [(0, 10.0), (1, 20.0), (2, 0.0), (3, 40.0)]
+        ] + [Row(k="b", ts=t0, eid=0, v=5.0),
+             Row(k="a", ts=t0 + datetime.timedelta(seconds=4), eid=4, v=None)]
+        out = {
+            (r["k"], r["rn"]): r["ewma"]
+            for r in ewma_running(
+                spark.createDataFrame(rows).repartition(3),
+                "k", "ts", "v", alpha=0.5, tiebreak="eid",
+            ).collect()
+        }
+        # e1=10, e2=.5*20+.5*10=15, e3=7.5, e4=23.75; NULL row dropped
+        assert out == {
+            ("a", 1): 10.0, ("a", 2): 15.0, ("a", 3): 7.5,
+            ("a", 4): 23.75, ("b", 1): 5.0,
+        }
+
+    def test_partitioning_invariance(self, spark):
+        from entity_resolution_spark.operators.timeseries import ewma_running
+        from entity_resolution_spark.session import ensure_py_files
+
+        ensure_py_files(spark)
+        df = spark.range(500).select(
+            (F.col("id") % 7).alias("k"),
+            F.col("id").alias("ts"),
+            F.col("id").alias("eid"),
+            (F.col("id") % 13).cast("double").alias("v"),
+        )
+        a = sorted(map(tuple, ewma_running(df.repartition(1), "k", "ts", "v").collect()))
+        b = sorted(map(tuple, ewma_running(df.repartition(11), "k", "ts", "v").collect()))
+        assert a == b
+
+    def test_alpha_validation(self, spark):
+        import pytest
+
+        from entity_resolution_spark.operators.timeseries import ewma_running
+
+        df = spark.range(1).select(
+            F.lit("k").alias("k"), F.col("id").alias("ts"),
+            F.lit(1.0).alias("v")
+        )
+        with pytest.raises(ValueError):
+            ewma_running(df, "k", "ts", "v", alpha=0.0)
+        with pytest.raises(ValueError):
+            ewma_running(df, "k", "ts", "v", alpha=1.5)

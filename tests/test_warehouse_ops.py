@@ -701,3 +701,22 @@ class TestAdviceRegressionsR4:
         df = spark.createDataFrame(rows)
         with pytest.raises(ValueError, match="reserved state sentinel"):
             markov_attribution(df, "purchase")
+
+
+class TestDegreeProfile:
+    def test_hand_graph(self, spark):
+        """Path a-b-c plus hub d connected to all: degrees a=2,b=3,c=2,d=3
+        -> histogram {2: 2, 3: 2}; duplicate and self edges ignored."""
+        from entity_resolution_spark.operators.graphmetrics import (
+            degree_profile,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("a", "d"), ("b", "d"),
+             ("c", "d"), ("c", "c")],
+            "left_id string, right_id string",
+        )
+        out = {r["degree"]: r for r in degree_profile(edges).collect()}
+        assert {d: r["n_nodes"] for d, r in out.items()} == {2: 2, 3: 2}
+        assert out[2]["frac_nodes"] == 0.5 and out[2]["cum_frac"] == 0.5
+        assert out[3]["cum_frac"] == 1.0
