@@ -826,6 +826,58 @@ def cohort_retention_weekly(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"), bucket="week")
 
 
+# --- Holt double-exponential smoothing per user ------------------------------
+# Level+trend recursion replicated by a recursive CTE carrying both
+# accumulators; same IEEE-literal injection discipline as the EWMA oracle.
+# Coefficients here (and in the EWMA query) are EXACT binary fractions
+# (7/16, 9/16, 1/4, 3/4): decimal-friendly choices like 0.5/0.3 over the
+# 2-decimal event values keep the recursion on exact decimal numbers that
+# land on .5 rounding boundaries, where Spark's BigDecimal HALF_UP and
+# DuckDB's scaled-multiply round() genuinely disagree (observed 2
+# boundary rows per 10k before the switch).
+@query(
+    "holt_trend_user_value",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id AS k, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE value IS NOT NULL),
+    seed AS (
+      SELECT b1.k, 1 AS rn, b1.v AS l,
+             CASE WHEN b1.n > 1
+                  THEN (SELECT b2.v FROM base b2
+                        WHERE b2.k = b1.k AND b2.rn = 2) - b1.v
+                  ELSE 0.0 END AS b
+      FROM base b1 WHERE b1.rn = 1),
+    r AS (
+      SELECT * FROM seed
+      UNION ALL
+      SELECT nb.k, nb.rn,
+             0.4375 * nb.v + 0.5625 * (r.l + r.b) AS l,
+             0.25 * ((0.4375 * nb.v + 0.5625 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b AS b
+      FROM r JOIN base nb ON nb.k = r.k AND nb.rn = r.rn + 1)
+    SELECT k AS user_id, CAST(rn AS INT) AS rn,
+           round(l + 0.000000001, 6) AS level,
+           round(b + 0.000000001, 6) AS trend
+    FROM r
+    """,
+)
+def holt_trend_user_value(spark, sf_dir):
+    """Arrow-cogrouped Holt smoothing (operators/timeseries.holt_linear)."""
+    from ..operators.timeseries import holt_linear
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    ev = _t(spark, sf_dir, "events")
+    return holt_linear(
+        ev, "user_id", "ts", "value",
+        alpha=0.4375, gamma=0.25, tiebreak="event_id",
+    )
+
+
 # --- running EWMA per user ---------------------------------------------------
 # The sequential e_t = a*x_t + (1-a)*e_(t-1) recurrence, replicated by a
 # recursive CTE stepping the SAME double expression in the SAME order —
@@ -845,9 +897,10 @@ def cohort_retention_weekly(spark, sf_dir):
       FROM base WHERE rn = 1
       UNION ALL
       SELECT b.user_id, b.rn,
-             0.3 * CAST(b.value AS DOUBLE) + 0.7 * r.e
+             0.4375 * CAST(b.value AS DOUBLE) + 0.5625 * r.e
       FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-    SELECT user_id, CAST(rn AS INT) AS rn, round(e, 6) AS ewma FROM r
+    SELECT user_id, CAST(rn AS INT) AS rn,
+           round(e + 0.000000001, 6) AS ewma FROM r
     """,
 )
 def ewma_user_value(spark, sf_dir):
@@ -858,7 +911,7 @@ def ewma_user_value(spark, sf_dir):
     ensure_py_files(spark)
     ev = _t(spark, sf_dir, "events")
     return ewma_running(
-        ev, "user_id", "ts", "value", alpha=0.3, tiebreak="event_id"
+        ev, "user_id", "ts", "value", alpha=0.4375, tiebreak="event_id"
     )
 
 

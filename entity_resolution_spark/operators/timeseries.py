@@ -407,12 +407,103 @@ def ewma_running(
             {
                 "__k": pdf["__k"].to_numpy(),
                 "rn": np.arange(1, len(x) + 1, dtype="int32"),
-                "ewma": np.round(e, 6),
+                "ewma": e,
             }
         )
 
+    # round JVM-side with a 1e-9 tie-break epsilon: the recursion over
+    # decimal-valued inputs lands EXACTLY on x.xxxxxx5 boundaries, where
+    # Spark's BigDecimal HALF_UP and other engines' scaled-multiply
+    # round() genuinely disagree; +1e-9 moves ties off the boundary by
+    # ~1e7 x the cross-engine ulp while leaving every non-tie value's
+    # rounding unchanged (nearest boundary is >= 5e-7 away)
     return (
         base.groupBy("__k")
         .applyInPandas(run, out_schema)
-        .select(F.col("__k").alias(key), "rn", "ewma")
+        .select(
+            F.col("__k").alias(key),
+            "rn",
+            F.round(F.col("ewma") + F.lit(1e-9), 6).alias("ewma"),
+        )
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.5,
+    gamma: float = 0.3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt double-exponential smoothing (Holt 1957) per key: level and
+    trend recursions l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1}),
+    b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}, seeded l_1 = x_1 and
+    b_1 = x_2 - x_1 (0 for singleton keys). Output: (key, rn, level,
+    trend) — `level + trend` is the one-step-ahead forecast, the
+    trending-metric companion to `ewma_running`'s flat smoother.
+
+    Same scale shape and float-order pinning as `ewma_running`: one
+    shuffle on the key, Arrow-cogrouped per-key recursion (sequential
+    WITHIN a key by definition), doubles evaluated in the documented
+    order so a recursive-CTE replica is bit-identical before round(6).
+    """
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= gamma <= 1.0):
+        raise ValueError("alpha in (0,1], gamma in [0,1] required")
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    ca, cb = 1.0 - alpha, 1.0 - gamma
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    base = df.where(F.col(value).isNotNull()).select(
+        F.col(key).alias("__k"), *[F.col(c) for c in order],
+        F.col(value).cast("double").alias("__x"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__k", df.schema[key].dataType),
+            T.StructField("rn", T.IntegerType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf["__x"].to_numpy(dtype="float64")
+        n = len(x)
+        ls = np.empty(n)
+        bs = np.empty(n)
+        l = x[0]
+        b = (x[1] - x[0]) if n > 1 else 0.0
+        ls[0], bs[0] = l, b
+        for t in range(1, n):
+            l_prev = l
+            l = alpha * x[t] + ca * (l + b)
+            b = gamma * (l - l_prev) + cb * b
+            ls[t], bs[t] = l, b
+        return pd.DataFrame(
+            {
+                "__k": pdf["__k"].to_numpy(),
+                "rn": np.arange(1, n + 1, dtype="int32"),
+                "level": ls,
+                "trend": bs,
+            }
+        )
+
+    # same 1e-9 tie-break-then-round convention as ewma_running (see
+    # the comment there)
+    return (
+        base.groupBy("__k")
+        .applyInPandas(run, out_schema)
+        .select(
+            F.col("__k").alias(key),
+            "rn",
+            F.round(F.col("level") + F.lit(1e-9), 6).alias("level"),
+            F.round(F.col("trend") + F.lit(1e-9), 6).alias("trend"),
+        )
     )

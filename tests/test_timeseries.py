@@ -225,3 +225,52 @@ class TestEwmaRunning:
             ewma_running(df, "k", "ts", "v", alpha=0.0)
         with pytest.raises(ValueError):
             ewma_running(df, "k", "ts", "v", alpha=1.5)
+
+
+class TestHoltLinear:
+    def test_hand_recursion(self, spark):
+        import datetime
+
+        from pyspark.sql import Row
+
+        from entity_resolution_spark.operators.timeseries import holt_linear
+        from entity_resolution_spark.session import ensure_py_files
+
+        ensure_py_files(spark)
+        t0 = datetime.datetime(2024, 1, 1)
+        xs = [10.0, 12.0, 11.0, 15.0]
+        rows = [
+            Row(k="a", ts=t0 + datetime.timedelta(seconds=s), eid=s, v=v)
+            for s, v in enumerate(xs)
+        ] + [Row(k="solo", ts=t0, eid=0, v=3.0)]
+        out = {
+            (r["k"], r["rn"]): (r["level"], r["trend"])
+            for r in holt_linear(
+                spark.createDataFrame(rows).repartition(3),
+                "k", "ts", "v", alpha=0.5, gamma=0.3, tiebreak="eid",
+            ).collect()
+        }
+        # python replica of the documented recursion
+        l, b = xs[0], xs[1] - xs[0]
+        exp = {("a", 1): (l, b)}
+        for t in range(1, len(xs)):
+            lp = l
+            l = 0.5 * xs[t] + 0.5 * (l + b)
+            b = 0.3 * (l - lp) + 0.7 * b
+            exp[("a", t + 1)] = (round(l, 6), round(b, 6))
+        exp[("solo", 1)] = (3.0, 0.0)  # singleton: trend seeds to 0
+        assert out == exp
+
+    def test_validation(self, spark):
+        import pytest
+
+        from entity_resolution_spark.operators.timeseries import holt_linear
+
+        df = spark.range(1).select(
+            F.lit("k").alias("k"), F.col("id").alias("ts"),
+            F.lit(1.0).alias("v")
+        )
+        with pytest.raises(ValueError):
+            holt_linear(df, "k", "ts", "v", alpha=0.0)
+        with pytest.raises(ValueError):
+            holt_linear(df, "k", "ts", "v", gamma=1.5)
