@@ -142,6 +142,66 @@ def stream_interval_join_q(spark, sf_dir):
     return out.select("purchase_id", "click_id")
 
 
+# --- streaming running EWMA (streaming/smoothing.py) ------------------------
+# A REAL Structured-Streaming run (file source, applyInPandasWithState,
+# AvailableNow, memory sink) folding e' = a*x + (1-a)*e in keyed state;
+# the oracle is the SAME recursive CTE as the batch ewma_user_value
+# query — stream == batch == SQL, three engines on one recursion. All
+# files land in one AvailableNow batch and rows sort on (ts, event_id)
+# inside the fold, so delivery order equals event order.
+@query(
+    "stream_ewma_user_value",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, rn, CAST(value AS DOUBLE) AS e
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn,
+             0.4375 * CAST(b.value AS DOUBLE) + 0.5625 * r.e
+      FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, CAST(rn AS INT) AS rn,
+           round(e + 0.000000001, 6) AS ewma FROM r
+    """,
+)
+def stream_ewma_user_value_q(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..session import ensure_py_files
+    from ..streaming.smoothing import ewma_stream
+
+    ensure_py_files(spark)
+    static = _t(spark, sf_dir, "events")
+    # events.parquet is a single file: stream the parent DIRECTORY with a
+    # filename glob (the file source requires a directory basePath)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = ewma_stream(
+        stream, "user_id", "ts", "value", alpha=0.4375, tiebreak="event_id"
+    )
+    base = tempfile.mkdtemp(prefix="ewma_stream_q_")
+    qname = "sink_" + os.path.basename(base).replace("-", "_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise RuntimeError(f"stream_ewma query did not finish: {q.status}")
+    return spark.table(qname)
+
+
 # --- streaming ingestion dedup gate (streaming/dedup_gate.py) ---------------
 # The REAL Structured-Streaming gate (file source, foreachBatch, versioned
 # sketch state, stream checkpoint) run over two deterministic drops of the

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "cc_luhn_redact_customer",  # new this round: Luhn-validated redaction
     "degree_profile_copurchase",  # new this round: graph shape diagnostic
     "holt_trend_user_value",  # new this round: Holt level+trend smoothing
+    "stream_ewma_user_value",  # new this round: stateful streaming EWMA
     "fs_em_linkage",
     "fs_em_linkage_tf",
     "fs_linkage_clusters",
