@@ -252,9 +252,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "kaplan_meier_user_lifetimes",
         "quality_threshold_sweep",
         # round-4 operators: real PPM/WAV codec decode, cell-cogrouped
-        # corpus-scale self-kNN
+        # corpus-scale self-kNN, recursive smoothers (batch + streaming),
+        # Luhn-validated redaction, graph degree profile
         "multimodal_real_decode",
         "self_knn_embeddings",
+        "ewma_user_value",
+        "holt_trend_user_value",
+        "stream_ewma_user_value",
+        "cc_luhn_redact_customer",
+        "degree_profile_copurchase",
     ]:
         if name not in SPARK_QUERIES:
             continue
