@@ -826,6 +826,41 @@ def cohort_retention_weekly(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"), bucket="week")
 
 
+# --- weekly seasonality profile ----------------------------------------------
+# Two-aggregate decomposition; isodow-1 == Spark weekday() (0=Mon..6=Sun).
+# Means/indices carry the 1e-9 tie-break epsilon before round(6) (the
+# recursive-smoother convention) because 2-decimal values DO produce
+# exact .5-boundary means.
+@query(
+    "weekly_profile_events",
+    """
+    WITH base AS (
+      SELECT event_type, isodow(ts) - 1 AS weekday, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    dow AS (
+      SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS n_events,
+             sum(v) AS s
+      FROM base GROUP BY 1, 2),
+    o AS (
+      SELECT event_type, count(*) AS tn, sum(v) AS ts_
+      FROM base GROUP BY 1)
+    SELECT dow.event_type, CAST(weekday AS INT) AS weekday, n_events,
+           round(s / n_events + 0.000000001, 6) AS mean_value,
+           CASE WHEN ts_ / tn != 0
+                THEN round((s / n_events) / (ts_ / tn) + 0.000000001, 6)
+           END AS seasonal_index
+    FROM dow JOIN o USING (event_type)
+    """,
+)
+def weekly_profile_events(spark, sf_dir):
+    """Weekly profile (operators/timeseries.weekly_profile) by event type."""
+    from ..operators.timeseries import weekly_profile
+
+    return weekly_profile(
+        _t(spark, sf_dir, "events"), "ts", "value", by=["event_type"]
+    )
+
+
 # --- Holt double-exponential smoothing per user ------------------------------
 # Level+trend recursion replicated by a recursive CTE carrying both
 # accumulators; same IEEE-literal injection discipline as the EWMA oracle.

@@ -659,6 +659,67 @@ def multimodal_fake_features(spark, sf_dir):
     )
 
 
+# Encoding-damage triage (functions/text.py encoding_damage_cols): U+FFFD
+# replacement chars, C0 controls (minus tab/newline/CR), and the two
+# classic mojibake artifact families, counted by JVM regexps. Damage is
+# INJECTED deterministically from doc_id (both engines append identical
+# codepoints), so every counter and the ratio are value-checked against
+# known-positive rows, not just an all-zeros corpus.
+@query(
+    "encoding_damage_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE doc_id % 5
+               WHEN 0 THEN ' caf' || chr(195) || chr(169) || ' '
+                            || chr(226) || chr(8364) || chr(8482) || ' '
+               WHEN 1 THEN chr(65533) || chr(65533)
+               WHEN 2 THEN chr(7) || 'x' || chr(1)
+               ELSE '' END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, chr(65533))) AS n_replacement,
+        len(regexp_extract_all(text,
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control,
+        len(regexp_extract_all(text,
+            chr(195) || '[' || chr(128) || '-' || chr(255) || ']|'
+              || chr(226) || chr(8364) || '.')) AS n_mojibake,
+        length(text) AS L
+      FROM t)
+    SELECT doc_id, CAST(n_replacement AS INT) AS n_replacement,
+           CAST(n_control AS INT) AS n_control,
+           CAST(n_mojibake AS INT) AS n_mojibake,
+           CASE WHEN L > 0 THEN round(
+             (n_replacement + n_control + n_mojibake) * 1.0 / L, 6)
+           ELSE 0.0 END AS damage_ratio
+    FROM m
+    """,
+)
+def encoding_damage_documents(spark, sf_dir):
+    """JVM-regexp encoding-damage profile over deterministically damaged
+    document text."""
+    from ..functions.text import encoding_damage_cols
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit(" caf\u00c3\u00a9 \u00e2\u20ac\u2122 "))
+        .when(F.pmod("doc_id", F.lit(5)) == 1, F.lit("\ufffd\ufffd"))
+        .when(F.pmod("doc_id", F.lit(5)) == 2, F.lit("\x07x\x01"))
+        .otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", injected.alias("text"))
+    cols = encoding_damage_cols(F.col("text"))
+    return base.select(
+        "doc_id",
+        cols["n_replacement"].alias("n_replacement"),
+        cols["n_control"].alias("n_control"),
+        cols["n_mojibake"].alias("n_mojibake"),
+        cols["damage_ratio"].alias("damage_ratio"),
+    )
+
+
 # Luhn-VALIDATED credit-card redaction (functions/text.py cc_redact_cols):
 # candidate digit runs come from one regexp pass; only runs whose
 # separator-stripped form is 13-19 digits AND passes the Luhn mod-10

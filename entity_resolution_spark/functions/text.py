@@ -258,6 +258,41 @@ def cc_redact_cols(c: Column) -> dict[str, Column]:
     }
 
 
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_MOJIBAKE_RE = "\u00c3[\u0080-\u00ff]|\u00e2\u20ac."  # Ã+continuation | â€+any (cp1252 artifact family)
+
+
+def encoding_damage_cols(c: Column) -> dict[str, Column]:
+    """Encoding-damage profile for a text column — the crawl-ingest
+    triage every corpus pipeline runs before quality scoring:
+
+    * ``n_replacement`` — U+FFFD replacement characters (a decoder
+      already gave up on those bytes);
+    * ``n_control`` — C0 control characters excluding tab/newline/CR
+      (binary-in-text / charset confusion);
+    * ``n_mojibake`` — classic UTF-8-read-as-Latin-1 artifacts
+      (``Ã`` + continuation-range letter, ``â€`` punctuation family:
+      the bytes of é/’/“ re-decoded wrongly);
+    * ``damage_ratio`` — their sum over the character length, round-6.
+
+    All JVM regexp counts (patterns restricted to syntax with identical
+    Java-regex/RE2 semantics); one projection, no Python.
+    """
+    n_rep = F.size(F.regexp_extract_all(c, F.lit("\ufffd"), 0))
+    n_ctl = F.size(F.regexp_extract_all(c, F.lit(_CONTROL_RE), 0))
+    n_moj = F.size(F.regexp_extract_all(c, F.lit(_MOJIBAKE_RE), 0))
+    length = F.length(c)
+    total = (n_rep + n_ctl + n_moj).cast("double")
+    return {
+        "n_replacement": n_rep,
+        "n_control": n_ctl,
+        "n_mojibake": n_moj,
+        "damage_ratio": F.when(
+            length > 0, F.round(total / length, 6)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting (winnowed rolling hash)
 # ---------------------------------------------------------------------------

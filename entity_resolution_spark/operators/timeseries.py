@@ -507,3 +507,52 @@ def holt_linear(
             F.round(F.col("trend") + F.lit(1e-9), 6).alias("trend"),
         )
     )
+
+
+def weekly_profile(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Weekly seasonality profile: per (by..., weekday 0=Mon..6=Sun) —
+    (n_events, mean_value, seasonal_index) with the index = weekday mean /
+    overall mean (1.0 = no weekly effect). The first decomposition a
+    traffic/quality dashboard applies before trend analysis (`ewma` /
+    `holt_linear` handle the trend; this is the periodic component).
+
+    Two hash aggregates (weekday census + per-group overall) joined on
+    the group key — group-census-sized frames, one scan, all JVM.
+    Means/indices use the engine's tie-break-then-round convention (see
+    ewma_running) so an external replica agrees at .5 boundaries, which
+    2-decimal inputs DO hit.
+    """
+    by = list(by)
+    base = df.where(F.col(value).isNotNull()).select(
+        *by,
+        F.weekday(F.col(ts)).alias("weekday"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    dow = base.groupBy(*by, "weekday").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("__v").alias("__s")
+    )
+    overall = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__tn"), F.sum("__v").alias("__ts")
+    )
+    joined = (
+        dow.join(overall.hint("shuffle_hash"), by)
+        if by
+        else dow.crossJoin(F.broadcast(overall))
+    )
+    mean = F.col("__s") / F.col("n_events")
+    omean = F.col("__ts") / F.col("__tn")
+    eps = F.lit(1e-9)
+    return joined.select(
+        *by,
+        "weekday",
+        "n_events",
+        F.round(mean + eps, 6).alias("mean_value"),
+        F.when(omean != 0, F.round(mean / omean + eps, 6)).alias(
+            "seasonal_index"
+        ),
+    )

@@ -73,6 +73,8 @@ _DRIVER_PRIORITY = [
     "degree_profile_copurchase",  # new this round: graph shape diagnostic
     "holt_trend_user_value",  # new this round: Holt level+trend smoothing
     "stream_ewma_user_value",  # new this round: stateful streaming EWMA
+    "weekly_profile_events",  # new this round: weekly seasonality profile
+    "encoding_damage_documents",  # new this round: mojibake/control triage
     "fs_em_linkage",
     "fs_em_linkage_tf",
     "fs_linkage_clusters",

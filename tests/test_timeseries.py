@@ -274,3 +274,75 @@ class TestHoltLinear:
             holt_linear(df, "k", "ts", "v", alpha=0.0)
         with pytest.raises(ValueError):
             holt_linear(df, "k", "ts", "v", gamma=1.5)
+
+
+class TestWeeklyProfile:
+    def test_hand_values(self, spark):
+        import datetime
+
+        from pyspark.sql import Row
+
+        from entity_resolution_spark.operators.timeseries import (
+            weekly_profile,
+        )
+
+        # Mon 2024-01-01, Tue 2024-01-02 .. values chosen for exact means
+        rows = [
+            Row(g="a", ts=datetime.datetime(2024, 1, 1, 10), v=10.0),  # Mon
+            Row(g="a", ts=datetime.datetime(2024, 1, 8, 10), v=20.0),  # Mon
+            Row(g="a", ts=datetime.datetime(2024, 1, 2, 10), v=30.0),  # Tue
+            Row(g="a", ts=datetime.datetime(2024, 1, 3, 10), v=None),  # drop
+        ]
+        out = {
+            r["weekday"]: r
+            for r in weekly_profile(
+                spark.createDataFrame(rows), "ts", "v", by=["g"]
+            ).collect()
+        }
+        assert set(out) == {0, 1}
+        assert out[0]["n_events"] == 2 and out[0]["mean_value"] == 15.0
+        assert out[1]["n_events"] == 1 and out[1]["mean_value"] == 30.0
+        # overall mean 20 -> indices 0.75 / 1.5
+        assert out[0]["seasonal_index"] == 0.75
+        assert out[1]["seasonal_index"] == 1.5
+
+
+class TestEncodingDamage:
+    def test_hand_cases(self, spark):
+        from entity_resolution_spark.functions.text import (
+            encoding_damage_cols,
+        )
+
+        rows = [
+            ("clean", "a perfectly fine sentence."),
+            ("moji", "cafÃ© quote â€™ here"),
+            ("rep", "bad �� bytes"),
+            ("ctl", "bell\x07 and soh\x01 but tab\t newline\n ok"),
+            ("empty", ""),
+        ]
+        df = spark.createDataFrame(rows, "id string, text string")
+        cols = encoding_damage_cols(F.col("text"))
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id", *[v.alias(k) for k, v in cols.items()]
+            ).collect()
+        }
+        assert out["clean"]["damage_ratio"] == 0.0
+        assert out["moji"]["n_mojibake"] == 2
+        assert out["rep"]["n_replacement"] == 2
+        assert out["ctl"]["n_control"] == 2  # tab/newline NOT counted
+        assert out["empty"]["damage_ratio"] == 0.0
+
+    def test_plan_is_pure_jvm(self, spark):
+        from entity_resolution_spark.functions.text import (
+            encoding_damage_cols,
+        )
+
+        df = spark.createDataFrame([("x", "t")], "id string, text string")
+        cols = encoding_damage_cols(F.col("text"))
+        plan = (
+            df.select("id", *[v.alias(k) for k, v in cols.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
