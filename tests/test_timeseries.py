@@ -346,3 +346,38 @@ class TestEncodingDamage:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_round4_ops_empty_inputs(spark):
+    """Empty frames flow through every new round-4 operator without
+    crashing and produce empty (not malformed) results."""
+    import numpy as np
+
+    from entity_resolution_spark.functions.text import (
+        cc_redact_cols,
+        encoding_damage_cols,
+    )
+    from entity_resolution_spark.operators.graphmetrics import degree_profile
+    from entity_resolution_spark.operators.timeseries import (
+        ewma_running,
+        holt_linear,
+        weekly_profile,
+    )
+    from entity_resolution_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    ev = spark.createDataFrame(
+        [], "k string, ts timestamp, eid long, v double"
+    )
+    assert ewma_running(ev, "k", "ts", "v", tiebreak="eid").count() == 0
+    assert holt_linear(ev, "k", "ts", "v", tiebreak="eid").count() == 0
+    assert weekly_profile(ev, "ts", "v", by=["k"]).count() == 0
+    edges = spark.createDataFrame([], "left_id string, right_id string")
+    assert degree_profile(edges).count() == 0
+    txt = spark.createDataFrame([], "id string, text string")
+    for colsfn in (cc_redact_cols, encoding_damage_cols):
+        cols = colsfn(F.col("text"))
+        assert (
+            txt.select("id", *[v.alias(k) for k, v in cols.items()]).count()
+            == 0
+        )
