@@ -54,71 +54,31 @@ from .contract import (  # noqa: E402,F401
 # full registry), so the re-rank only changes driver-visibility, not
 # coverage.
 #
-# ROUND-4 ROTATION: the r1+r2+r3 union covers 111 of 229 queries; 118 have
-# never received a driver row. The ~50-slot window this round goes to
-# (a) the flagship default-config `pipeline_clusters` (its full value-hash
-# oracle has never driver-run; only an early rows-only row exists) and the
-# north_rule resumability gate `pipeline_resume_equivalence`, then
-# (b) the probabilistic-linkage / set-similarity-join suite,
-# (c) the dedup/curation/embedding block, and (d) warehouse maintenance.
-# The remaining never-verified names follow in registration order for the
-# round-5 window; all previously driver-green queries sit at the tail.
+# ROUND-5 ROTATION: the r1+r2+r3+r4 union covers 159 of 238 queries
+# driver-green; 79 have never received a green driver row. All 159
+# ever-green names move to the tail; the head is exactly the 79
+# never-verified in registration order, with lang_id_heuristic (the only
+# query whose sole driver record is an r1 `no_oracle` error, fixed since)
+# promoted into the first 10. After the ~50-slot round-5 window the
+# residual never-verified set for the round-6 head is exactly these 29
+# (in this order):
+#   encode_documents_ids, pack_token_ids_stream, bigram_lm_perplexity
+#   bpe_top_merges, source_overlap_matrix, nb_lang_predictions
+#   token_entropy_stats, ngram_novelty_scores, similarity_graph_triangles
+#   k_anonymity_customer, k_anonymity_summary_customer, iqr_outlier_orders
+#   pagerank_similarity_graph, heavy_hitters_per_window, hybrid_rrf_search
+#   pmi_collocations_top, funnel_view_click_purchase, hits_similarity_graph
+#   cohort_retention_weekly, k_core_similarity_graph, resample_user_events_daily
+#   markov_event_transitions, ab_test_events_value, association_rules_lineitem
+#   activity_streaks_users, ols_trend_value_by_type, chi2_lang_source_documents
+#   bfs_labels_similarity_graph, weighted_median_lineitem
 _DRIVER_PRIORITY = [
-    "pipeline_clusters",
-    "pipeline_resume_equivalence",
-    "multimodal_real_decode",  # new this round: real PPM/WAV codec path
-    "self_knn_embeddings",  # new this round: cell-cogrouped self-kNN
-    "ewma_user_value",  # new this round: running EWMA (recursive-CTE oracle)
-    "cc_luhn_redact_customer",  # new this round: Luhn-validated redaction
-    "degree_profile_copurchase",  # new this round: graph shape diagnostic
-    "holt_trend_user_value",  # new this round: Holt level+trend smoothing
-    "stream_ewma_user_value",  # new this round: stateful streaming EWMA
-    "weekly_profile_events",  # new this round: weekly seasonality profile
-    "encoding_damage_documents",  # new this round: mojibake/control triage
-    "fs_em_linkage",
-    "fs_em_linkage_tf",
-    "fs_linkage_clusters",
-    "fs_review_queue",
-    "fs_cluster_audit",
-    "fs_explain_weights",
-    "fs_pr_curve_report",
-    "one_to_one_matches",
-    "survivorship_golden_records",
-    "snm_candidate_pairs",
-    "metablocking_wnp_edges",
-    "ppjoin_token_jaccard",
-    "edit_distance_join_names",
-    "monge_elkan_part_names",
-    "soft_tfidf_part_names",
-    "tfidf_cosine_join_docs",
-    "canopy_blocking_docs",
-    "phonetic_soundex_keys",
-    "bcubed_nmi_ari_metrics",
-    "dedup_remove_spans",
-    "doc_line_dedup",
-    "c4_page_filter",
-    "boilerplate_segment_removal",
-    "cross_corpus_neardup",
-    "dedup_containment",
-    "semantic_dedup_embeddings",
-    "dedup_cluster_size_histogram",
-    "knn_join_topk_string_ids",
-    "quantize_embeddings_int8",
-    "sim_search_quantized_topk",
-    "chunk_documents_sliding",
-    "leakage_safe_split",
-    "dsir_importance_sample",
-    "cdc_apply_user_state",
-    "ivm_event_type_totals",
-    "cube_lineitem_revenue",
-    "compaction_plan_documents",
-    "zorder_layout_events",
-    "scd2_user_event_history",
     "skipping_report_events",
     "join_size_estimate_events",
     "range_boundaries_lineitem",
     "schema_drift_events_halves",
     "expectations_orders_report",
+    "lang_id_heuristic",
     "key_skew_events_user",
     "key_skew_summary_events",
     "shuffle_shards_layout",
@@ -192,6 +152,56 @@ _DRIVER_PRIORITY = [
     "chi2_lang_source_documents",
     "bfs_labels_similarity_graph",
     "weighted_median_lineitem",
+    "pipeline_clusters",
+    "pipeline_resume_equivalence",
+    "multimodal_real_decode",
+    "self_knn_embeddings",
+    "ewma_user_value",
+    "cc_luhn_redact_customer",
+    "degree_profile_copurchase",
+    "holt_trend_user_value",
+    "stream_ewma_user_value",
+    "weekly_profile_events",
+    "encoding_damage_documents",
+    "fs_em_linkage",
+    "fs_em_linkage_tf",
+    "fs_linkage_clusters",
+    "fs_review_queue",
+    "fs_cluster_audit",
+    "fs_explain_weights",
+    "fs_pr_curve_report",
+    "one_to_one_matches",
+    "survivorship_golden_records",
+    "snm_candidate_pairs",
+    "metablocking_wnp_edges",
+    "ppjoin_token_jaccard",
+    "edit_distance_join_names",
+    "monge_elkan_part_names",
+    "soft_tfidf_part_names",
+    "tfidf_cosine_join_docs",
+    "canopy_blocking_docs",
+    "phonetic_soundex_keys",
+    "bcubed_nmi_ari_metrics",
+    "dedup_remove_spans",
+    "doc_line_dedup",
+    "c4_page_filter",
+    "boilerplate_segment_removal",
+    "cross_corpus_neardup",
+    "dedup_containment",
+    "semantic_dedup_embeddings",
+    "dedup_cluster_size_histogram",
+    "knn_join_topk_string_ids",
+    "quantize_embeddings_int8",
+    "sim_search_quantized_topk",
+    "chunk_documents_sliding",
+    "leakage_safe_split",
+    "dsir_importance_sample",
+    "cdc_apply_user_state",
+    "ivm_event_type_totals",
+    "cube_lineitem_revenue",
+    "compaction_plan_documents",
+    "zorder_layout_events",
+    "scd2_user_event_history",
     "doc_repetition_stats",
     "redact_customer_pii",
     "tfidf_top_terms",
@@ -245,7 +255,6 @@ _DRIVER_PRIORITY = [
     "knn_join_topk",
     "ivf_knn_join_full_probe",
     "dedup_embedding_cosine",
-    "lang_id_heuristic",
     "text_quality_score",
     "token_count_bpe",
     "w1_topk_per_group",
