@@ -89,9 +89,15 @@ class PipelineConfig:
     # 1-double-out Arrow round trip over EVERY pair collapses to a
     # census-sized kernel call (blocking groups candidates by shared
     # basename tokens, so distinct operand pairs are orders of magnitude
-    # fewer than pairs). Above the cap the inline per-pair Arrow path runs
-    # instead (no broadcast-size hazard on adversarial inputs).
-    jw_dedup_broadcast_max: int = 2_000_000
+    # fewer than pairs). Above either cap the inline per-pair Arrow path
+    # runs instead (no broadcast-size hazard on adversarial inputs). The
+    # byte cap is the real guard: an explicit F.broadcast ignores
+    # autoBroadcastJoinThreshold, and 2M long string pairs can be GBs, so
+    # the census aggregation also measures the summed operand length and
+    # the broadcast only happens when the ESTIMATED frame size (operand
+    # bytes + per-row overhead) fits. The row cap is a secondary fuse.
+    jw_dedup_broadcast_max: int = 500_000
+    jw_dedup_broadcast_max_bytes: int = 64 * 1024 * 1024
     # clustering
     cc_max_iterations: int = 50
     # checkpointing / resume

@@ -54,7 +54,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """
     WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)) + 1e-9, 6)
              AS cosine
     FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
     """,
@@ -77,7 +77,7 @@ def sim_search_topk(spark, sf_dir):
     """
     WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)) + 1e-9, 6)
              AS cosine
     FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
     """,
@@ -105,7 +105,7 @@ def sim_search_ivf_full_probe(spark, sf_dir):
     """
     WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)) + 1e-9, 6)
              AS cosine
     FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
     """,
@@ -307,7 +307,7 @@ def semantic_dedup_embeddings(spark, sf_dir):
           FROM s),
     q AS (SELECT codes FROM c WHERE vec_id = 0)
     SELECT vec_id,
-           round(list_cosine_similarity(codes, (SELECT codes FROM q)), 6) AS cosine
+           round(list_cosine_similarity(codes, (SELECT codes FROM q)) + 1e-9, 6) AS cosine
     FROM c ORDER BY cosine DESC, vec_id LIMIT 10
     """,
 )
@@ -785,7 +785,7 @@ _KNN_ORACLE = """
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY raw DESC, vec_id) AS rank
       FROM s)
-    SELECT query_id, vec_id, round(raw, 6) AS cosine, CAST(rank AS INT) AS rank
+    SELECT query_id, vec_id, round(raw + 1e-9, 6) AS cosine, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5
     """
 
@@ -823,7 +823,7 @@ _KNN_STR_ORACLE = """
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY raw DESC, sid) AS rank
       FROM s)
-    SELECT query_id, sid AS vec_id, round(raw, 6) AS cosine,
+    SELECT query_id, sid AS vec_id, round(raw + 1e-9, 6) AS cosine,
            CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5
     """
@@ -867,7 +867,7 @@ _SELF_KNN_ORACLE = """
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY raw DESC, vec_id) AS rank
       FROM s)
-    SELECT query_id, vec_id, round(raw, 6) AS cosine, CAST(rank AS INT) AS rank
+    SELECT query_id, vec_id, round(raw + 1e-9, 6) AS cosine, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 3
     """
 

@@ -148,8 +148,8 @@ def stratified_docs_sample(spark, sf_dir):
       SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
       FROM s
     )
-    SELECT vec_id, bench_id, round(cos, 6) AS max_cosine,
-           round(cos, 6) >= 0.9 AS contaminated
+    SELECT vec_id, bench_id, round(cos + 1e-9, 6) AS max_cosine,
+           round(cos + 1e-9, 6) >= 0.9 AS contaminated
     FROM w WHERE rn = 1
     """,
 )
@@ -221,7 +221,7 @@ def vocab_coverage_oov(spark, sf_dir):
       SELECT *, row_number() OVER (PARTITION BY qid, side ORDER BY cos DESC, vec_id) AS rn
       FROM s
     )
-    SELECT qid AS query_id, side, vec_id, round(cos, 6) AS cosine
+    SELECT qid AS query_id, side, vec_id, round(cos + 1e-9, 6) AS cosine
     FROM w WHERE rn = 1
     """,
 )

@@ -123,6 +123,6 @@ def contrastive_pairs(
             "query_id",
             "side",
             id_col,
-            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")) + F.lit(1e-9), 6).alias("cosine"),
         )
     )

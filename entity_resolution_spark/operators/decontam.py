@@ -182,9 +182,9 @@ def embedding_contamination(
         .select(
             id_col,
             bench_id_col,
-            F.round(_cosine_cols(F.col("__cv"), F.col("__bv")), 6).alias("max_cosine"),
+            F.round(_cosine_cols(F.col("__cv"), F.col("__bv")) + F.lit(1e-9), 6).alias("max_cosine"),
             (
-                F.round(_cosine_cols(F.col("__cv"), F.col("__bv")), 6)
+                F.round(_cosine_cols(F.col("__cv"), F.col("__bv")) + F.lit(1e-9), 6)
                 >= F.lit(float(threshold))
             ).alias("contaminated"),
         )

@@ -71,20 +71,26 @@ class ScoringContext:
             self._phase1.pop().unpersist()
 
 
-# default context for callers that invoke score_pairs without threading
-# their own (ad-hoc / single-pipeline sessions); the module-level helpers
-# below delegate to it for backward compatibility
-_DEFAULT_CTX = ScoringContext()
+_CTX_MIGRATION = (
+    "module-level scoring state is gone: pass a ScoringContext to "
+    "score_pairs(ctx=...) (or read the context score_pairs attaches to "
+    "its result as `.scoring_ctx`), and use ctx.p1_fill_seconds / "
+    "ctx.release_phase1(). resolve() exposes its context as "
+    "ResolutionResult.scoring_ctx."
+)
 
 
 def last_p1_fill_seconds() -> float:
-    return _DEFAULT_CTX.p1_fill_seconds
+    """Removed back-compat shim. The module-global default context made
+    this silently report 0.0 after any resolve() (which threads its own
+    context) and made release_phase1() release the wrong cache — fail
+    loudly instead of answering wrong."""
+    raise RuntimeError(_CTX_MIGRATION)
 
 
 def release_phase1() -> None:
-    """Release the DEFAULT context's phase-1 cache (back-compat shim;
-    pipelines that pass their own ScoringContext call its method)."""
-    _DEFAULT_CTX.release_phase1()
+    """Removed back-compat shim — see :func:`last_p1_fill_seconds`."""
+    raise RuntimeError(_CTX_MIGRATION)
 
 
 @pandas_udf(T.DoubleType())
@@ -118,7 +124,11 @@ def score_pairs(
     short-circuit).
     """
     cfg = cfg or PipelineConfig()
-    ctx = ctx if ctx is not None else _DEFAULT_CTX
+    # no module-global scoring state: callers that don't thread their own
+    # context get a fresh one, attached to the returned DataFrame as
+    # `.scoring_ctx` so they can still read p1_fill_seconds and release
+    # the phase-1 cache
+    ctx = ctx if ctx is not None else ScoringContext()
     # the phase-1 fill below executes the JW UDF at CALL time — workers
     # must be able to import this package even under a caller-built
     # vanilla session (idempotent; resolve() also calls it)
@@ -213,10 +223,26 @@ def score_pairs(
 
     _t0 = _time.time()
     base_pairs = slim.select("l_base", "r_base").distinct()
-    # this census count is the fill job for slim's cache too: the joins
-    # run once here, and every later read is a cache hit
-    n_distinct = base_pairs.count()
-    if n_distinct <= cfg.jw_dedup_broadcast_max:
+    # this census aggregate is the fill job for slim's cache too: the
+    # joins run once here, and every later read is a cache hit. It also
+    # measures the summed operand length so the broadcast decision is
+    # byte-aware: explicit F.broadcast bypasses autoBroadcastJoinThreshold,
+    # so a row count alone cannot prevent an oversized broadcast when the
+    # distinct operands are long strings.
+    census = base_pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.length("l_base") + F.length("r_base")), F.lit(0)
+        ).alias("chars"),
+    ).collect()[0]
+    n_distinct = census["n"]
+    # UTF-8 chars ~ bytes for path-like operands, plus ~48B/row of UnsafeRow
+    # + object overhead in the broadcast relation
+    est_bytes = int(census["chars"]) + 48 * n_distinct
+    if (
+        n_distinct <= cfg.jw_dedup_broadcast_max
+        and est_bytes <= cfg.jw_dedup_broadcast_max_bytes
+    ):
         jw_map = base_pairs.withColumn("path_jw", jw)
         with_jw = slim.join(F.broadcast(jw_map), ["l_base", "r_base"])
     else:
@@ -362,7 +388,9 @@ def score_pairs(
         )
         .select(*_OUT_COLS)
     )
-    return rejected.unionByName(scored2)
+    out = rejected.unionByName(scored2)
+    out.scoring_ctx = ctx
+    return out
 
 
 def matched_edges(scored: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:

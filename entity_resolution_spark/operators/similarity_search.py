@@ -42,7 +42,7 @@ def brute_force_topk(
     """Exact cosine top-k: (vec_id, cosine) sorted desc, deterministic
     tiebreak on id."""
     return (
-        emb.select(F.col(id_col), F.round(_cosine_expr(vec_col, query), 6).alias("cosine"))
+        emb.select(F.col(id_col), F.round(_cosine_expr(vec_col, query) + F.lit(1e-9), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -163,7 +163,7 @@ def ivf_topk(
     probe = [int(c) for c in d.argsort()[:n_probe]]
     return (
         emb_with_cells.filter(F.col("cell").isin(probe))
-        .select(F.col(id_col), F.round(_cosine_expr(vec_col, list(query)), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(_cosine_expr(vec_col, list(query)) + F.lit(1e-9), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -336,7 +336,7 @@ def knn_join(
         .select(
             "query_id",
             id_col,
-            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")) + F.lit(1e-9), 6).alias("cosine"),
             "rank",
         )
     )
@@ -405,7 +405,7 @@ def ivf_knn_join(
         .select(
             "query_id",
             id_col,
-            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")) + F.lit(1e-9), 6).alias("cosine"),
         )
     )
     from pyspark.sql import Window
@@ -450,6 +450,14 @@ def ivf_knn_join_big(
     ``exclude_self`` drops hits where the corpus id equals the query id
     (the self-kNN convention). n_probe == n_cells degenerates to exact
     brute-force output (pinned by the contract oracle).
+
+    Ordering note: ``rank`` is assigned from the Python-side pre-normalized
+    dot product (`approx`), while the emitted ``cosine`` is the exact JVM
+    zip_with/aggregate recomputation — a different float operation order.
+    At an exact float near-tie the two can order differently; the emitted
+    cosine therefore carries the package-wide `round(x + 1e-9, 6)`
+    tie-break convention (mirrored in the DuckDB oracles) so a .5-ULP
+    rounding boundary cannot flip a digit between engines.
     """
     spark = corpus_with_cells.sparkSession
     cent = centroids.copy()
@@ -551,7 +559,7 @@ def ivf_knn_join_big(
         .select(
             "query_id",
             id_col,
-            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")), 6).alias(
+            F.round(_cosine_cols(F.col("__qv"), F.col("__cv")) + F.lit(1e-9), 6).alias(
                 "cosine"
             ),
             "rank",

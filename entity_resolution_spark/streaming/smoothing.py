@@ -37,7 +37,7 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_fn(alpha: float, order_cols: list[str]):
+def _make_fn(alpha: float, order_cols: list[str], state_ttl_ms: int | None):
     beta = 1.0 - alpha
 
     def fn(
@@ -60,6 +60,11 @@ def _make_fn(alpha: float, order_cols: list[str]):
                 out_rn.append(rn)
                 out_e.append(e)
         state.update((rn, e))
+        if state_ttl_ms is not None:
+            # ProcessingTimeTimeout only arms per-key when a duration is
+            # registered after each update; without this call the TTL knob
+            # is a silent no-op and idle-key state never expires.
+            state.setTimeoutDuration(state_ttl_ms)
         if out_k:
             yield pd.DataFrame(
                 {"__k": out_k, "rn": out_rn, "__e_raw": out_e}
@@ -101,7 +106,7 @@ def ewma_stream(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     folded = src.groupBy("__k").applyInPandasWithState(
-        _make_fn(float(alpha), order),
+        _make_fn(float(alpha), order, state_ttl_ms),
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

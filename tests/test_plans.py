@@ -172,6 +172,38 @@ def test_line_dedup_stays_whole_stage_codegen(spark):
     assert "(3) Project" in plan and "(4)" not in plan
 
 
+def test_no_module_global_scoring_state(spark):
+    """The _DEFAULT_CTX shim is retired: the module-level helpers raise
+    (they silently reported 0.0 / released the wrong cache once resolve()
+    threaded per-call contexts), score_pairs without an explicit ctx
+    builds a fresh one per call and attaches it to the result."""
+    import pytest
+
+    from entity_resolution_spark.operators import scoring
+    from entity_resolution_spark.datagen import generate_repo_files
+    from entity_resolution_spark.operators.blocking import (
+        exploded_blocks,
+        with_block_keys,
+        with_features,
+    )
+    from entity_resolution_spark.operators.candidates import candidate_pairs
+
+    assert not hasattr(scoring, "_DEFAULT_CTX")
+    with pytest.raises(RuntimeError, match="ScoringContext"):
+        scoring.last_p1_fill_seconds()
+    with pytest.raises(RuntimeError, match="ScoringContext"):
+        scoring.release_phase1()
+
+    feats = with_features(generate_repo_files(spark, 40))
+    pairs = candidate_pairs(exploded_blocks(with_block_keys(feats)))
+    s1 = scoring.score_pairs(pairs, feats)
+    s2 = scoring.score_pairs(pairs, feats)
+    assert s1.scoring_ctx is not s2.scoring_ctx
+    assert s1.scoring_ctx.p1_fill_seconds > 0.0
+    s1.scoring_ctx.release_phase1()
+    s2.scoring_ctx.release_phase1()
+
+
 def test_interleaved_resolves_report_independent_scoring_state(spark):
     """Each resolve() call carries its OWN ScoringContext: a later call
     must not overwrite an earlier result's phase-1 fill timing or release
