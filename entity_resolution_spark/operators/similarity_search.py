@@ -243,10 +243,23 @@ def knn_join(
     vec_col: str = "embedding",
     qvec_col: str = "embedding",
     n_buckets: int | None = None,
+    big_query_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Table-vs-table kNN: for every query row, the k nearest corpus rows
     by cosine — (query_id, doc_id, cosine, rank), round-6, ties broken by
     doc_id asc.
+
+    Dispatch: this shape replicates the query side |Q| x n_buckets and
+    broadcasts the |Q| x k winner frame for the exact re-score — right for
+    eval sets and batched lookups, a replication/broadcast wall for a
+    corpus-sized query table. When the measured query count exceeds
+    ``big_query_threshold`` the call routes to :func:`ivf_knn_join_big`
+    at FULL probe (exact by construction — every cell is scored), whose
+    cell-cogrouped plan replicates queries only n_cells ways (independent
+    of cluster parallelism) and broadcasts NOTHING. Pass
+    ``big_query_threshold=0`` to force the corpus-scale path, or ``None``
+    to pin the replicated path (e.g. when the caller knows |Q| is tiny and
+    wants to skip the count job).
 
     Scale shape — fully distributed, nothing collects to the driver: the
     corpus is bucketed once on a uniform synthetic key (xxhash64 of the id,
@@ -267,6 +280,26 @@ def knn_join(
     brute-force/oracle path (BLAS summation order differs in ulps).
     """
     spark = corpus.sparkSession
+    if big_query_threshold is not None and queries.count() > big_query_threshold:
+        # corpus-scale query side: exact full-probe cell-cogrouped join.
+        # n_cells stays modest and parallelism-independent — replication
+        # is |Q| x n_cells instead of |Q| x (4 x defaultParallelism).
+        n_cells = 16
+        cents = train_centroids(
+            corpus.select(F.col(vec_col)), n_cells=n_cells, vec_col=vec_col
+        )
+        with_cells = assign_cells(corpus, cents, vec_col=vec_col)
+        return ivf_knn_join_big(
+            queries,
+            with_cells,
+            cents,
+            k=k,
+            n_probe=len(cents),
+            query_id=query_id,
+            id_col=id_col,
+            vec_col=vec_col,
+            qvec_col=qvec_col,
+        )
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism * 4
     # output id types follow the INPUT schemas — string/int ids work alike

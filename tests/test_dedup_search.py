@@ -283,6 +283,33 @@ def test_knn_join_matches_brute_force_per_query(spark):
         assert sorted(by_query[qrow.query_id]) == want, qrow.query_id
 
 
+def test_knn_join_auto_dispatches_big_query_side(spark):
+    """knn_join routes to the cell-cogrouped corpus-scale join when the
+    query table exceeds big_query_threshold: identical exact output (full
+    probe), and the dispatched plan broadcasts NOTHING — no caller can hit
+    the |Q| x n_buckets replication / |Q| x k winner-broadcast wall by
+    accident."""
+    from entity_resolution_spark.operators.similarity_search import knn_join
+    from entity_resolution_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    small = knn_join(q, emb, k=4, id_col="vec_id")  # under threshold
+    big = knn_join(q, emb, k=4, id_col="vec_id", big_query_threshold=0)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+    # threshold=None pins the replicated path (no count job, no dispatch)
+    pinned = knn_join(q, emb, k=4, id_col="vec_id", big_query_threshold=None)
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, big.collect()))
+
+
 def test_ivf_knn_join_full_probe_equals_brute(spark):
     """ivf_knn_join at n_probe == n_cells must return exactly the
     brute-force knn_join rows (same set, cosine, rank); at n_probe < cells
