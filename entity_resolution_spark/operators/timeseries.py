@@ -398,11 +398,22 @@ def ewma_running(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
         x = pdf["__x"].to_numpy(dtype="float64")
-        e = np.empty_like(x)
-        acc = 0.0
-        for i in range(len(x)):
-            acc = x[i] if i == 0 else alpha * x[i] + beta * acc
-            e[i] = acc
+        # one C call per key when the toolchain exists (bit-identical by
+        # construction: same expression tree, -ffp-contract=off — parity
+        # asserted in tests); Python loop otherwise. The recursion itself
+        # stays O(events) per key — that is the semantics — but no longer
+        # pays a Python bytecode dispatch per element.
+        from ..functions._smooth_native import ewma_native
+
+        native = ewma_native(x, alpha, beta)
+        if native is not None:
+            e = native[0]
+        else:
+            e = np.empty_like(x)
+            acc = 0.0
+            for i in range(len(x)):
+                acc = x[i] if i == 0 else alpha * x[i] + beta * acc
+                e[i] = acc
         return pd.DataFrame(
             {
                 "__k": pdf["__k"].to_numpy(),
@@ -476,16 +487,24 @@ def holt_linear(
         pdf = pdf.sort_values(order, kind="mergesort")
         x = pdf["__x"].to_numpy(dtype="float64")
         n = len(x)
-        ls = np.empty(n)
-        bs = np.empty(n)
-        l = x[0]
-        b = (x[1] - x[0]) if n > 1 else 0.0
-        ls[0], bs[0] = l, b
-        for t in range(1, n):
-            l_prev = l
-            l = alpha * x[t] + ca * (l + b)
-            b = gamma * (l - l_prev) + cb * b
-            ls[t], bs[t] = l, b
+        # native kernel first (same contract as ewma_running's: identical
+        # expression trees, no FP contraction, per-element parity tested)
+        from ..functions._smooth_native import holt_native
+
+        native = holt_native(x, alpha, ca, gamma, cb)
+        if native is not None:
+            ls, bs = native
+        else:
+            ls = np.empty(n)
+            bs = np.empty(n)
+            l = x[0]
+            b = (x[1] - x[0]) if n > 1 else 0.0
+            ls[0], bs[0] = l, b
+            for t in range(1, n):
+                l_prev = l
+                l = alpha * x[t] + ca * (l + b)
+                b = gamma * (l - l_prev) + cb * b
+                ls[t], bs[t] = l, b
         return pd.DataFrame(
             {
                 "__k": pdf["__k"].to_numpy(),

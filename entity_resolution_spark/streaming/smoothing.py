@@ -53,12 +53,26 @@ def _make_fn(alpha: float, order_cols: list[str], state_ttl_ms: int | None):
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(order_cols, kind="mergesort")
-            for x in pdf["__x"].to_numpy(dtype="float64"):
-                e = x if rn == 0 else alpha * x + beta * e
-                rn += 1
-                out_k.append(k)
-                out_rn.append(rn)
-                out_e.append(e)
+            xs = pdf["__x"].to_numpy(dtype="float64")
+            # resumable native kernel (one C call per batch, continuing
+            # from the carried (rn, e) state — bit-identical to the
+            # Python loop; see functions/_smooth_native.py)
+            from ..functions._smooth_native import ewma_native
+
+            native = ewma_native(xs, alpha, beta, rn0=rn, e0=e)
+            if native is not None:
+                es, e = native
+                out_k += [k] * len(xs)
+                out_rn += list(range(rn + 1, rn + len(xs) + 1))
+                out_e += list(es)
+                rn += len(xs)
+            else:
+                for x in xs:
+                    e = x if rn == 0 else alpha * x + beta * e
+                    rn += 1
+                    out_k.append(k)
+                    out_rn.append(rn)
+                    out_e.append(e)
         state.update((rn, e))
         if state_ttl_ms is not None:
             # ProcessingTimeTimeout only arms per-key when a duration is

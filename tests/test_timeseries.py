@@ -348,6 +348,111 @@ class TestEncodingDamage:
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_smooth_native_bit_parity():
+    """The C smoothing kernels must be BIT-identical to the pinned Python
+    recursions (same expression trees, -ffp-contract=off): the DuckDB
+    recursive-CTE oracles replicate the Python order, so any ulp drift in
+    the native path would surface as an oracle hash flake. Same
+    toolchain-availability contract as the LCS kernel: a host WITH cc must
+    build it or fail loudly."""
+    import random
+
+    import numpy as np
+
+    from entity_resolution_spark.functions._smooth_native import (
+        ewma_native,
+        get_lib,
+        holt_native,
+    )
+
+    if get_lib() is None:
+        import os
+        import shutil
+
+        import pytest
+
+        cc = shutil.which(os.environ.get("CC", "cc"))
+        assert cc is None, (
+            f"C toolchain present at {cc} but the native smoothing kernel "
+            "failed to build — get_lib() returned None"
+        )
+        pytest.skip("no C toolchain — pure-Python path is the only path")
+
+    rng = np.random.RandomState(99)
+    random.seed(99)
+    cases = [
+        np.array([], dtype="float64"),
+        np.array([3.25]),
+        np.array([0.01 * i for i in range(1, 2000)]),  # 2-decimal boundary bait
+        rng.standard_normal(5000) * 1e6,
+        rng.standard_normal(257) * 1e-300,  # subnormal-adjacent magnitudes
+    ]
+    for alpha, gamma in ((0.4375, 0.3), (0.3, 0.0), (1.0, 1.0), (0.123, 0.456)):
+        beta, ca, cb = 1.0 - alpha, 1.0 - alpha, 1.0 - gamma
+        for x in cases:
+            got, final = ewma_native(x, alpha, beta)
+            e_acc, want = 0.0, np.empty_like(x)
+            for i in range(len(x)):
+                e_acc = x[i] if i == 0 else alpha * x[i] + beta * e_acc
+                want[i] = e_acc
+            assert got.tobytes() == want.tobytes(), (alpha, len(x))
+            if len(x):
+                assert final == e_acc
+
+            # resume parity: splitting the fold at any point continues
+            # bit-identically (the streaming path's contract)
+            if len(x) > 3:
+                cut = len(x) // 3
+                h1, f1 = ewma_native(x[:cut], alpha, beta)
+                h2, _ = ewma_native(x[cut:], alpha, beta, rn0=cut, e0=f1)
+                assert np.concatenate([h1, h2]).tobytes() == want.tobytes()
+
+            lv, tr = holt_native(x, alpha, ca, gamma, cb)
+            n = len(x)
+            wl, wt = np.empty(n), np.empty(n)
+            if n:
+                l = x[0]
+                b = (x[1] - x[0]) if n > 1 else 0.0
+                wl[0], wt[0] = l, b
+                for t in range(1, n):
+                    l_prev = l
+                    l = alpha * x[t] + ca * (l + b)
+                    b = gamma * (l - l_prev) + cb * b
+                    wl[t], wt[t] = l, b
+            assert lv.tobytes() == wl.tobytes() and tr.tobytes() == wt.tobytes()
+
+
+def test_smooth_native_microbench():
+    """The Arrow group pass must no longer pay a Python dispatch per
+    element: the C kernel on a 1M-element key must beat the Python loop
+    by a wide margin (conservative 5x gate; measured ~100x)."""
+    import time
+
+    import numpy as np
+    import pytest
+
+    from entity_resolution_spark.functions._smooth_native import (
+        ewma_native,
+        get_lib,
+    )
+
+    if get_lib() is None:
+        pytest.skip("no C toolchain")
+    x = np.random.RandomState(1).standard_normal(1_000_000)
+    alpha, beta = 0.4375, 0.5625
+    t0 = time.perf_counter()
+    ewma_native(x, alpha, beta)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    acc = 0.0
+    e = np.empty_like(x)
+    for i in range(len(x)):
+        acc = x[i] if i == 0 else alpha * x[i] + beta * acc
+        e[i] = acc
+    t_python = time.perf_counter() - t0
+    assert t_native * 5 < t_python, (t_native, t_python)
+
+
 def test_round4_ops_empty_inputs(spark):
     """Empty frames flow through every new round-4 operator without
     crashing and produce empty (not malformed) results."""
