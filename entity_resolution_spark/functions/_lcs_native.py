@@ -181,6 +181,68 @@ void jw_batch(const uint32_t *a_arena, const uint32_t *b_arena,
     free(aflag); free(bflag);
 }
 
+/* Myers O(ND) greedy diagonal search (Myers 1986, "An O(ND) Difference
+   Algorithm"): returns the exact indel distance d(a,b) when it is <= dmax,
+   else -1. V is scratch of at least 2*dmax+3 int64, indexed at offset
+   dmax+1 by diagonal k = x - y. Expected cost O(n+m+d^2) on similar
+   strings — the banded-search prescription: a capped search that is EXACT
+   whenever the true distance fits the cap. */
+static int64_t myers_d(const uint32_t *a, int64_t n,
+                       const uint32_t *b, int64_t m,
+                       int64_t dmax, int64_t *V) {
+    int64_t full = n + m;
+    if (dmax > full) dmax = full;
+    int64_t off = dmax + 1;
+    V[off + 1] = 0;
+    for (int64_t d = 0; d <= dmax; d++) {
+        for (int64_t k = -d; k <= d; k += 2) {
+            int64_t x;
+            if (k == -d || (k != d && V[off + k - 1] < V[off + k + 1]))
+                x = V[off + k + 1];
+            else
+                x = V[off + k - 1] + 1;
+            int64_t y = x - k;
+            while (x < n && y < m && a[x] == b[y]) { x++; y++; }
+            V[off + k] = x;
+            if (x >= n && y >= m) return d;
+        }
+    }
+    return -1;
+}
+
+/* Hybrid LCS: strip the common prefix/suffix (exactly distance-preserving
+   for indel distance, hence LCS-preserving: lcs(PaS,PbS) = |P|+|S|+
+   lcs(a,b)), then run the capped Myers search on the middles — survivors
+   of the scoring bound are near-duplicates by construction, so most pairs
+   finish in ~linear time — and fall back to the bit-parallel kernel for
+   the rare middle whose distance overflows the cap. Identical values on
+   every path (both kernels are exact; parity asserted in tests). */
+static int lcs_hybrid(const uint32_t *a, int64_t la,
+                      const uint32_t *b, int64_t lb,
+                      int64_t *V, int64_t vcap,
+                      uint64_t *v, uint64_t *pm_words,
+                      uint32_t *keys, int32_t *slots, int64_t cap) {
+    int64_t mn = la < lb ? la : lb;
+    int64_t pre = 0;
+    while (pre < mn && a[pre] == b[pre]) pre++;
+    int64_t suf = 0;
+    while (suf < mn - pre && a[la - 1 - suf] == b[lb - 1 - suf]) suf++;
+    const uint32_t *am = a + pre, *bm = b + pre;
+    int64_t nam = la - pre - suf, nbm = lb - pre - suf;
+    if (nam == 0 || nbm == 0) return (int)(pre + suf);
+    /* cap dial: near-dup middles finish at tiny d; a far pair burns at
+       most ~cap^2 + cap*(n+m) before the exact bit-parallel fallback —
+       sized so that waste stays below one extra bit-parallel run */
+    int64_t mid_mn = nam < nbm ? nam : nbm;
+    int64_t dcap = 64 + mid_mn / 16;
+    if (dcap > vcap) dcap = vcap;
+    if (dcap > nam + nbm) dcap = nam + nbm;
+    int64_t d = myers_d(am, nam, bm, nbm, dcap, V);
+    if (d >= 0) return (int)(pre + suf + (nam + nbm - d) / 2);
+    return (int)(pre + suf +
+                 lcs_one(am, nam, bm, nbm, v, pm_words, keys, slots, cap));
+}
+
 /* Batch entry: two codepoint arenas + per-pair offsets/lengths. */
 void lcs_batch(const uint32_t *a_arena, const uint32_t *b_arena,
                const int64_t *a_off, const int64_t *a_len,
@@ -194,20 +256,24 @@ void lcs_batch(const uint32_t *a_arena, const uint32_t *b_arena,
     while (max_cap < 2 * (max_short + 1)) max_cap <<= 1;
     int64_t W = (max_short + 63) >> 6;
     if (W == 0) W = 1;
+    /* Myers scratch: dcap <= 64 + max_short/16, V needs 2*dcap+3 */
+    int64_t vcap = 64 + max_short / 16;
     uint64_t *v = (uint64_t *)malloc((size_t)W * sizeof(uint64_t));
     uint64_t *pm = (uint64_t *)malloc((size_t)max_short * W * sizeof(uint64_t));
     uint32_t *keys = (uint32_t *)malloc((size_t)max_short * sizeof(uint32_t));
     int32_t *slots = (int32_t *)malloc((size_t)max_cap * sizeof(int32_t));
-    if (!v || !(pm || max_short == 0) || !(keys || max_short == 0) || !slots) {
-        free(v); free(pm); free(keys); free(slots);
+    int64_t *V = (int64_t *)malloc((size_t)(2 * vcap + 3) * sizeof(int64_t));
+    if (!v || !(pm || max_short == 0) || !(keys || max_short == 0) ||
+        !slots || !V) {
+        free(v); free(pm); free(keys); free(slots); free(V);
         for (int64_t i = 0; i < n_pairs; i++) out[i] = -1;
         return;
     }
     for (int64_t i = 0; i < n_pairs; i++)
-        out[i] = lcs_one(a_arena + a_off[i], a_len[i],
-                         b_arena + b_off[i], b_len[i],
-                         v, pm, keys, slots, max_cap);
-    free(v); free(pm); free(keys); free(slots);
+        out[i] = lcs_hybrid(a_arena + a_off[i], a_len[i],
+                            b_arena + b_off[i], b_len[i],
+                            V, vcap, v, pm, keys, slots, max_cap);
+    free(v); free(pm); free(keys); free(slots); free(V);
 }
 """
 

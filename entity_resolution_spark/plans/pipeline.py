@@ -186,7 +186,12 @@ def resolve(
     )
     # the eager phase-1 fill inside score_pairs runs at build time, before
     # _force's timer starts — surface it as its own stage row (read from
-    # THIS call's context, so interleaved resolves don't cross-contaminate)
+    # THIS call's context, so interleaved resolves don't cross-contaminate).
+    # DISJOINT accounting: 'scoring_p1_fill' covers the phase-1 census + JW
+    # + cache fill; 'scoring' covers ONLY the later phase-2 materialization
+    # count, which reads phase 1 from cache — the two never overlap, so the
+    # stage rows are additive to the job total (bench.py records
+    # stage_sum/unattributed to prove it per run).
     stage_secs["scoring_p1_fill"] = scoring_ctx.p1_fill_seconds
     # the scored union is materialized (persisted count or StageStore
     # write) — phase-1's internal cache is no longer needed

@@ -141,6 +141,57 @@ def test_native_lcs_bit_identical_to_python():
     assert (got == exp).all()
 
 
+def test_native_lcs_hybrid_paths_exact():
+    """The hybrid kernel's three paths — affix-strip shortcut, capped
+    Myers search, bit-parallel overflow fallback — must all return the
+    EXACT LCS. Cases are built to pin each path: long shared affixes with
+    tiny middles (Myers at small d), far pairs (cap overflow), pure-affix
+    pairs (no middle at all), and edit distances straddling the
+    64 + min/16 cap."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from entity_resolution_spark.functions._lcs_native import (
+        get_lib,
+        lcs_batch_native,
+    )
+
+    if get_lib() is None:
+        pytest.skip("no C toolchain")
+    random.seed(7)
+    alpha = "abcdefgh"
+    cases = []
+    # near-dups: shared 5k prefix/suffix, k edits in a 400-char middle
+    pre = "".join(random.choice(alpha) for _ in range(5000))
+    suf = "".join(random.choice(alpha) for _ in range(5000))
+    mid = "".join(random.choice(alpha) for _ in range(400))
+    for k in (0, 1, 7, 50, 120, 300, 400):  # straddles the 64+min/16 cap
+        m2 = list(mid)
+        for _ in range(k):
+            m2[random.randrange(len(m2))] = random.choice(alpha)
+        cases.append((pre + mid + suf, pre + "".join(m2) + suf))
+    # pure-affix: one side is a subsequence cut of the other
+    cases.append((pre + suf, pre + "xyz" + suf))
+    cases.append((pre, pre + suf))
+    # far pairs: independent random long strings (guaranteed overflow)
+    for n in (1000, 3000):
+        cases.append(
+            (
+                "".join(random.choice(alpha) for _ in range(n)),
+                "".join(random.choice(alpha) for _ in range(n)),
+            )
+        )
+    # asymmetric lengths with shared prefix only
+    cases.append((pre + "a" * 2000, pre))
+    A = np.array([c[0] for c in cases], dtype=object)
+    B = np.array([c[1] for c in cases], dtype=object)
+    got = lcs_batch_native(A, B)
+    exp = np.array([lcs_length(a, b) for a, b in cases])
+    assert (got == exp).all(), list(zip(got, exp))
+
+
 def test_batch_fuzz_ratio_matches_scalar():
     import random
 
