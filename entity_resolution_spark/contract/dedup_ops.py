@@ -666,6 +666,36 @@ def incremental_clusters_light(spark, sf_dir):
     return inc.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+# Retraction (right-to-be-forgotten) oracle: resolve() the full corpus,
+# delete every doc_id % 7 == 3 through retract_and_repair, and the repaired
+# clusters must equal the BATCH SQL program over the SURVIVORS — the
+# equivalence the plan guarantees below the skew caps. The deletion set
+# intentionally hits sha-group representatives (promotion refold path) and
+# whole clusters.
+@query(
+    "retract_repair_clusters",
+    _sql.pipeline_light_clusters_sql(threshold=45, where="doc_id % 7 <> 3"),
+)
+def retract_repair_clusters(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    from ..config import PipelineConfig
+    from ..plans.pipeline import resolve
+    from ..plans.retraction import retract_and_repair
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = entry_mod._docs_as_repo_files(spark, sf_dir)
+    cfg = PipelineConfig(w_content=0.0, similarity_threshold=45)
+    prior = resolve(files, cfg)
+    deleted = files.filter(F.pmod(F.col("file_id"), F.lit(7)) == 3).select("file_id")
+    rep = retract_and_repair(
+        prior.features, prior.clusters, prior.scored, deleted, cfg,
+        prior_blocks=prior.blocks,
+    )
+    return rep.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
 @query(
     "label_centroids",
     """

@@ -753,6 +753,7 @@ LEFT JOIN __canon c ON c.doc_id = s.doc_id
 def pipeline_light_clusters_sql(
     threshold: float,
     pipeline_minhash: MinHashConfig | None = None,
+    where: str = "TRUE",
 ) -> str:
     """Full-pipeline oracle (jaccard+JW scoring config, ``w_content=0``):
     the complete blocking -> candidates -> scoring -> connected-components
@@ -790,13 +791,16 @@ def pipeline_light_clusters_sql(
     sig_ctes = minhash_signature_ctes(cfg, src="__reps")
     return f"""
 WITH RECURSIVE
+__docs AS MATERIALIZED (
+  SELECT * FROM documents WHERE {where}
+),
 __reps AS MATERIALIZED (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM __docs
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
 ),
 __exact_edges AS (
   SELECT mn AS a, doc_id AS b
-  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn FROM documents)
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn FROM __docs)
   WHERE doc_id != mn
 ),
 {sig_ctes},
@@ -854,7 +858,7 @@ __labels AS (
   SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM __reach GROUP BY a
 )
 SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-FROM documents d LEFT JOIN __labels l USING (doc_id)
+FROM __docs d LEFT JOIN __labels l USING (doc_id)
 """
 
 

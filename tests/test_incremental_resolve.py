@@ -144,3 +144,107 @@ def test_incremental_stop_keys_are_surfaced(spark):
     assert incremental_candidate_pairs(old_blocks, new_blocks, cfg).count() == 0
     dropped = incremental_dropped_keys(old_blocks, new_blocks, cfg).collect()
     assert len(dropped) == 1 and dropped[0].block_size == 12
+
+
+# ---------------------------------------------------------------------------
+# Retraction (right-to-be-forgotten) repair
+# ---------------------------------------------------------------------------
+
+
+def _retract(prior, deleted_df, cfg, blocks=None):
+    from entity_resolution_spark.plans.retraction import retract_and_repair
+
+    return retract_and_repair(
+        prior.features, prior.clusters, prior.scored, deleted_df, cfg,
+        prior_blocks=blocks,
+    )
+
+
+def test_retract_matches_batch_on_survivors(spark):
+    """retract_and_repair == batch resolve over the surviving rows — the
+    plan's equivalence contract. The hash-picked deletion set includes
+    sha-group representatives (exercising the promotion refold) and rows
+    whose removal splits or empties clusters."""
+    files = generate_repo_files(spark, 120).localCheckpoint()
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    deleted = prior.features.filter(
+        F.pmod(F.xxhash64("path"), F.lit(5)) == 0
+    ).select("file_id")
+    rep = _retract(prior, deleted, cfg)
+    survivors = files.join(F.broadcast(deleted), "file_id", "left_anti")
+    batch = resolve(survivors, cfg)
+    assert _cluster_sets(rep.clusters) == _cluster_sets(batch.clusters)
+    # retracted rows are gone from the reusable prior state
+    assert rep.features.join(F.broadcast(deleted), "file_id", "left_semi").count() == 0
+
+
+def test_retract_promotes_new_sha_representative(spark):
+    """Deleting a sha group's representative promotes the minimum survivor;
+    the promoted row is scored against the index (its features differ from
+    the deleted rep's) and the group stays one cluster."""
+    rows = [
+        ("r1", "src/alpha.py", "c1", "py", "def alpha():\n    return 1\n" * 10),
+        ("r2", "vendored/alpha.py", "c2", "py", "def alpha():\n    return 1\n" * 10),
+        ("r3", "mirror/alpha.py", "c3", "py", "def alpha():\n    return 1\n" * 10),
+        ("r4", "src/beta.py", "c4", "py", "def beta():\n    return 2\n" * 10),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    files = spark.createDataFrame(rows, schema)
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    # the rep of the 3-copy sha group is its min file_id
+    sha_members = prior.features.filter(F.col("path").contains("alpha"))
+    rep_id = sha_members.agg(F.min("file_id")).collect()[0][0]
+    deleted = spark.createDataFrame([(rep_id,)], "file_id long")
+    repr_ = _retract(prior, deleted, cfg)
+    survivors = files.filter(~F.col("path").startswith("src/alpha"))
+    # identify which raw row was the rep (min xxhash id) to drop it
+    surv_ids = {r["file_id"] for r in repr_.clusters.collect()}
+    assert rep_id not in surv_ids
+    batch = resolve(
+        files.withColumn(
+            "file_id", F.xxhash64("repo", "path", "commit")
+        ).filter(F.col("file_id") != rep_id),
+        cfg,
+    )
+    assert _cluster_sets(repr_.clusters) == _cluster_sets(batch.clusters)
+    # the two surviving alpha copies still share one cluster
+    alpha_clusters = {
+        r["cluster_id"]
+        for r in repr_.clusters.join(
+            sha_members.filter(F.col("file_id") != rep_id).select("file_id"),
+            "file_id",
+            "left_semi",
+        ).collect()
+    }
+    assert len(alpha_clusters) == 1
+
+
+def test_retract_empty_deletion_is_identity(spark):
+    files = generate_repo_files(spark, 60).localCheckpoint()
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    deleted = spark.createDataFrame([], "file_id long")
+    rep = _retract(prior, deleted, cfg)
+    assert _cluster_sets(rep.clusters) == _cluster_sets(prior.clusters)
+
+
+def test_retract_with_reused_blocking_index(spark):
+    """Passing prior_blocks (the 100 TB mode) gives the same clusters and
+    removes retracted entries from the returned index."""
+    files = generate_repo_files(spark, 100).localCheckpoint()
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    deleted = prior.features.filter(
+        F.pmod(F.xxhash64("path"), F.lit(6)) == 0
+    ).select("file_id")
+    rep = _retract(prior, deleted, cfg, blocks=prior.blocks)
+    survivors = files.join(F.broadcast(deleted), "file_id", "left_anti")
+    batch = resolve(survivors, cfg)
+    assert _cluster_sets(rep.clusters) == _cluster_sets(batch.clusters)
+    if rep.blocks is not None:
+        assert (
+            rep.blocks.join(F.broadcast(deleted), "file_id", "left_semi").count()
+            == 0
+        )
