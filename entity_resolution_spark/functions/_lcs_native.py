@@ -230,11 +230,18 @@ static int lcs_hybrid(const uint32_t *a, int64_t la,
     const uint32_t *am = a + pre, *bm = b + pre;
     int64_t nam = la - pre - suf, nbm = lb - pre - suf;
     if (nam == 0 || nbm == 0) return (int)(pre + suf);
-    /* cap dial: near-dup middles finish at tiny d; a far pair burns at
-       most ~cap^2 + cap*(n+m) before the exact bit-parallel fallback —
-       sized so that waste stays below one extra bit-parallel run */
+    /* Budget-derived cap: a far pair's failed Myers attempt costs up to
+       ~dcap*(nam+nbm) char-ops (the paper's O((N+M)D) worst case), while
+       the bit-parallel fallback costs ~(mn/64)*mx word-ops — so size dcap
+       at mn*mx/(64*(nam+nbm)) to keep the waste a small fraction of the
+       fallback it precedes (measured: the earlier 64+mn/16 dial made
+       unrelated same-basename survivor pairs ~4x slower than pure
+       bit-parallel at ~1k chars). Near-dup middles still finish at tiny d
+       far under the cap; cap-overflow pairs lose almost nothing. */
     int64_t mid_mn = nam < nbm ? nam : nbm;
-    int64_t dcap = 64 + mid_mn / 16;
+    int64_t mid_mx = nam < nbm ? nbm : nam;
+    int64_t dcap = mid_mn * mid_mx / (64 * (nam + nbm));
+    if (dcap < 16) dcap = 16;
     if (dcap > vcap) dcap = vcap;
     if (dcap > nam + nbm) dcap = nam + nbm;
     int64_t d = myers_d(am, nam, bm, nbm, dcap, V);
