@@ -219,7 +219,7 @@ def lpa_communities_ngram(spark, sf_dir):
     b AS (SELECT vec_id AS y, embedding::DOUBLE[] AS e
           FROM embeddings WHERE vec_id % 2 = 1),
     s AS (SELECT x, y, list_cosine_similarity(a.e, b.e) AS cr,
-                 round(list_cosine_similarity(a.e, b.e), 6) AS c
+                 round(list_cosine_similarity(a.e, b.e) + 1e-9, 6) AS c
           FROM a CROSS JOIN b),
     rab AS (SELECT x, y, c,
                    row_number() OVER (PARTITION BY x ORDER BY cr DESC, y) AS r
