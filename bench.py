@@ -261,8 +261,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "stream_ewma_user_value",
         "cc_luhn_redact_customer",
         "degree_profile_copurchase",
-        # round-5 operator: retraction with delta-proportional repair
+        # round-5 operators: retraction + review-decision repair
         "retract_repair_clusters",
+        "review_override_clusters",
     ]:
         if name not in SPARK_QUERIES:
             continue

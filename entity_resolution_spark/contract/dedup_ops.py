@@ -666,6 +666,69 @@ def incremental_clusters_light(spark, sf_dir):
     return inc.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+# Clerical-review override oracle: resolve() the corpus, then apply a
+# deterministic decision batch — non_match on the (a, a+1) pairs at
+# a % 31 == 0 (removes those evidence edges where they exist; a no-op
+# where they don't) and match on the (a, a+2) pairs at a % 37 == 0
+# (merges clusters, including previously-unrelated ones). The repaired
+# clusters must equal the batch SQL program with the SAME edge overrides
+# applied globally — pinning the documented edge-level override
+# semantics (not a cannot-link constraint solver).
+_MUST_SQL = (
+    "SELECT a.doc_id AS a, b.doc_id AS b FROM __docs a "
+    "JOIN __docs b ON b.doc_id = a.doc_id + 2 WHERE a.doc_id % 37 = 0"
+)
+_CANNOT_SQL = (
+    "SELECT a.doc_id AS a, b.doc_id AS b FROM __docs a "
+    "JOIN __docs b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 31 = 0"
+)
+
+
+@query(
+    "review_override_clusters",
+    _sql.pipeline_light_clusters_sql(
+        threshold=45, must_sql=_MUST_SQL, cannot_sql=_CANNOT_SQL
+    ),
+)
+def review_override_clusters(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    from ..config import PipelineConfig
+    from ..plans.pipeline import resolve
+    from ..plans.reviews import apply_review_decisions
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = entry_mod._docs_as_repo_files(spark, sf_dir)
+    cfg = PipelineConfig(w_content=0.0, similarity_threshold=45)
+    prior = resolve(files, cfg)
+    ids = files.select(F.col("file_id"))
+    cannot = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.file_id") == F.col("a.file_id") + 1)
+        .filter(F.pmod(F.col("a.file_id"), F.lit(31)) == 0)
+        .select(
+            F.col("a.file_id").alias("left_id"),
+            F.col("b.file_id").alias("right_id"),
+            F.lit("non_match").alias("decision"),
+        )
+    )
+    must = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.file_id") == F.col("a.file_id") + 2)
+        .filter(F.pmod(F.col("a.file_id"), F.lit(37)) == 0)
+        .select(
+            F.col("a.file_id").alias("left_id"),
+            F.col("b.file_id").alias("right_id"),
+            F.lit("match").alias("decision"),
+        )
+    )
+    out = apply_review_decisions(
+        prior.features, prior.clusters, prior.scored, cannot.unionByName(must), cfg
+    )
+    return out.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
 # Retraction (right-to-be-forgotten) oracle: resolve() the full corpus,
 # delete every doc_id % 7 == 3 through retract_and_repair, and the repaired
 # clusters must equal the BATCH SQL program over the SURVIVORS — the

@@ -754,6 +754,8 @@ def pipeline_light_clusters_sql(
     threshold: float,
     pipeline_minhash: MinHashConfig | None = None,
     where: str = "TRUE",
+    must_sql: str | None = None,
+    cannot_sql: str | None = None,
 ) -> str:
     """Full-pipeline oracle (jaccard+JW scoring config, ``w_content=0``):
     the complete blocking -> candidates -> scoring -> connected-components
@@ -789,6 +791,23 @@ def pipeline_light_clusters_sql(
     cfg = pipeline_minhash or MinHashConfig(bands=8)
     r = cfg.rows_per_band
     sig_ctes = minhash_signature_ctes(cfg, src="__reps")
+    if must_sql or cannot_sql:
+        # review-override variant: evidence edges minus non_match pairs,
+        # plus match pairs (both subqueries emit canonical (a, b), a < b)
+        edges_cte = f"""__edges0 AS MATERIALIZED (
+  SELECT l AS a, rr AS b FROM __scored WHERE score >= {threshold}
+  UNION SELECT a, b FROM __exact_edges
+),
+__edges AS MATERIALIZED (
+  SELECT * FROM (SELECT a, b FROM __edges0
+                 EXCEPT SELECT a, b FROM ({cannot_sql or "SELECT NULL AS a, NULL AS b WHERE FALSE"}))
+  UNION SELECT a, b FROM ({must_sql or "SELECT NULL AS a, NULL AS b WHERE FALSE"})
+),"""
+    else:
+        edges_cte = f"""__edges AS MATERIALIZED (
+  SELECT l AS a, rr AS b FROM __scored WHERE score >= {threshold}
+  UNION SELECT a, b FROM __exact_edges
+),"""
     return f"""
 WITH RECURSIVE
 __docs AS MATERIALIZED (
@@ -844,10 +863,7 @@ __scored AS (
   JOIN __feat fa ON fa.doc_id = c.l
   JOIN __feat fb ON fb.doc_id = c.rr
 ),
-__edges AS MATERIALIZED (
-  SELECT l AS a, rr AS b FROM __scored WHERE score >= {threshold}
-  UNION SELECT a, b FROM __exact_edges
-),
+{edges_cte}
 __dir AS MATERIALIZED (SELECT a, b FROM __edges UNION SELECT b, a FROM __edges),
 __reach(a, b) AS (
   SELECT a, b FROM __dir

@@ -248,3 +248,111 @@ def test_retract_with_reused_blocking_index(spark):
             rep.blocks.join(F.broadcast(deleted), "file_id", "left_semi").count()
             == 0
         )
+
+
+# ---------------------------------------------------------------------------
+# Clerical-review decision application
+# ---------------------------------------------------------------------------
+
+
+def _apply(prior, decisions_rows, spark, cfg):
+    from entity_resolution_spark.plans.reviews import apply_review_decisions
+
+    dec = spark.createDataFrame(
+        decisions_rows, "left_id long, right_id long, decision string"
+    )
+    return apply_review_decisions(
+        prior.features, prior.clusters, prior.scored, dec, cfg
+    )
+
+
+def _clusters_of(res, ids):
+    return {
+        r["file_id"]: r["cluster_id"]
+        for r in res.clusters.filter(F.col("file_id").isin(ids)).collect()
+    }
+
+
+def test_review_match_override_merges_unrelated_clusters(spark):
+    rows = [
+        ("r1", "src/alpha.py", "c1", "py", "def alpha():\n    return 1\n" * 10),
+        ("r2", "src/omega.py", "c2", "py", "class Omega:\n    pass\n" * 10),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    files = spark.createDataFrame(rows, schema)
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    ids = sorted(r["file_id"] for r in prior.clusters.collect())
+    assert len({r["cluster_id"] for r in prior.clusters.collect()}) == 2
+    out = _apply(prior, [(ids[0], ids[1], "match")], spark, cfg)
+    got = _clusters_of(out, ids)
+    assert got[ids[0]] == got[ids[1]] == min(ids)
+
+
+def test_review_non_match_override_splits_and_conflict_rule(spark):
+    """non_match removes the pair's evidence edge (star-edge semantics:
+    a severed exact member disconnects even though content-identical
+    peers remain); when both verdicts exist for one pair, non_match
+    wins."""
+    rows = [
+        ("r1", "src/alpha.py", "c1", "py", "def alpha():\n    return 1\n" * 10),
+        ("r2", "mirror/alpha.py", "c2", "py", "def alpha():\n    return 1\n" * 10),
+        ("r3", "vendor/alpha.py", "c3", "py", "def alpha():\n    return 1\n" * 10),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    files = spark.createDataFrame(rows, schema)
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    ids = sorted(r["file_id"] for r in prior.clusters.collect())
+    rep = ids[0]
+    # sever rep -> ids[2]; conflict row tries to re-add it and must lose
+    out = _apply(
+        prior,
+        [(rep, ids[2], "non_match"), (ids[2], rep, "match")],
+        spark,
+        cfg,
+    )
+    got = _clusters_of(out, ids)
+    assert got[rep] == got[ids[1]] == rep
+    assert got[ids[2]] == ids[2]  # singleton after the only edge was severed
+
+
+def test_review_empty_and_validation(spark):
+    import pytest
+
+    files = generate_repo_files(spark, 40).localCheckpoint()
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    out = _apply(prior, [], spark, cfg)
+    assert _cluster_sets(out.clusters) == _cluster_sets(prior.clusters)
+    with pytest.raises(ValueError, match="decision"):
+        _apply(prior, [(1, 2, "maybe")], spark, cfg)
+
+
+def test_review_non_match_keeps_indirect_paths(spark):
+    """Edge-level semantics: severing one scored edge does NOT split rows
+    still connected through another evidence path."""
+    base = "def shared():\n    return 42\n" * 12
+    rows = [
+        ("r1", "src/shared.py", "c1", "py", base),
+        ("r2", "fork/shared.py", "c2", "py", base + "# fork note\n"),
+        ("r3", "copy/shared.py", "c3", "py", base + "# copy note\n"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    files = spark.createDataFrame(rows, schema)
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    ids = sorted(r["file_id"] for r in prior.clusters.collect())
+    # all three near-identical -> one cluster with a triangle of scored
+    # edges; sever ONE edge and the component must stay whole
+    matched = {
+        (r["left_id"], r["right_id"])
+        for r in prior.scored.filter(
+            F.col("score") >= cfg.similarity_threshold
+        ).collect()
+    }
+    if len(matched) >= 3:  # full triangle materialized
+        a, b = sorted(matched)[0]
+        out = _apply(prior, [(a, b, "non_match")], spark, cfg)
+        got = _clusters_of(out, ids)
+        assert len(set(got.values())) == 1
