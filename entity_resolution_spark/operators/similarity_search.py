@@ -280,7 +280,13 @@ def knn_join(
     brute-force/oracle path (BLAS summation order differs in ulps).
     """
     spark = corpus.sparkSession
-    if big_query_threshold is not None and queries.count() > big_query_threshold:
+    # bounded census: limit(k+1).count() terminates the scan as soon as
+    # k+1 rows are seen, so a small query table pays a cheap probe and a
+    # huge one never pays a full count just to learn "it's big"
+    if (
+        big_query_threshold is not None
+        and queries.limit(big_query_threshold + 1).count() > big_query_threshold
+    ):
         # corpus-scale query side: exact full-probe cell-cogrouped join.
         # n_cells stays modest and parallelism-independent — replication
         # is |Q| x n_cells instead of |Q| x (4 x defaultParallelism).
