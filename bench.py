@@ -261,9 +261,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "stream_ewma_user_value",
         "cc_luhn_redact_customer",
         "degree_profile_copurchase",
-        # round-5 operators: retraction + review-decision repair
+        # round-5 operators: retraction, review-decision repair,
+        # lineage re-thresholding
         "retract_repair_clusters",
         "review_override_clusters",
+        "rethreshold_clusters_light",
     ]:
         if name not in SPARK_QUERIES:
             continue

@@ -666,6 +666,31 @@ def incremental_clusters_light(spark, sf_dir):
     return inc.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
 
 
+# Re-threshold oracle: resolve() at threshold 45, then regenerate the
+# clusters at 35 through rethreshold_clusters — lineage-reuse, no corpus
+# re-scoring (DOWN is the interesting direction: it exercises the
+# suspect-pair path). Must equal the batch SQL program AT the new
+# threshold.
+@query(
+    "rethreshold_clusters_light",
+    _sql.pipeline_light_clusters_sql(threshold=35),
+)
+def rethreshold_clusters_light(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    from ..config import PipelineConfig
+    from ..plans.pipeline import resolve
+    from ..plans.rethreshold import rethreshold_clusters
+    from ..session import ensure_py_files
+
+    ensure_py_files(spark)
+    files = entry_mod._docs_as_repo_files(spark, sf_dir)
+    cfg = PipelineConfig(w_content=0.0, similarity_threshold=45)
+    prior = resolve(files, cfg)
+    out = rethreshold_clusters(prior.features, prior.scored, 35, cfg)
+    return out.clusters.select(F.col("file_id").alias("doc_id"), "cluster_id")
+
+
 # Clerical-review override oracle: resolve() the corpus, then apply a
 # deterministic decision batch — non_match on the (a, a+1) pairs at
 # a % 31 == 0 (removes those evidence edges where they exist; a no-op

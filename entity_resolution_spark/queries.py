@@ -59,13 +59,14 @@ from .contract import (  # noqa: E402,F401
 # ever-green names move to the tail; the head is exactly the 79
 # never-verified in registration order, with lang_id_heuristic (the only
 # query whose sole driver record is an r1 `no_oracle` error, fixed since)
-# promoted into the first 10, with the two round-5-new queries
-# (retract_repair_clusters, review_override_clusters) right behind it.
-# After the ~50-slot round-5 window the residual never-verified set for
-# the round-6 head is exactly these 31 (in this order;
+# promoted into the first 10, with the three round-5-new queries
+# (retract_repair_clusters, review_override_clusters,
+# rethreshold_clusters_light) right behind it. After the ~50-slot
+# round-5 window the residual never-verified set for the round-6 head is
+# exactly these 32 (in this order; balanced_token_shards,
 # random_projection_reduce and embedding_drift_report were pushed out of
-# the window by the two new queries):
-#   random_projection_reduce, embedding_drift_report
+# the window by the three new queries):
+#   balanced_token_shards, random_projection_reduce, embedding_drift_report
 #   encode_documents_ids, pack_token_ids_stream, bigram_lm_perplexity
 #   bpe_top_merges, source_overlap_matrix, nb_lang_predictions
 #   token_entropy_stats, ngram_novelty_scores, similarity_graph_triangles
@@ -85,6 +86,7 @@ _DRIVER_PRIORITY = [
     "lang_id_heuristic",
     "retract_repair_clusters",
     "review_override_clusters",
+    "rethreshold_clusters_light",
     "key_skew_events_user",
     "key_skew_summary_events",
     "shuffle_shards_layout",

@@ -356,3 +356,58 @@ def test_review_non_match_keeps_indirect_paths(spark):
         out = _apply(prior, [(a, b, "non_match")], spark, cfg)
         got = _clusters_of(out, ids)
         assert len(set(got.values())) == 1
+
+
+# ---------------------------------------------------------------------------
+# Re-thresholding from lineage
+# ---------------------------------------------------------------------------
+
+
+def test_rethreshold_down_matches_batch(spark):
+    """Lowering the threshold re-scores only the suspect pairs (bound
+    below the OLD reject line, above the NEW one) and must reproduce the
+    batch run at the new threshold exactly — default config, so the
+    content term and the bound-reject machinery are both live."""
+    from entity_resolution_spark.plans.rethreshold import rethreshold_clusters
+
+    files = generate_repo_files(spark, 100).localCheckpoint()
+    cfg = PipelineConfig()  # threshold 80
+    prior = resolve(files, cfg)
+    out = rethreshold_clusters(prior.features, prior.scored, 70, cfg)
+    batch = resolve(files, PipelineConfig(similarity_threshold=70))
+    assert _cluster_sets(out.clusters) == _cluster_sets(batch.clusters)
+    n_re = out.metrics.filter(
+        "stage = 'rethreshold' AND metric = 'rescored_pairs'"
+    ).collect()[0]["value"]
+    # the suspect set must stay a small fraction of the lineage (the
+    # whole point: no corpus re-score)
+    assert n_re < prior.scored.count()
+
+
+def test_rethreshold_up_is_pure_filter_and_matches_batch(spark):
+    from entity_resolution_spark.plans.rethreshold import rethreshold_clusters
+
+    files = generate_repo_files(spark, 100).localCheckpoint()
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    out = rethreshold_clusters(prior.features, prior.scored, 90, cfg)
+    batch = resolve(files, PipelineConfig(similarity_threshold=90))
+    assert _cluster_sets(out.clusters) == _cluster_sets(batch.clusters)
+    assert (
+        out.metrics.filter(
+            "stage = 'rethreshold' AND metric = 'rescored_pairs'"
+        ).collect()[0]["value"]
+        == 0.0
+    )
+
+
+def test_rethreshold_identity_at_same_threshold(spark):
+    from entity_resolution_spark.plans.rethreshold import rethreshold_clusters
+
+    files = generate_repo_files(spark, 60).localCheckpoint()
+    cfg = PipelineConfig()
+    prior = resolve(files, cfg)
+    out = rethreshold_clusters(
+        prior.features, prior.scored, cfg.similarity_threshold, cfg
+    )
+    assert _cluster_sets(out.clusters) == _cluster_sets(prior.clusters)
