@@ -192,6 +192,40 @@ def test_native_lcs_hybrid_paths_exact():
     assert (got == exp).all(), list(zip(got, exp))
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=300),  # arbitrary unicode, any codepoint
+            st.text(max_size=300),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_native_hybrid_property_parity(pairs):
+    """Property pin: for ARBITRARY unicode inputs the hybrid native
+    kernel (affix strip / capped Myers / bit-parallel fallback — the path
+    taken depends on the input shape, so hypothesis explores all three)
+    equals the pure-Python big-int kernel exactly."""
+    import numpy as np
+
+    from entity_resolution_spark.functions._lcs_native import (
+        get_lib,
+        lcs_batch_native,
+    )
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no C toolchain")
+    A = np.array([p[0] for p in pairs], dtype=object)
+    B = np.array([p[1] for p in pairs], dtype=object)
+    got = lcs_batch_native(A, B)
+    exp = [lcs_length(a, b) for a, b in pairs]
+    assert list(got) == exp
+
+
 def test_batch_fuzz_ratio_matches_scalar():
     import random
 
